@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.analytics.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2C analytics parity
+    "q1_pricing" -> (Analytics.q1Pricing _),
+    "q3_topk_join" -> (Analytics.q3TopkJoin _),
+    "q5_multijoin" -> (Analytics.q5MultiJoin _),
+    "q6_filter_agg" -> (Analytics.q6FilterAgg _),
+    "q_semi_anti" -> (Analytics.qSemiAnti _),
+    "q_distinct_union" -> (Analytics.qDistinctUnion _),
+    "q_case_having" -> (Analytics.qCaseHaving _),
+    "q_window_rank" -> (Analytics.qWindowRank _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" -> Analytics.q1PricingSql,
+    "q3_topk_join" -> Analytics.q3TopkJoinSql,
+    "q5_multijoin" -> Analytics.q5MultiJoinSql,
+    "q6_filter_agg" -> Analytics.q6FilterAggSql,
+    "q_semi_anti" -> Analytics.qSemiAntiSql,
+    "q_distinct_union" -> Analytics.qDistinctUnionSql,
+    "q_case_having" -> Analytics.qCaseHavingSql,
+    "q_window_rank" -> Analytics.qWindowRankSql,
+  )
 }

@@ -1,0 +1,203 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Analytics-parity block (SURVEY.md §2C): general relational pipelines on
+  * the star schema, proving the engine handles the classic OLAP shapes the
+  * reference's index node would hand to an analytical backend.
+  *
+  * Numeric discipline for oracle parity: money math is done in
+  * `DECIMAL(18,2)` (exact, order-independent under Spark's decimal sum, so
+  * hash-stable regardless of partitioning) and the *final* value is cast to
+  * DOUBLE — both engines then emit the bit-identical IEEE double of the same
+  * exact rational. Never sum raw doubles into a compared column: float
+  * addition is not associative and partition order would change the hash.
+  */
+object Analytics {
+
+  private val D = DecimalType(18, 2)
+
+  /** TPC-H Q1-shaped pricing summary. Single shuffle on the two group keys;
+    * partial aggregation (map-side combine) happens for free with groupBy. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity".cast(D)).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast(D)).cast("double").as("sum_base_price"),
+        sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+          .cast("double").as("sum_disc_price"),
+        sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))
+          * (lit(1).cast(D) + $"l_tax".cast(D))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q3-shaped: selective dim filter → two joins → agg → deterministic top-10.
+    * customer is tiny → broadcast; orders⋈lineitem shuffles on orderkey once. */
+  def q3TopkJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate")
+      .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+        .cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val q3TopkJoinSql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** Q5-shaped star join: all dims broadcast, fact shuffles only for the agg. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.region(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_regionkey" < 2)
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+        .cast("double").as("revenue"))
+  }
+
+  val q5MultiJoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_regionkey < 2
+      |GROUP BY n_name""".stripMargin
+
+  /** Q6-shaped: tight range filters (all pushed to parquet) + one scalar agg. */
+  def q6FilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(sum($"l_extendedprice".cast(D) * $"l_discount".cast(D))
+        .cast("double").as("revenue"))
+  }
+
+  val q6FilterAggSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Semi/anti joins: customers with vs without orders, per segment.
+    * left_semi/left_anti never materialize the right side's columns. */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val orderCust = Tables.orders(spark, dir).select($"o_custkey")
+    val withOrders = cust.join(orderCust, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .withColumn("bucket", lit("with_orders"))
+    val withoutOrders = cust.join(orderCust, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .withColumn("bucket", lit("without_orders"))
+    withOrders.unionByName(withoutOrders)
+      .select($"bucket", $"c_mktsegment", $"n_customers")
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT 'with_orders' AS bucket, c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT 'without_orders' AS bucket, c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** DISTINCT + UNION ALL: distinct-count shapes over the fact table. */
+  def qDistinctUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val parts = li.agg(countDistinct($"l_partkey").as("n")).withColumn("entity", lit("parts"))
+    val supps = li.agg(countDistinct($"l_suppkey").as("n")).withColumn("entity", lit("suppliers"))
+    val ords = li.agg(countDistinct($"l_orderkey").as("n")).withColumn("entity", lit("orders"))
+    parts.unionByName(supps).unionByName(ords).select($"entity", $"n")
+  }
+
+  val qDistinctUnionSql: String =
+    """SELECT 'parts' AS entity, COUNT(DISTINCT l_partkey) AS n FROM lineitem
+      |UNION ALL SELECT 'suppliers', COUNT(DISTINCT l_suppkey) FROM lineitem
+      |UNION ALL SELECT 'orders', COUNT(DISTINCT l_orderkey) FROM lineitem""".stripMargin
+
+  /** CASE WHEN + HAVING over orders. */
+  def qCaseHaving(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when($"o_totalprice" > 100000, 1L).otherwise(0L)).as("n_big"),
+        sum(when($"o_orderstatus" === "F", 1L).otherwise(0L)).as("n_filled"))
+      .filter($"n_orders" > 10)
+  }
+
+  val qCaseHavingSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+      |FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 10""".stripMargin
+
+  /** Window functions: top-3 orders per customer by price (deterministic
+    * tiebreak on orderkey), plus each order's rank. One shuffle on custkey. */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+  }
+
+  val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t WHERE rn <= 3""".stripMargin
+}
