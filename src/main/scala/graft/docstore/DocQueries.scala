@@ -1,0 +1,242 @@
+package graft.docstore
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** SURVEY.md §2A — the document-store operator block. Each query drives the
+  * StructuredQuery compiler over the `events` collection (rows as JSON
+  * docs) and has a relational DuckDB oracle over the same parquet, so the
+  * JSON-path/filter semantics are checked against ground truth.
+  */
+object DocQueries {
+
+  import FieldValue._
+
+  private def coll(spark: SparkSession, dir: String): DocCollection =
+    DocStore.eventsCollection(spark, dir)
+
+  /** FieldFilter EQUAL (proto FieldFilter.Operator.EQUAL). */
+  def docFilterEq(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("event_type", Op.Eq, Str("purchase"))),
+      select = Seq("event_type"))
+    DocStore.query(coll(spark, dir), q)
+  }
+
+  val docFilterEqSql: String =
+    "SELECT event_id AS _id, event_type FROM events WHERE event_type = 'purchase'"
+
+  /** Range ops over an Int64 doc field. */
+  def docFilterRange(spark: SparkSession, dir: String): DataFrame = {
+    val c = coll(spark, dir)
+    val q = StructuredQuery(where = Some(AndFilter(Seq(
+      FieldFilter("k", Op.Gt, I64(50)), FieldFilter("k", Op.Le, I64(90))))))
+    DocStore.query(c, q)
+      .select(col("_id"), get_json_object(col("doc"), "$.k").cast("long").as("k"))
+  }
+
+  val docFilterRangeSql: String =
+    """SELECT event_id AS _id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) <= 90""".stripMargin
+
+  /** CompositeFilter AND of mixed-type field filters. */
+  def docFilterAnd(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(where = Some(AndFilter(Seq(
+      FieldFilter("event_type", Op.Eq, Str("purchase")),
+      FieldFilter("value", Op.Ge, Dbl(100.0)),
+      FieldFilter("k", Op.Lt, I64(50))))))
+    DocStore.query(coll(spark, dir), q).select("_id")
+  }
+
+  val docFilterAndSql: String =
+    """SELECT event_id AS _id FROM events
+      |WHERE event_type = 'purchase' AND value >= 100.0
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 50""".stripMargin
+
+  /** NOT_EQUAL (proto op 6 — declared but unimplemented in the reference's
+    * JSON filter parser, bson_util.rs:88; implemented here). */
+  def docFilterNeq(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("event_type", Op.Neq, Str("error"))),
+      select = Seq("event_type"))
+    DocStore.query(coll(spark, dir), q)
+  }
+
+  val docFilterNeqSql: String =
+    "SELECT event_id AS _id, event_type FROM events WHERE event_type <> 'error'"
+
+  /** Projection{fields} — subset of doc fields, string-typed like the
+    * reference returns raw JSON values. */
+  def docProjection(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("k", Op.Eq, I64(7))),
+      select = Seq("user_id", "event_type"))
+    DocStore.query(coll(spark, dir), q)
+  }
+
+  val docProjectionSql: String =
+    """SELECT event_id AS _id, CAST(user_id AS VARCHAR) AS user_id, event_type
+      |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) = 7""".stripMargin
+
+  /** Limit after filter, deterministic by `_id` (proto appends __name__). */
+  def docLimit(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("value", Op.Gt, Dbl(150.0))),
+      select = Seq("value"), limit = Some(20))
+    DocStore.query(coll(spark, dir), q)
+  }
+
+  val docLimitSql: String =
+    """SELECT event_id AS _id, CAST(value AS VARCHAR) AS value FROM events
+      |WHERE value > 150.0 ORDER BY event_id LIMIT 20""".stripMargin
+
+  /** Point lookup by doc id (doc_store.rs:240 get_doc). */
+  def docGetById(spark: SparkSession, dir: String): DataFrame = {
+    val c = coll(spark, dir)
+    c.df.filter(col("_id") === 1234L)
+      .select(col("_id"),
+        get_json_object(col("doc"), "$.user_id").cast("long").as("user_id"),
+        get_json_object(col("doc"), "$.value").cast("double").as("value"))
+  }
+
+  val docGetByIdSql: String =
+    "SELECT event_id AS _id, user_id, value FROM events WHERE event_id = 1234"
+
+  /** CollectionState.total_doc_count per collection (event_type plays the
+    * collection name, as in the event DB's one-table-per-event-type). */
+  def docCountState(spark: SparkSession, dir: String): DataFrame = {
+    coll(spark, dir).df
+      .groupBy(get_json_object(col("doc"), "$.event_type").as("collection"))
+      .agg(count(lit(1)).as("total_doc_count"))
+  }
+
+  val docCountStateSql: String =
+    "SELECT event_type AS collection, COUNT(*) AS total_doc_count FROM events GROUP BY event_type"
+
+  /** Latest-wins fold of the mutation log (db_store_v2.rs:1149
+    * apply_mutation): events = AddDocument/UpdateDocument mutations keyed
+    * by user_id, ordered by (ts, event_id) ≈ (block_id, order_id). One
+    * shuffle on the doc key; row_number (not groupBy-max + rejoin). */
+  def docStateLatest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+  }
+
+  val docStateLatestSql: String =
+    """SELECT user_id, event_type AS last_type, value AS last_value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  /** DeleteDocument tombstones: docs whose latest mutation is a delete
+    * ('error' plays the tombstone action) drop out of live state. */
+  def docStateTombstone(spark: SparkSession, dir: String): DataFrame =
+    docStateLatest(spark, dir).filter(col("last_type") =!= "error")
+
+  val docStateTombstoneSql: String =
+    """SELECT user_id, event_type AS last_type, value AS last_value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+
+  /** DocumentMask field-merge (db3_mutation_v2.proto DocumentMask): per
+    * doc key, each masked field takes its value from the latest mutation
+    * that carried that field — fields not in a mutation's mask are left
+    * unchanged. Modeled as per-field latest-wins: `value` is masked only
+    * by 'purchase' mutations, `k` only by 'click' mutations. */
+  def docPatchMask(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    def latestFor(tpe: String, field: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev.filter(col("event_type") === tpe)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col(field).as(out))
+    }
+    latestFor("purchase", "value", "masked_value")
+      .join(latestFor("click", "k", "masked_k"), Seq("user_id"))
+  }
+
+  val docPatchMaskSql: String =
+    """WITH p AS (
+      |  SELECT user_id, value AS masked_value FROM (
+      |    SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'purchase') t WHERE rn = 1),
+      |c AS (
+      |  SELECT user_id, k AS masked_k FROM (
+      |    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE event_type = 'click') t WHERE rn = 1)
+      |SELECT p.user_id, masked_value, masked_k FROM p JOIN c ON p.user_id = c.user_id""".stripMargin
+
+  /** Doc-ownership join (db_store_v2.rs:819 verify_docs_ownership): docs
+    * grouped to their owner dimension; owner dim is broadcast. */
+  def docOwnerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("user_id")).as("n_owners"))
+  }
+
+  val docOwnerJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_docs, COUNT(DISTINCT user_id) AS n_owners
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Typed index-key extraction per Index{path,type} (AddIndexMutation):
+    * the index build is a sorted projection (key, _id) — on a cluster this
+    * is the bucketed/sorted layout that replaces the reference's B-tree. */
+  def docIndexExtract(spark: SparkSession, dir: String): DataFrame = {
+    val c = coll(spark, dir)
+    c.df.select(
+        DocStore.fieldCol(col("doc"), "k", FieldValue.I64(0)).as("idx_key"),
+        col("_id"))
+      .filter(col("idx_key").isNotNull)
+  }
+
+  val docIndexExtractSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS idx_key, event_id AS _id
+      |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_filter_eq" -> (docFilterEq _),
+    "doc_filter_range" -> (docFilterRange _),
+    "doc_filter_and" -> (docFilterAnd _),
+    "doc_filter_neq" -> (docFilterNeq _),
+    "doc_projection" -> (docProjection _),
+    "doc_limit" -> (docLimit _),
+    "doc_get_by_id" -> (docGetById _),
+    "doc_count_state" -> (docCountState _),
+    "doc_state_latest" -> (docStateLatest _),
+    "doc_state_tombstone" -> (docStateTombstone _),
+    "doc_patch_mask" -> (docPatchMask _),
+    "doc_owner_join" -> (docOwnerJoin _),
+    "doc_index_extract" -> (docIndexExtract _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "doc_filter_eq" -> docFilterEqSql,
+    "doc_filter_range" -> docFilterRangeSql,
+    "doc_filter_and" -> docFilterAndSql,
+    "doc_filter_neq" -> docFilterNeqSql,
+    "doc_projection" -> docProjectionSql,
+    "doc_limit" -> docLimitSql,
+    "doc_get_by_id" -> docGetByIdSql,
+    "doc_count_state" -> docCountStateSql,
+    "doc_state_latest" -> docStateLatestSql,
+    "doc_state_tombstone" -> docStateTombstoneSql,
+    "doc_patch_mask" -> docPatchMaskSql,
+    "doc_owner_join" -> docOwnerJoinSql,
+    "doc_index_extract" -> docIndexExtractSql,
+  )
+}

@@ -1,0 +1,92 @@
+package graft.docstore
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** A document collection: `_id: Long` + `doc: String` (JSON), mirroring the
+  * reference's `Document{id, doc}` (db3_database_v2.proto:96-99).
+  *
+  * Scale posture: the reference point-reads through EJDB2 indexes; the
+  * Spark-native equivalent is columnar pruning — the collection is stored
+  * as parquet sorted/partitioned by `_id` (point lookups prune row groups)
+  * and filter predicates compile to codegen'd JSON-path expressions that
+  * run inside whole-stage codegen, so a filter over 100 TB of docs is one
+  * scan with no driver-side iteration.
+  */
+final case class DocCollection(name: String, df: DataFrame)
+
+object DocStore {
+
+  /** Extract a typed field from the JSON doc column — the analog of the
+    * reference's typed index keys (db3_database_v2.proto IndexType:
+    * UniqueKey|StringKey|Int64Key|DoubleKey). */
+  def fieldCol(doc: Column, field: String, value: FieldValue): Column = {
+    val raw = get_json_object(doc, "$." + field)
+    value match {
+      case FieldValue.I64(_) => raw.cast("long")
+      case FieldValue.Dbl(_) => raw.cast("double")
+      case FieldValue.Bool(_) => raw.cast("boolean")
+      case FieldValue.Str(_) => raw
+    }
+  }
+
+  private def lit_(v: FieldValue): Column = v match {
+    case FieldValue.I64(x) => lit(x)
+    case FieldValue.Dbl(x) => lit(x)
+    case FieldValue.Bool(x) => lit(x)
+    case FieldValue.Str(x) => lit(x)
+  }
+
+  /** Compile a Filter tree to one Spark predicate Column. */
+  def compileFilter(doc: Column, f: Filter): Column = f match {
+    case AndFilter(fs) => fs.map(compileFilter(doc, _)).reduce(_ && _)
+    case FieldFilter(field, op, v) =>
+      val c = fieldCol(doc, field, v)
+      op match {
+        case Op.Eq => c === lit_(v)
+        case Op.Neq => c =!= lit_(v)
+        case Op.Lt => c < lit_(v)
+        case Op.Le => c <= lit_(v)
+        case Op.Gt => c > lit_(v)
+        case Op.Ge => c >= lit_(v)
+        case Op.ArrayContains =>
+          // JSON array field: parse as array<string> and probe membership.
+          array_contains(
+            from_json(get_json_object(doc, "$." + field),
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+            v match { case FieldValue.Str(s) => s; case other => other.toString })
+      }
+  }
+
+  /** Execute a StructuredQuery against a collection. Projection returns
+    * `_id` plus one (string-typed) column per selected field; empty select
+    * returns `_id, doc` whole. Limit without an explicit order is made
+    * deterministic by `_id` (the proto appends `__name__` ordering the
+    * same way — db3_database_v2.proto:342-360). */
+  def query(col: DocCollection, q: StructuredQuery): DataFrame = {
+    var df = col.df
+    q.where.foreach(f => df = df.filter(compileFilter(df("doc"), f)))
+    if (q.select.nonEmpty) {
+      val cols = df("_id") +: q.select.map(f =>
+        get_json_object(df("doc"), "$." + f).as(f))
+      df = df.select(cols: _*)
+    }
+    q.limit.foreach(n => df = df.orderBy("_id").limit(n))
+    df
+  }
+
+  /** The `events` table viewed as a document collection: each event row
+    * becomes a JSON doc (the reference's event indexer writes decoded
+    * EVM events as documents the same way — node/src/indexer_impl.rs). */
+  def eventsCollection(spark: SparkSession, dir: String): DocCollection = {
+    val ev = Tables.events(spark, dir)
+    val doc = to_json(struct(
+      ev("user_id"),
+      ev("event_type"),
+      ev("value"),
+      unix_micros(ev("ts")).as("ts_us"),
+      get_json_object(ev("props"), "$.k").cast("long").as("k")))
+    DocCollection("events", ev.select(ev("event_id").as("_id"), doc.as("doc")))
+  }
+}

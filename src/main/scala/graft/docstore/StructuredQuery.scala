@@ -1,0 +1,54 @@
+package graft.docstore
+
+/** Firestore-style structured query ADT, re-expressing the reference's
+  * query surface (reference: src/proto/proto/db3_database_v2.proto:111-420
+  * `StructuredQuery` — FieldFilter ops EQUAL/NOT_EQUAL/LT/LE/GT/GE/
+  * ARRAY_CONTAINS, CompositeFilter AND, Projection, Limit; and
+  * src/base/src/bson_util.rs:62-146 `filter_from_json_value` which parses
+  * the JSON filter syntax `{field, op, value}` / `{and: [...]}`).
+  *
+  * The reference executes these against EJDB2 B-trees; here the same ADT
+  * compiles to Spark `Column` predicates over a JSON document column, so
+  * Catalyst can push what's pushable and whole-stage-codegen the rest.
+  */
+sealed trait FieldValue
+object FieldValue {
+  final case class I64(v: Long) extends FieldValue
+  final case class Dbl(v: Double) extends FieldValue
+  final case class Str(v: String) extends FieldValue
+  final case class Bool(v: Boolean) extends FieldValue
+}
+
+sealed trait Op
+object Op {
+  case object Eq extends Op
+  case object Neq extends Op
+  case object Lt extends Op
+  case object Le extends Op
+  case object Gt extends Op
+  case object Ge extends Op
+  case object ArrayContains extends Op
+
+  /** Parse the reference's filter-op spelling (bson_util.rs:81-97). */
+  def parse(s: String): Op = s match {
+    case "==" => Eq
+    case "!=" => Neq
+    case "<" => Lt
+    case "<=" => Le
+    case ">" => Gt
+    case ">=" => Ge
+    case "array-contains" => ArrayContains
+    case other => throw new IllegalArgumentException(s"Invalid OP $other")
+  }
+}
+
+sealed trait Filter
+final case class FieldFilter(field: String, op: Op, value: FieldValue) extends Filter
+final case class AndFilter(filters: Seq[Filter]) extends Filter
+
+/** Projection/limit semantics per the proto: empty select = all fields;
+  * limit applies after all other constraints. */
+final case class StructuredQuery(
+    where: Option[Filter] = None,
+    select: Seq[String] = Nil,
+    limit: Option[Int] = None)

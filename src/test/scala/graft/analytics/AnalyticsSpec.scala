@@ -1,0 +1,46 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1 groups are complete and counts sum to filtered rows") {
+    val q1 = Analytics.q1Pricing(spark, sf)
+    val total = q1.agg(sum("count_order")).head().getLong(0)
+    val want = graft.sources.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp")).count()
+    assert(total === want)
+  }
+
+  test("q6 pushes its filters to the parquet scan") {
+    val plan = Analytics.q6FilterAgg(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
+  }
+
+  test("q3 returns exactly 10 rows ordered by revenue desc") {
+    val rows = Analytics.q3TopkJoin(spark, sf).collect()
+    assert(rows.length === 10)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("q5 star join broadcasts every dimension") {
+    val plan = Analytics.q5MultiJoin(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.indexOf("SortMergeJoin") === plan.lastIndexOf("SortMergeJoin"))
+  }
+
+  test("semi + anti partition the customer set") {
+    val df = Analytics.qSemiAnti(spark, sf)
+    val total = df.agg(sum("n_customers")).head().getLong(0)
+    assert(total === graft.sources.Tables.customer(spark, sf).count())
+  }
+
+  test("window rank emits at most 3 rows per customer") {
+    val over = Analytics.qWindowRank(spark, sf)
+      .groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(over === 0)
+  }
+}

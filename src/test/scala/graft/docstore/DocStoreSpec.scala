@@ -1,0 +1,70 @@
+package graft.docstore
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DocStoreSpec extends SparkSpec {
+  import FieldValue._
+
+  private lazy val coll = DocStore.eventsCollection(spark, sf)
+  private lazy val events = graft.sources.Tables.events(spark, sf)
+
+  test("FieldFilter Eq matches relational ground truth") {
+    val got = DocStore.query(coll,
+      StructuredQuery(where = Some(FieldFilter("event_type", Op.Eq, Str("purchase"))))).count()
+    val want = events.filter(col("event_type") === "purchase").count()
+    assert(got === want && got > 0)
+  }
+
+  test("range + AND composite filter") {
+    val got = DocStore.query(coll, StructuredQuery(where = Some(AndFilter(Seq(
+      FieldFilter("k", Op.Gt, I64(50)),
+      FieldFilter("value", Op.Le, Dbl(100.0))))))).count()
+    val want = events
+      .filter(get_json_object(col("props"), "$.k").cast("long") > 50 && col("value") <= 100.0)
+      .count()
+    assert(got === want && got > 0)
+  }
+
+  test("Neq excludes exactly the equal rows") {
+    val eq = DocStore.query(coll,
+      StructuredQuery(where = Some(FieldFilter("event_type", Op.Eq, Str("error"))))).count()
+    val neq = DocStore.query(coll,
+      StructuredQuery(where = Some(FieldFilter("event_type", Op.Neq, Str("error"))))).count()
+    assert(eq + neq === coll.df.count())
+  }
+
+  test("array-contains over a JSON array field") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """{"tags":["a","b"]}"""),
+      (2L, """{"tags":["c"]}"""),
+      (3L, """{"tags":[]}""")).toDF("_id", "doc")
+    val got = DocStore.query(DocCollection("t", docs),
+      StructuredQuery(where = Some(FieldFilter("tags", Op.ArrayContains, Str("a")))))
+      .select("_id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("projection returns _id plus selected fields only") {
+    val df = DocStore.query(coll,
+      StructuredQuery(select = Seq("user_id", "event_type"), limit = Some(5)))
+    assert(df.columns.toSeq === Seq("_id", "user_id", "event_type"))
+    assert(df.count() === 5)
+  }
+
+  test("op parser accepts the reference's spellings") {
+    assert(Op.parse("==") === Op.Eq)
+    assert(Op.parse(">=") === Op.Ge)
+    assert(Op.parse("array-contains") === Op.ArrayContains)
+    intercept[IllegalArgumentException](Op.parse("~="))
+  }
+
+  test("latest-wins doc state has one row per key and no tombstones survive") {
+    val latest = DocQueries.docStateLatest(spark, sf)
+    assert(latest.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+    val live = DocQueries.docStateTombstone(spark, sf)
+    assert(live.filter(col("last_type") === "error").count() === 0)
+    assert(live.count() <= latest.count())
+  }
+}
