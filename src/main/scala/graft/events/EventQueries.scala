@@ -1,0 +1,256 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, StructType, StructField, LongType}
+import graft.sources.Tables
+
+/** SURVEY.md §2B — the event-DB / time-series block, re-expressing the
+  * reference's EVM event indexer (node/src/indexer_impl.rs: ABI-decoded
+  * events into per-type indexed tables with TTL) and the rollup executor
+  * (node/src/rollup_executor.rs:256 `process`: drain the mutation log into
+  * size-bounded compressed batches, record RollupRecord stats).
+  */
+object EventQueries {
+
+  private val D = DecimalType(18, 2)
+
+  /** Time-range scan. Filters on the RAW nanos long so they reach the
+    * parquet scan as pushed filters (row-group pruning at 100 TB); the
+    * timestamp is materialized only for surviving rows. */
+  def evtTimeRange(spark: SparkSession, dir: String): DataFrame = {
+    val lo = 1704672000000000000L // 2024-01-08T00:00:00Z in ns
+    val hi = 1705276800000000000L // 2024-01-15T00:00:00Z
+    Tables.eventsRaw(spark, dir)
+      .filter(col("ts") >= lo && col("ts") < hi)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+  }
+
+  val evtTimeRangeSql: String =
+    """SELECT event_id, ts, event_type, value FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'""".stripMargin
+
+  /** ABI decode: one `from_json` parse per row into the declared typed
+    * schema (the Spark analog of decoding an EVM log against its JSON ABI),
+    * not N repeated get_json_object calls. */
+  def evtDecodeAbi(spark: SparkSession, dir: String): DataFrame = {
+    val abiSchema = StructType(Seq(StructField("k", LongType)))
+    Tables.events(spark, dir)
+      .withColumn("decoded", from_json(col("props"), abiSchema))
+      .select(col("event_id"), col("event_type"), col("decoded.k").as("k"))
+      .filter(col("k").isNotNull)
+  }
+
+  val evtDecodeAbiSql: String =
+    """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
+
+  /** Tumbling-window aggregation: hourly per event type. One shuffle on
+    * (bucket, type); partial agg map-side. */
+  def evtWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+  }
+
+  val evtWindowAggSql: String =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Top-k heavy hitters by key (deterministic tiebreak on user_id). */
+  def evtTopk(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+      .limit(10)
+  }
+
+  val evtTopkSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin
+
+  /** Latest event per (key, type) — the per-event-table "current row"
+    * view. row_number over one shuffle, never groupBy-max + self-join. */
+  def evtLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value").as("last_value"),
+        col("ts").as("last_ts"))
+  }
+
+  val evtLatestPerKeySql: String =
+    """SELECT user_id, event_type, value AS last_value, ts AS last_ts FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin
+
+  /** Gap-based sessionization (30-min idle gap). Session id = running
+    * count of gap-breaks per user; all epoch-microsecond integer math so
+    * the oracle hash is exact. Shuffles once on user_id. */
+  def evtSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = 30L * 60 * 1000 * 1000
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+  }
+
+  val evtSessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |s AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) - MIN(ts_us) AS dur_us
+      |FROM s GROUP BY user_id, session_id""".stripMargin
+
+  /** Event ⋈ dimension enrichment (broadcast the dim). */
+  def evtJoinDims(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+  }
+
+  val evtJoinDimsSql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type""".stripMargin
+
+  /** TTL retention (EventDatabase.ttl): keep the trailing 7 days relative
+    * to the stream head. The head is a 1-row broadcast, not a window over
+    * a single global partition. */
+  def evtTtlRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val head = ev.agg(max(col("ts")).as("max_ts"))
+    ev.crossJoin(broadcast(head))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_retained"))
+  }
+
+  val evtTtlRetentionSql: String =
+    """SELECT event_type, COUNT(*) AS n_retained FROM events
+      |WHERE ts >= (SELECT MAX(ts) - INTERVAL 7 DAY FROM events)
+      |GROUP BY event_type""".stripMargin
+
+  /** Rollup batching (rollup_executor.rs `process`): assign log entries to
+    * size-bounded batches — cumulative payload size within each day
+    * partition (rollups never span days, which also keeps the running sum
+    * parallel across days instead of one global sequential fold). */
+  private def rollupAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val thresholdBytes = 4096L
+    val byDay = Window.partitionBy(col("day"))
+      .orderBy(col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("sz", length(col("props")).cast("long"))
+      .withColumn("running", sum(col("sz")).over(byDay))
+      .withColumn("batch_id", ((col("running") - col("sz")) / thresholdBytes).cast("long"))
+  }
+
+  def rollupBatches(spark: SparkSession, dir: String): DataFrame =
+    rollupAssigned(spark, dir)
+      .groupBy(col("day"), col("batch_id"))
+      .agg(count(lit(1)).as("n_mutations"), sum(col("sz")).as("raw_size"))
+
+  val rollupBatchesSql: String =
+    """WITH a AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_id, CAST(length(props) AS BIGINT) AS sz,
+      |    SUM(CAST(length(props) AS BIGINT)) OVER (PARTITION BY CAST(ts AS DATE) ORDER BY event_id ASC ROWS UNBOUNDED PRECEDING) AS running
+      |  FROM events)
+      |SELECT day, CAST(FLOOR((running - sz) / 4096.0) AS BIGINT) AS batch_id,
+      |  COUNT(*) AS n_mutations, CAST(SUM(sz) AS BIGINT) AS raw_size
+      |FROM a GROUP BY 1, 2""".stripMargin
+
+  /** RollupRecord analog: per-batch start/end ids + counts + raw size
+    * (rollup_executor.rs RollupRecord{start_block, end_block,
+    * mutation_count, raw_data_size}). */
+  def rollupStats(spark: SparkSession, dir: String): DataFrame =
+    rollupAssigned(spark, dir)
+      .groupBy(col("day"), col("batch_id"))
+      .agg(min(col("event_id")).as("start_id"), max(col("event_id")).as("end_id"),
+        count(lit(1)).as("mutation_count"), sum(col("sz")).as("raw_data_size"))
+
+  val rollupStatsSql: String =
+    """WITH a AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_id, CAST(length(props) AS BIGINT) AS sz,
+      |    SUM(CAST(length(props) AS BIGINT)) OVER (PARTITION BY CAST(ts AS DATE) ORDER BY event_id ASC ROWS UNBOUNDED PRECEDING) AS running
+      |  FROM events)
+      |SELECT day, CAST(FLOOR((running - sz) / 4096.0) AS BIGINT) AS batch_id,
+      |  MIN(event_id) AS start_id, MAX(event_id) AS end_id,
+      |  COUNT(*) AS mutation_count, CAST(SUM(sz) AS BIGINT) AS raw_data_size
+      |FROM a GROUP BY 1, 2""".stripMargin
+
+  /** MutationHeader stats: per (day, action) log statistics. */
+  def mutationLogStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type").as("action"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_senders"),
+        sum(length(col("props")).cast("long")).as("payload_bytes"))
+
+  val mutationLogStatsSql: String =
+    """SELECT CAST(ts AS DATE) AS day, event_type AS action, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_senders,
+      |  CAST(SUM(CAST(length(props) AS BIGINT)) AS BIGINT) AS payload_bytes
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_time_range" -> (evtTimeRange _),
+    "evt_decode_abi" -> (evtDecodeAbi _),
+    "evt_window_agg" -> (evtWindowAgg _),
+    "evt_topk" -> (evtTopk _),
+    "evt_latest_per_key" -> (evtLatestPerKey _),
+    "evt_sessionize" -> (evtSessionize _),
+    "evt_join_dims" -> (evtJoinDims _),
+    "evt_ttl_retention" -> (evtTtlRetention _),
+    "rollup_batches" -> (rollupBatches _),
+    "rollup_stats" -> (rollupStats _),
+    "mutation_log_stats" -> (mutationLogStats _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "evt_time_range" -> evtTimeRangeSql,
+    "evt_decode_abi" -> evtDecodeAbiSql,
+    "evt_window_agg" -> evtWindowAggSql,
+    "evt_topk" -> evtTopkSql,
+    "evt_latest_per_key" -> evtLatestPerKeySql,
+    "evt_sessionize" -> evtSessionizeSql,
+    "evt_join_dims" -> evtJoinDimsSql,
+    "evt_ttl_retention" -> evtTtlRetentionSql,
+    "rollup_batches" -> rollupBatchesSql,
+    "rollup_stats" -> rollupStatsSql,
+    "mutation_log_stats" -> mutationLogStatsSql,
+  )
+}

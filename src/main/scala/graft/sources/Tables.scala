@@ -30,14 +30,22 @@ object Tables {
     * normalize to a microsecond timestamp. Integer `div` — a double round
     * trip would lose precision above 2^53 ns. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, dir, "events")
+    val raw = eventsRaw(spark, dir)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
+  }
+
+  /** events with `ts` left as the raw nanos long. Time-range predicates
+    * belong HERE (plain long comparisons push down to the parquet scan and
+    * prune row groups); `events` above wraps ts in an expression that
+    * Catalyst cannot invert, so filters there scan everything. */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
