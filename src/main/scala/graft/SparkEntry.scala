@@ -21,7 +21,9 @@ object SparkEntry {
     "q_distinct_union" -> (Analytics.qDistinctUnion _),
     "q_case_having" -> (Analytics.qCaseHaving _),
     "q_window_rank" -> (Analytics.qWindowRank _),
-  ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all
+  ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
+    graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
+    graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +36,7 @@ object SparkEntry {
     "q_distinct_union" -> Analytics.qDistinctUnionSql,
     "q_case_having" -> Analytics.qCaseHavingSql,
     "q_window_rank" -> Analytics.qWindowRankSql,
-  ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles
+  ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
+    graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
+    graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles
 }

@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operators Spark's built-ins can't
+  * express efficiently (SURVEY.md §4). All are deterministic, null-
+  * intolerant scalar expressions; the hot-path ones implement `doGenCode`
+  * so they stay inside whole-stage codegen instead of falling back to
+  * interpreted eval.
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+
+  def cosine_sim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def minhash_sig(tokens: Column, k: Int): Column =
+    column(MinHashSig(expression(tokens), Literal(k)))
+
+  /** FNV-1a 64-bit over UTF-8 bytes — the shared token hash for
+    * SimHash/MinHash. Public so tests can cross-check. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
+
+/** Cosine similarity of two float vectors, accumulated in double.
+  * Codegen'd: the 64-float dot product runs as a tight scalar loop inside
+  * whole-stage codegen — this is the hot inner loop of brute-force ANN
+  * (O(n·q·d) evaluations at scale). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double x = (double) $a.getFloat($i);
+          double y = (double) $b.getFloat($i);
+          $dot += x * y; $na += x * x; $nb += y * y;
+        }
+        double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+        ${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over an array of string tokens (FNV-1a token hashes,
+  * unit weights). Standard construction: per bit, sum +1/-1 across token
+  * hashes; sign of the sum is the output bit. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = GraftFunctions.fnv1a64(arr.getUTF8String(t).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature: k permutations h_i(x) = a_i*fnv(x) + b_i (odd a_i,
+  * mixing in 64-bit space), min over the token set per permutation.
+  * Returns array<long> of length k. */
+case class MinHashSig(child: Expression, kExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = false
+
+  // deterministic per-permutation coefficients (splitmix64 of the index)
+  private def coef(i: Int): (Long, Long) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (mix(i.toLong * 2 + 1) | 1L, mix(i.toLong * 2 + 2))
+  }
+
+  @transient private var cachedK: Int = -1
+  @transient private var as: Array[Long] = _
+  @transient private var bs: Array[Long] = _
+
+  override def nullSafeEval(tokens: Any, k: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val perms = k.asInstanceOf[Int]
+    if (perms != cachedK) {
+      as = Array.tabulate(perms)(coef(_)._1)
+      bs = Array.tabulate(perms)(coef(_)._2)
+      cachedK = perms
+    }
+    val out = new Array[Long](perms)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = GraftFunctions.fnv1a64(arr.getUTF8String(t).getBytes)
+        var i = 0
+        while (i < perms) {
+          val v = as(i) * h + bs(i)
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, kExpr = r)
+}

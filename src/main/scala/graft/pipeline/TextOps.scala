@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** SURVEY.md §2D — text-analysis operators over the `documents` table.
+  * All are single-pass, per-row, codegen-friendly column pipelines (no
+  * UDFs, no shuffles except explicit aggregations), and every formula is
+  * exact integer / deterministic-IEEE math so the DuckDB oracle hashes
+  * identically.
+  */
+object TextOps {
+
+  /** Occurrence count of `needle` in `hay` via length arithmetic — exact
+    * integer math that both Spark and DuckDB express identically. */
+  private def occurrences(hay: org.apache.spark.sql.Column, needle: String) =
+    ((length(hay) - length(replace(hay, lit(needle), lit("")))) / needle.length).cast("long")
+
+  private def occSql(hayExpr: String, needle: String): String =
+    s"CAST((length($hayExpr) - length(replace($hayExpr, '$needle', ''))) / ${needle.length} AS BIGINT)"
+
+  /** Language ID by marker-token frequency: count per-language marker hits,
+    * argmax with a deterministic priority order. The marker lists are the
+    * n-gram-heuristic mechanism (real deployments plug in per-language
+    * n-gram tables; the argmax plumbing is identical). */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val enScore = occurrences(padded, " the ") + occurrences(padded, " join ")
+    val esScore = occurrences(padded, " table ") + occurrences(padded, " data ")
+    val zhScore = occurrences(padded, " query ") + occurrences(padded, " row ")
+    d.select(col("doc_id"), col("lang"),
+        enScore.as("s_en"), esScore.as("s_es"), zhScore.as("s_zh"))
+      .withColumn("pred",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_zh"), "en")
+          .when(col("s_es") >= col("s_zh"), "es")
+          .otherwise("zh"))
+  }
+
+  val textLangidSql: String = {
+    val p = "(' ' || text || ' ')"
+    val en = s"${occSql(p, " the ")} + ${occSql(p, " join ")}"
+    val es = s"${occSql(p, " table ")} + ${occSql(p, " data ")}"
+    val zh = s"${occSql(p, " query ")} + ${occSql(p, " row ")}"
+    s"""SELECT doc_id, lang, s_en, s_es, s_zh,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_zh THEN 'en'
+       |       WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred
+       |FROM (SELECT doc_id, lang, $en AS s_en, $es AS s_es, $zh AS s_zh
+       |      FROM documents) t""".stripMargin
+  }
+
+  /** Quality scoring: length, token, punctuation and stopword statistics
+    * per document. Ratios are single IEEE divisions of exact integers —
+    * bit-identical across engines. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val nChars = length(col("text")).cast("long")
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val nStop = (occurrences(padded, " the ") + occurrences(padded, " and ") +
+      occurrences(padded, " of ")).cast("long")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
+    d.select(col("doc_id"), nChars.as("n_chars_m"), nTokens.as("n_tokens"),
+        nStop.as("n_stop"), nPunct.as("n_punct"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_m"))
+      .withColumn("mean_tok_len", col("n_chars_m").cast("double") / col("n_tokens"))
+  }
+
+  val textQualitySql: String = {
+    val p = "(' ' || text || ' ')"
+    val stop = s"${occSql(p, " the ")} + ${occSql(p, " and ")} + ${occSql(p, " of ")}"
+    s"""SELECT doc_id, n_chars_m, n_tokens, n_stop, n_punct,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |  CAST(n_punct AS DOUBLE) / n_chars_m AS punct_ratio,
+       |  CAST(n_chars_m AS DOUBLE) / n_tokens AS mean_tok_len
+       |FROM (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars_m,
+       |  CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST($stop AS BIGINT) AS n_stop,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+       |FROM documents) t""".stripMargin
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (word pieces / digit runs / single punctuation marks). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+        .as("n_bpe_tokens"))
+  }
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+      |FROM documents""".stripMargin
+
+  /** Rolling polynomial fingerprint: acc = (acc*31 + codepoint) mod 1e9+7,
+    * folded left over the characters — exact 64-bit integer math in both
+    * engines (Spark `aggregate` HOF; DuckDB `list_reduce`). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("aggregate(split(text, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007L)")
+          .as("fingerprint"))
+  }
+
+  val textFingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+      |              (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+      |FROM documents""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql,
+  )
+}

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim matches a hand-rolled dot product") {
+    val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
+    val got = df.select(cosine_sim(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-12)
+    val zero = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+      .select(cosine_sim(col("a"), col("b"))).head().getDouble(0)
+    assert(zero === 0.0)
+  }
+
+  test("simhash of identical token sets is identical; disjoint sets differ") {
+    val df = Seq(
+      ("x", Seq("a", "b", "c", "d", "e", "f")),
+      ("y", Seq("a", "b", "c", "d", "e", "f")),
+      ("z", Seq("q", "r", "s", "t", "u", "v"))).toDF("id", "toks")
+    val hashes = df.select(col("id"), simhash64(col("toks"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hashes("x") === hashes("y"))
+    assert(hashes("x") !== hashes("z"))
+  }
+
+  test("minhash estimated jaccard tracks true jaccard for similar sets") {
+    val a = (1 to 100).map("tok" + _)
+    val b = (1 to 90).map("tok" + _) ++ (200 to 209).map("tok" + _)
+    val df = Seq((a, b)).toDF("a", "b")
+    val est = df.select(
+        (aggregate(zip_with(minhash_sig(col("a"), 128), minhash_sig(col("b"), 128),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m)
+          .cast("double") / 128).as("est"))
+      .head().getDouble(0)
+    val trueJac = 90.0 / 110.0
+    assert(math.abs(est - trueJac) < 0.15, s"est=$est true=$trueJac")
+  }
+
+  test("minhash LSH finds the high-jaccard pairs that exact jaccard finds") {
+    val exact = Dedup.dedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.dedupMinhash(spark, sf)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh), s"missing: ${exact -- lsh}")
+  }
+
+  test("simhash near-dup pairs are symmetric-free and low-hamming") {
+    val rows = Dedup.dedupSimhash(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) <= 3)
+    }
+  }
+
+  test("ann brute-force returns k ranked neighbors per query") {
+    val df = Ann.annCosineTopk(spark, sf)
+    val perQuery = df.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach(r => assert(r.getLong(1) === 10))
+  }
+
+  test("ann LSH results are a subset of brute-force candidates' ids") {
+    val brute = Ann.annCosineTopk(spark, sf)
+      .select("query_id").distinct().as[Long].collect().toSet
+    val lsh = Ann.annLsh(spark, sf)
+      .select("query_id").distinct().as[Long].collect().toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("fingerprint is deterministic and content-sensitive") {
+    val fp = TextOps.textFingerprint(spark, sf)
+    assert(fp.select("fingerprint").distinct().count() > 400)
+    val fp2 = TextOps.textFingerprint(spark, sf)
+    assert(fp.exceptAll(fp2).count() === 0)
+  }
+
+  test("multimodal decode stub preserves row count and schema") {
+    val df = Multimodal.mmBinaryMeta(spark, sf)
+    assert(df.columns.toSeq ===
+      Seq("doc_id", "n_bytes", "sha", "width", "height", "n_frames"))
+    assert(df.count() === graft.sources.Tables.documents(spark, sf).count())
+  }
+}
