@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2E — Structured Streaming re-expression of the reference's
+  * real-time side: the storage node ingests a mutation stream and the
+  * index node keeps live document state + windowed event stats
+  * (node/src/indexer_impl.rs subscription loop).
+  *
+  * At scale these run as continuous jobs over Kafka/file sources with
+  * checkpointing; here the same queries are driven synchronously from the
+  * parquet fixtures in tests (memory sink + processAllAvailable).
+  */
+object Streaming {
+
+  /** Raw on-disk schema of events.parquet (ts = TIMESTAMP(NANOS), read as
+    * nanos-long under the legacy conf the batch reader also sets). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
+      value: Double, props: String)
+  case class DocState(user_id: Long, last_type: String, last_value: Double,
+      last_ts: Long, last_event_id: Long, n_mutations: Long)
+
+  def readEventStream(spark: SparkSession, dir: String): Dataset[Ev] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file-stream source wants a directory; glob-filter to the table
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir).as[Ev]
+  }
+
+  /** Watermarked tumbling-window aggregation per event type — the
+    * streaming twin of EventQueries.evtWindowAgg. */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEventStream(spark, dir)
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", "1 hour")
+    ev.groupBy(window(col("ets"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  /** Live document state from the mutation stream: latest-wins fold per
+    * doc key with arbitrary stateful logic (flatMapGroupsWithState), the
+    * streaming twin of DocQueries.docStateLatest. State is one small
+    * record per key — partitioned by key across executors. */
+  def docState(spark: SparkSession, dir: String): Dataset[DocState] = {
+    import spark.implicits._
+    readEventStream(spark, dir)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateDocState)
+  }
+
+  private[streaming] def updateDocState(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[DocState]): Iterator[DocState] = {
+    var cur = state.getOption.orNull
+    var n = if (cur == null) 0L else cur.n_mutations
+    events.foreach { e =>
+      n += 1
+      if (cur == null || e.ts > cur.last_ts ||
+          (e.ts == cur.last_ts && e.event_id > cur.last_event_id)) {
+        cur = DocState(userId, e.event_type, e.value, e.ts, e.event_id, n)
+      } else {
+        cur = cur.copy(n_mutations = n)
+      }
+    }
+    if (cur == null) Iterator.empty
+    else {
+      state.update(cur)
+      Iterator.single(cur)
+    }
+  }
+}

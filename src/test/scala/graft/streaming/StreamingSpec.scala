@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming window agg converges to the batch answer") {
+    val q = Streaming.windowAgg(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select(col("bucket"), col("event_type"), col("n"))
+      val want = graft.events.EventQueries.evtWindowAgg(spark, sf)
+        .select(col("bucket"), col("event_type"), col("n"))
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    } finally q.stop()
+  }
+
+  test("stateful doc state matches the batch latest-wins fold") {
+    val q = Streaming.docState(spark, sf).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_state").start()
+    try {
+      q.processAllAvailable()
+      // one batch → one emission per key; compare to the batch fold
+      val got = spark.table("doc_state")
+        .select(col("user_id"), col("last_type"), col("last_value"))
+      val want = graft.docstore.DocQueries.docStateLatest(spark, sf)
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0)
+    } finally q.stop()
+  }
+
+  test("doc state counts every mutation per key") {
+    val q = Streaming.docState(spark, sf).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_state_n").start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("doc_state_n").agg(sum("n_mutations")).head().getLong(0)
+      assert(total === graft.sources.Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
+}
