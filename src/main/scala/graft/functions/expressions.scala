@@ -22,6 +22,10 @@ object GraftFunctions {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def minhash_sig(tokens: Column, k: Int): Column =
     column(MinHashSig(expression(tokens), Literal(k)))
+  def shingle_minhash(tokens: Column, n: Int, k: Int): Column =
+    column(ShingleMinHash(expression(tokens), Literal(n), Literal(k)))
+  def shingle_hashes(tokens: Column, n: Int): Column =
+    column(ShingleHashes(expression(tokens), Literal(n)))
 
   /** FNV-1a 64-bit over UTF-8 bytes — the shared token hash for
     * SimHash/MinHash. Public so tests can cross-check. */
@@ -180,4 +184,130 @@ case class MinHashSig(child: Expression, kExpr: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(child = l, kExpr = r)
+}
+
+/** MinHash over word n-gram shingles, fused: hashes each n-gram's bytes
+  * (tokens joined by a single space) directly off the token array, never
+  * materializing shingle strings — same signature values as
+  * `MinHashSig(shingles(text))` at a fraction of the allocation cost.
+  * This is the hot path of MinHash-LSH dedup over a 100 TB corpus. */
+case class ShingleMinHash(tokens: Expression, nExpr: Expression, kExpr: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = tokens
+  override def second: Expression = nExpr
+  override def third: Expression = kExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def coef(i: Int): (Long, Long) = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (mix(i.toLong * 2 + 1) | 1L, mix(i.toLong * 2 + 2))
+  }
+
+  @transient private var cachedK: Int = -1
+  @transient private var as: Array[Long] = _
+  @transient private var bs: Array[Long] = _
+
+  override def nullSafeEval(toks: Any, nAny: Any, kAny: Any): Any = {
+    val arr = toks.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val perms = kAny.asInstanceOf[Int]
+    if (perms != cachedK) {
+      as = Array.tabulate(perms)(coef(_)._1)
+      bs = Array.tabulate(perms)(coef(_)._2)
+      cachedK = perms
+    }
+    val t = arr.numElements()
+    val bytes = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) {
+      bytes(i) = if (arr.isNullAt(i)) Array.emptyByteArray
+        else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Long](perms)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    i = 0
+    while (i + n <= t) {
+      // FNV-1a over "tok_i tok_{i+1} ... tok_{i+n-1}" without concat
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val bs0 = bytes(i + j)
+        var b = 0
+        while (b < bs0.length) {
+          h ^= (bs0(b) & 0xffL); h *= 0x100000001b3L
+          b += 1
+        }
+        j += 1
+      }
+      var p = 0
+      while (p < perms) {
+        val v = as(p) * h + bs(p)
+        if (v < out(p)) out(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(tokens = f, nExpr = s, kExpr = t)
+}
+
+/** Distinct 64-bit FNV-1a hashes of the word n-gram shingles of a token
+  * array — the inverted-index key set for the exact set-similarity join
+  * (an 8-byte key shuffles instead of the n-gram string). */
+case class ShingleHashes(tokens: Expression, nExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = tokens
+  override def right: Expression = nExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(toks: Any, nAny: Any): Any = {
+    val arr = toks.asInstanceOf[ArrayData]
+    val n = nAny.asInstanceOf[Int]
+    val t = arr.numElements()
+    val bytes = new Array[Array[Byte]](t)
+    var i = 0
+    while (i < t) {
+      bytes(i) = if (arr.isNullAt(i)) Array.emptyByteArray
+        else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    i = 0
+    while (i + n <= t) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        if (j > 0) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val bs0 = bytes(i + j)
+        var b = 0
+        while (b < bs0.length) {
+          h ^= (bs0(b) & 0xffL); h *= 0x100000001b3L
+          b += 1
+        }
+        j += 1
+      }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(tokens = l, nExpr = r)
 }

@@ -40,6 +40,15 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(est - trueJac) < 0.15, s"est=$est true=$trueJac")
   }
 
+  test("fused shingle_minhash equals minhash over materialized shingles") {
+    val d = graft.sources.Tables.documents(spark, sf).limit(50)
+    val unfused = d.select(col("doc_id"),
+      minhash_sig(Dedup.shingles(col("text")), 64).as("sig"))
+    val fused = d.select(col("doc_id"),
+      shingle_minhash(split(trim(col("text")), "\\s+"), 3, 64).as("sig"))
+    assert(unfused.exceptAll(fused).count() === 0)
+  }
+
   test("minhash LSH finds the high-jaccard pairs that exact jaccard finds") {
     val exact = Dedup.dedupNgramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.8)
