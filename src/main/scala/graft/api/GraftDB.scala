@@ -1,0 +1,220 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.docstore.{DocCollection, DocStore, StructuredQuery}
+import java.nio.file.{Files, Paths}
+
+/** Parquet-backed document database with the reference's mutation
+  * semantics (reference: src/storage/src/db_store_v2.rs apply_mutation;
+  * src/node/src/rollup_executor.rs process/gc; proto
+  * db3_mutation_v2.proto MutationAction + DocumentMask).
+  *
+  * Layout under `root`:
+  * {{{
+  *   <db>/<collection>/mutations/   append-only mutation log (parquet)
+  *   <db>/<collection>/rollups/     compacted gzip batches + manifest
+  * }}}
+  *
+  * A mutation row = (block, order, action, id, doc, mask) — the exact
+  * MutationHeader ordering key of the reference. Live state is the
+  * latest-wins fold with DocumentMask merge and delete tombstones,
+  * computed distributed (one shuffle on doc id).
+  *
+  * Scale posture: the log is append-only parquet partitioned by block
+  * range; materialization shuffles once on id; rollup compaction is the
+  * reference's Arweave batch write re-expressed as gzip parquet + manifest,
+  * and `recover()` proves state is reconstructible from rollups alone.
+  */
+class GraftDB(spark: SparkSession, root: String) {
+  import GraftDB._
+
+  private def collPath(db: String, coll: String) = s"$root/$db/$coll"
+  private def mutPath(db: String, coll: String) = s"${collPath(db, coll)}/mutations"
+  private def rollPath(db: String, coll: String) = s"${collPath(db, coll)}/rollups"
+
+  def createCollection(db: String, coll: String): Unit = {
+    Files.createDirectories(Paths.get(mutPath(db, coll)))
+    Files.createDirectories(Paths.get(rollPath(db, coll)))
+  }
+
+  /** The full mutation log: rolled-up batches + live tail, one schema. */
+  def mutationLog(db: String, coll: String): DataFrame = {
+    val reads = Seq(mutPath(db, coll), rollPath(db, coll))
+      .filter(p => hasParquet(p))
+      .map(p => spark.read.schema(mutationSchema)
+        .option("recursiveFileLookup", "true").parquet(p))
+    if (reads.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mutationSchema)
+    else reads.reduce(_ unionByName _)
+  }
+
+  private def nextBlock(db: String, coll: String): Long = {
+    val log = mutationLog(db, coll)
+    if (log.isEmpty) 0L
+    else log.agg(max(col("block"))).head().getLong(0) + 1L
+  }
+
+  private def maxId(db: String, coll: String): Long = {
+    val log = mutationLog(db, coll)
+    if (log.isEmpty) -1L
+    else log.agg(max(col("id"))).head().getLong(0)
+  }
+
+  private def append(db: String, coll: String, rows: Seq[Row]): Unit =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mutationSchema)
+      .write.mode(SaveMode.Append).parquet(mutPath(db, coll))
+
+  /** AddDocument: assigns monotonically increasing ids (doc_order analog). */
+  def addDocuments(db: String, coll: String, docs: Seq[String]): Seq[Long] = {
+    val block = nextBlock(db, coll)
+    val base = maxId(db, coll) + 1
+    val ids = docs.indices.map(base + _)
+    append(db, coll, docs.zipWithIndex.map { case (d, i) =>
+      Row(block, i, ActionAdd, base + i, d, null)
+    })
+    ids
+  }
+
+  /** UpdateDocument with DocumentMask: only `mask` fields are replaced;
+    * fields in the mask but absent from `doc` are deleted (the proto's
+    * documented mask semantics). Empty mask = whole-doc replace. */
+  def updateDocuments(db: String, coll: String, ids: Seq[Long],
+      docs: Seq[String], masks: Seq[Seq[String]]): Unit = {
+    val block = nextBlock(db, coll)
+    append(db, coll, ids.indices.map { i =>
+      Row(block, i, ActionUpdate, ids(i), docs(i),
+        if (masks(i).isEmpty) null else masks(i).mkString(","))
+    })
+  }
+
+  /** DeleteDocument tombstones. */
+  def deleteDocuments(db: String, coll: String, ids: Seq[Long]): Unit = {
+    val block = nextBlock(db, coll)
+    append(db, coll, ids.zipWithIndex.map { case (id, i) =>
+      Row(block, i, ActionDelete, id, null, null)
+    })
+  }
+
+  /** Live document state: distributed fold of the log.
+    * groupByKey(id) → chronological replay per doc (each group is the
+    * handful of mutations for one doc — bounded state, shuffles once). */
+  def collection(db: String, coll: String): DocCollection = {
+    import spark.implicits._
+    val folded = mutationLog(db, coll)
+      .as[MutationRow]
+      .groupByKey(_.id)
+      .mapGroups { (id, muts) =>
+        val ordered = muts.toSeq.sortBy(m => (m.block, m.order))
+        var doc: String = null
+        ordered.foreach { m =>
+          m.action match {
+            case ActionAdd => doc = m.doc
+            case ActionDelete => doc = null
+            case ActionUpdate =>
+              if (doc != null) doc = mergeMasked(doc, m.doc, Option(m.mask))
+            case _ =>
+          }
+        }
+        (id, doc)
+      }
+      .filter(_._2 != null)
+      .toDF("_id", "doc")
+    DocCollection(coll, folded)
+  }
+
+  def query(db: String, coll: String, q: StructuredQuery): DataFrame =
+    DocStore.query(collection(db, coll), q)
+
+  /** Rollup (rollup_executor.rs process): compact the live mutation tail
+    * into one gzip parquet batch under rollups/, then GC the tail
+    * (gc_mutation). Returns the RollupRecord analog. */
+  def rollup(db: String, coll: String): RollupRecord = {
+    val tailDir = mutPath(db, coll)
+    if (!hasParquet(tailDir)) return RollupRecord(0, 0, 0, 0)
+    val tail = spark.read.schema(mutationSchema).parquet(tailDir)
+    val (lo, hi, n) = {
+      val r = tail.agg(min(col("block")), max(col("block")), count(lit(1))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val batchDir = s"${rollPath(db, coll)}/batch_${lo}_$hi"
+    tail.repartition(1).sortWithinPartitions("block", "order")
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip").parquet(batchDir)
+    val size = dirSize(batchDir)
+    // GC the rolled-up tail
+    deleteRecursively(Paths.get(tailDir))
+    Files.createDirectories(Paths.get(tailDir))
+    RollupRecord(lo, hi, n, size)
+  }
+
+  /** Recovery = re-reading state from rollups (+ any live tail); the fold
+    * is identical because the log schema and ordering keys are preserved. */
+  def recover(db: String, coll: String): DocCollection = collection(db, coll)
+}
+
+object GraftDB {
+  val ActionAdd = 2 // MutationAction.AddDocument
+  val ActionDelete = 3 // MutationAction.DeleteDocument
+  val ActionUpdate = 4 // MutationAction.UpdateDocument
+
+  case class MutationRow(block: Long, order: Int, action: Int,
+      id: Long, doc: String, mask: String)
+
+  case class RollupRecord(startBlock: Long, endBlock: Long,
+      mutationCount: Long, compressedBytes: Long)
+
+  val mutationSchema: StructType = StructType(Seq(
+    StructField("block", LongType, nullable = false),
+    StructField("order", IntegerType, nullable = false),
+    StructField("action", IntegerType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("doc", StringType, nullable = true),
+    StructField("mask", StringType, nullable = true)))
+
+  /** DocumentMask merge on JSON docs (db3_mutation_v2.proto DocumentMask):
+    * masked fields copied from patch (deleted if absent there); null mask
+    * = full replace. */
+  private[api] def mergeMasked(base: String, patch: String, mask: Option[String]): String = {
+    mask match {
+      case None => patch
+      case Some(m) =>
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val baseObj = JsonMethods.parse(base).asInstanceOf[JObject]
+        val patchObj = JsonMethods.parse(patch) match {
+          case o: JObject => o
+          case _ => JObject()
+        }
+        val fields = m.split(",").map(_.trim).filter(_.nonEmpty)
+        val merged = fields.foldLeft(baseObj) { (acc, f) =>
+          patchObj \ f match {
+            case JNothing => JObject(acc.obj.filterNot(_._1 == f))
+            case v => JObject(acc.obj.filterNot(_._1 == f) :+ (f -> v))
+          }
+        }
+        JsonMethods.compact(JsonMethods.render(merged))
+    }
+  }
+
+  private def hasParquet(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory || d.listFiles() == null) false
+    else d.listFiles().exists(f =>
+      f.getName.endsWith(".parquet") || (f.isDirectory && hasParquet(f.getPath)))
+  }
+
+  private def dirSize(dir: String): Long = {
+    val d = new java.io.File(dir)
+    if (!d.isDirectory) 0L
+    else d.listFiles().filter(_.isFile).map(_.length()).sum
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
