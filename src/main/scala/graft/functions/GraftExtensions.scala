@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for the graft expressions, both as a
+  * `SparkSessionExtensions` installer (spark.sql.extensions=
+  * graft.functions.GraftExtensions) and a runtime `registerAll` for
+  * already-built sessions. After either, plain SQL can call
+  * `graft_cosine_sim`, `graft_simhash64`, `graft_minhash`,
+  * `graft_shingle_hashes`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def need(n: Int, name: String)(exprs: Seq[Expression]): Seq[Expression] = {
+    require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
+    exprs
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine_sim" -> { exprs =>
+      val e = need(2, "graft_cosine_sim")(exprs); CosineSim(e(0), e(1))
+    },
+    "graft_simhash64" -> { exprs =>
+      val e = need(1, "graft_simhash64")(exprs); SimHash64(e(0))
+    },
+    "graft_minhash" -> { exprs =>
+      val e = need(2, "graft_minhash")(exprs); MinHashSig(e(0), e(1))
+    },
+    "graft_shingle_hashes" -> { exprs =>
+      val e = need(2, "graft_shingle_hashes")(exprs); ShingleHashes(e(0), e(1))
+    },
+  )
+
+  /** Register on a live session (tests / notebooks). */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
