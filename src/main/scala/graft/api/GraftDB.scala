@@ -153,6 +153,22 @@ class GraftDB(spark: SparkSession, root: String) {
   /** Recovery = re-reading state from rollups (+ any live tail); the fold
     * is identical because the log schema and ordering keys are preserved. */
   def recover(db: String, coll: String): DocCollection = collection(db, coll)
+
+  /** Metadata listings (db_store_v2.rs get_database_of_owner /
+    * get_collection_of_database). */
+  def listDatabases(): Seq[String] = listDirs(root)
+
+  def listCollections(db: String): Seq[String] = listDirs(s"$root/$db")
+
+  /** CollectionState.total_doc_count analog. */
+  def collectionState(db: String, coll: String): Long =
+    collection(db, coll).df.count()
+
+  private def listDirs(p: String): Seq[String] = {
+    val d = new java.io.File(p)
+    if (!d.isDirectory || d.listFiles() == null) Seq.empty
+    else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+  }
 }
 
 object GraftDB {

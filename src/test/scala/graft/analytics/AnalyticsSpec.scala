@@ -18,6 +18,13 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"))
   }
 
+  test("evt_time_range pushes the nanos bounds into the parquet scan") {
+    val plan = graft.events.EventQueries.evtTimeRange(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(ts") && plan.contains("LessThan(ts"))
+  }
+
   test("q3 returns exactly 10 rows ordered by revenue desc") {
     val rows = Analytics.q3TopkJoin(spark, sf).collect()
     assert(rows.length === 10)

@@ -64,6 +64,18 @@ class GraftDBSpec extends SparkSpec {
     assert(db.collection("d1", "c").df.count() === 1)
   }
 
+  test("metadata listings mirror db/collection layout") {
+    val db = freshDb()
+    db.createCollection("d1", "books")
+    db.createCollection("d1", "authors")
+    db.createCollection("d2", "events")
+    assert(db.listDatabases() === Seq("d1", "d2"))
+    assert(db.listCollections("d1") === Seq("authors", "books"))
+    db.addDocuments("d1", "books", Seq("""{"x":1}""", """{"x":2}"""))
+    assert(db.collectionState("d1", "books") === 2)
+    assert(db.collectionState("d1", "authors") === 0)
+  }
+
   test("rollup compacts the tail, GCs it, and state survives recovery") {
     val db = freshDb()
     db.createCollection("d1", "c")
