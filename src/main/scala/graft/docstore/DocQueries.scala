@@ -152,18 +152,20 @@ object DocQueries {
     * unchanged. Modeled as per-field latest-wins: `value` is masked only
     * by 'purchase' mutations, `k` only by 'click' mutations. */
   def docPatchMask(spark: SparkSession, dir: String): DataFrame = {
+    // Single-shuffle form: one groupBy(user_id) with per-field max_by over
+    // the (ts, event_id) ordering key, null-gated by the masking mutation
+    // type (max_by skips null ordering keys). The two-window+join form
+    // would shuffle three times; this shuffles once — the shape that
+    // matters when the doc-key cardinality is 10^9.
     val ev = Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-    def latestFor(tpe: String, field: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      ev.filter(col("event_type") === tpe)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col(field).as(out))
-    }
-    latestFor("purchase", "value", "masked_value")
-      .join(latestFor("click", "k", "masked_k"), Seq("user_id"))
+    def latestOf(tpe: String, field: String) =
+      max_by(when(col("event_type") === tpe, col(field)),
+        when(col("event_type") === tpe, struct(col("ts"), col("event_id"))))
+    ev.groupBy(col("user_id"))
+      .agg(latestOf("purchase", "value").as("masked_value"),
+        latestOf("click", "k").as("masked_k"))
+      .filter(col("masked_value").isNotNull && col("masked_k").isNotNull)
   }
 
   val docPatchMaskSql: String =
