@@ -56,11 +56,16 @@ object Analytics {
     val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
+    // group on the join key only (o_orderdate is functionally dependent on
+    // it, folded in as max) so the aggregation reuses the join's
+    // partitioning instead of re-shuffling on (key, date).
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .groupBy($"l_orderkey", $"o_orderdate")
-      .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
-        .cast("double").as("revenue"))
+      .groupBy($"l_orderkey")
+      .agg(max($"o_orderdate").as("o_orderdate"),
+        sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+          .cast("double").as("revenue"))
+      .select($"l_orderkey", $"o_orderdate", $"revenue")
       .orderBy($"revenue".desc, $"l_orderkey".asc)
       .limit(10)
   }

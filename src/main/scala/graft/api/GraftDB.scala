@@ -154,6 +154,28 @@ class GraftDB(spark: SparkSession, root: String) {
     * is identical because the log schema and ordering keys are preserved. */
   def recover(db: String, coll: String): DocCollection = collection(db, coll)
 
+  /** AddIndexMutation analog: record an index declaration and materialize
+    * the typed key extraction as a sorted parquet index table — on a
+    * cluster this is the bucketed/sorted projection that replaces the
+    * reference's EJDB2 B-tree (row-group pruning on the sorted key). */
+  def addIndex(db: String, coll: String, path: String, indexType: String): Unit = {
+    val idxDir = s"${collPath(db, coll)}/indexes/$path"
+    val keyCol = indexType match {
+      case "Int64Key" => get_json_object(col("doc"), "$." + path).cast("long")
+      case "DoubleKey" => get_json_object(col("doc"), "$." + path).cast("double")
+      case _ => get_json_object(col("doc"), "$." + path)
+    }
+    collection(db, coll).df
+      .select(keyCol.as("idx_key"), col("_id"))
+      .filter(col("idx_key").isNotNull)
+      .sort("idx_key")
+      .write.mode(SaveMode.Overwrite).parquet(idxDir)
+  }
+
+  /** Read a materialized index (idx_key, _id). */
+  def index(db: String, coll: String, path: String): DataFrame =
+    spark.read.parquet(s"${collPath(db, coll)}/indexes/$path")
+
   /** Metadata listings (db_store_v2.rs get_database_of_owner /
     * get_collection_of_database). */
   def listDatabases(): Seq[String] = listDirs(root)

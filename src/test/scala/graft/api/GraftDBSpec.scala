@@ -64,6 +64,16 @@ class GraftDBSpec extends SparkSpec {
     assert(db.collection("d1", "c").df.count() === 1)
   }
 
+  test("addIndex materializes a sorted typed key projection") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", Seq(
+      """{"rate":5,"t":"a"}""", """{"rate":3,"t":"b"}""", """{"t":"c"}"""))
+    db.addIndex("d1", "c", "rate", "Int64Key")
+    val idx = db.index("d1", "c", "rate").collect()
+    assert(idx.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((3L, 1L), (5L, 0L)))
+  }
+
   test("metadata listings mirror db/collection layout") {
     val db = freshDb()
     db.createCollection("d1", "books")
