@@ -23,7 +23,8 @@ object SparkEntry {
     "q_window_rank" -> (Analytics.qWindowRank _),
   ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
-    graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all
+    graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
+    graft.operators.OperatorQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     "q_window_rank" -> Analytics.qWindowRankSql,
   ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
-    graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles
+    graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++
+    graft.operators.OperatorQueries.oracles
 }

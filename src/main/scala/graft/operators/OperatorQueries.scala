@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** SURVEY.md §2 additions — operator-level queries: as-of join (oracle:
+  * DuckDB's native ASOF JOIN), approximate sketch aggregates (rows-only:
+  * HLL++/quantile-sketch internals differ per engine), and a running-
+  * window pipeline.
+  */
+object OperatorQueries {
+
+  /** Each event joined to the user's latest order at or before the event
+    * time. Right side deduped to one order per (custkey, date) so the
+    * match is deterministic in both engines. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val ord = Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "value")
+    AsOfJoin.asOf(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightCols = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val asofJoinSql: String =
+    """WITH o1 AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) AS rn
+      |    FROM orders) t WHERE rn = 1)
+      |SELECT event_id, user_id, value, o_orderkey, o_totalprice
+      |FROM events ASOF JOIN o1 ON user_id = o_custkey AND ts >= o_orderdate""".stripMargin
+
+  /** Sketch aggregates (HLL++ distinct, approximate quantiles) — the
+    * approximate layer every tsdb serves dashboards from. Rows-only:
+    * sketch internals are engine-specific; accuracy is spec-checked
+    * against exact answers instead. */
+  def approxStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_value"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+  }
+
+  /** Running revenue per customer over order history (frame-bounded
+    * window agg). Decimal-exact running sums cast to double. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast(D)).over(w).cast("double").as("running_total"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+      |FROM orders""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> (asofJoin _),
+    "approx_stats" -> (approxStats _),
+    "q_window_running" -> (qWindowRunning _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" -> asofJoinSql,
+    "q_window_running" -> qWindowRunningSql,
+  )
+}
