@@ -101,9 +101,16 @@ class GraftDB(spark: SparkSession, root: String) {
   /** Live document state: distributed fold of the log.
     * groupByKey(id) → chronological replay per doc (each group is the
     * handful of mutations for one doc — bounded state, shuffles once). */
-  def collection(db: String, coll: String): DocCollection = {
+  def collection(db: String, coll: String): DocCollection =
+    collectionAt(db, coll, Long.MaxValue)
+
+  /** Time-travel read: live state as of `block` (inclusive) — the
+    * blockchain-versioned view the reference's (block,order)-stamped log
+    * makes natural. Same fold, log truncated at the block bound. */
+  def collectionAt(db: String, coll: String, block: Long): DocCollection = {
     import spark.implicits._
     val folded = mutationLog(db, coll)
+      .filter(col("block") <= block)
       .as[MutationRow]
       .groupByKey(_.id)
       .mapGroups { (id, muts) =>
@@ -153,6 +160,25 @@ class GraftDB(spark: SparkSession, root: String) {
   /** Recovery = re-reading state from rollups (+ any live tail); the fold
     * is identical because the log schema and ordering keys are preserved. */
   def recover(db: String, coll: String): DocCollection = collection(db, coll)
+
+  /** Bulk-ingest documents from newline-delimited JSON files (the
+    * reference SDK's addDoc over an external dump): each line becomes one
+    * AddDocument mutation. */
+  def addDocumentsFromJson(db: String, coll: String, jsonPath: String): Long = {
+    val docs = spark.read.textFile(jsonPath).collect().toSeq
+      .map(_.trim).filter(_.nonEmpty)
+    addDocuments(db, coll, docs)
+    docs.length.toLong
+  }
+
+  /** Export live state (sink): parquet or ndjson of (_id, doc). */
+  def export(db: String, coll: String, outPath: String, format: String = "parquet"): Unit = {
+    val df = collection(db, coll).df
+    format match {
+      case "json" => df.write.mode(SaveMode.Overwrite).json(outPath)
+      case _ => df.write.mode(SaveMode.Overwrite).parquet(outPath)
+    }
+  }
 
   /** AddIndexMutation analog: record an index declaration and materialize
     * the typed key extraction as a sorted parquet index table — on a

@@ -61,6 +61,18 @@ object Streaming {
         updateDocState)
   }
 
+  /** Streaming exact dedup: first occurrence per content hash within the
+    * watermark horizon (dropDuplicates keyed on the hash — the streaming
+    * twin of Dedup.dedupExact; state is one hash per distinct doc). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    readEventStream(spark, dir).toDF()
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withColumn("content_hash", md5(to_binary(col("props"), lit("utf-8"))))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicates("content_hash")
+      .select(col("content_hash"), col("event_id"), col("ets"))
+  }
+
   private[streaming] def updateDocState(
       userId: Long, events: Iterator[Ev],
       state: GroupState[DocState]): Iterator[DocState] = {

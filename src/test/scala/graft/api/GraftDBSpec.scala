@@ -64,6 +64,32 @@ class GraftDBSpec extends SparkSpec {
     assert(db.collection("d1", "c").df.count() === 1)
   }
 
+  test("time-travel read returns state as of an earlier block") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    val Seq(id) = db.addDocuments("d1", "c", Seq("""{"v":1}"""))    // block 0
+    db.updateDocuments("d1", "c", Seq(id), Seq("""{"v":2}"""), Seq(Nil)) // block 1
+    db.deleteDocuments("d1", "c", Seq(id))                          // block 2
+    def docAt(b: Long) = db.collectionAt("d1", "c", b).df.collect()
+    assert(docAt(0).map(_.getString(1)).toSeq === Seq("""{"v":1}"""))
+    assert(docAt(1).map(_.getString(1)).toSeq === Seq("""{"v":2}"""))
+    assert(docAt(2).isEmpty)
+  }
+
+  test("json ingestion and export round trip") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    val in = Files.createTempDirectory("graft-in")
+    Files.writeString(in.resolve("docs.ndjson"),
+      "{\"a\":1}\n{\"a\":2}\n\n{\"a\":3}\n")
+    val n = db.addDocumentsFromJson("d1", "c", in.resolve("docs.ndjson").toString)
+    assert(n === 3)
+    val out = Files.createTempDirectory("graft-out").resolve("dump").toString
+    db.export("d1", "c", out, "json")
+    val back = spark.read.json(out)
+    assert(back.count() === 3)
+  }
+
   test("addIndex materializes a sorted typed key projection") {
     val db = freshDb()
     db.createCollection("d1", "c")

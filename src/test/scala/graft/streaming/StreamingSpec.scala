@@ -35,6 +35,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per distinct content hash") {
+    val q = Streaming.streamDedup(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+      val distinctHashes = graft.sources.Tables.events(spark, sf)
+        .select(md5(to_binary(col("props"), lit("utf-8")))).distinct().count()
+      assert(got.count() === distinctHashes)
+      assert(got.select("content_hash").distinct().count() === distinctHashes)
+    } finally q.stop()
+  }
+
   test("doc state counts every mutation per key") {
     val q = Streaming.docState(spark, sf).toDF()
       .writeStream.outputMode("append")
