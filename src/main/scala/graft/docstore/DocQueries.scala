@@ -22,7 +22,7 @@ object DocQueries {
     val q = StructuredQuery(
       where = Some(FieldFilter("event_type", Op.Eq, Str("purchase"))),
       select = Seq("event_type"))
-    DocStore.query(coll(spark, dir), q)
+    DocStore.queryFused(coll(spark, dir), q)
   }
 
   val docFilterEqSql: String =
@@ -33,7 +33,7 @@ object DocQueries {
     val c = coll(spark, dir)
     val q = StructuredQuery(where = Some(AndFilter(Seq(
       FieldFilter("k", Op.Gt, I64(50)), FieldFilter("k", Op.Le, I64(90))))))
-    DocStore.query(c, q)
+    DocStore.queryFused(c, q)
       .select(col("_id"), get_json_object(col("doc"), "$.k").cast("long").as("k"))
   }
 
@@ -49,7 +49,7 @@ object DocQueries {
       FieldFilter("event_type", Op.Eq, Str("purchase")),
       FieldFilter("value", Op.Ge, Dbl(100.0)),
       FieldFilter("k", Op.Lt, I64(50))))))
-    DocStore.query(coll(spark, dir), q).select("_id")
+    DocStore.queryFused(coll(spark, dir), q).select("_id")
   }
 
   val docFilterAndSql: String =
@@ -63,7 +63,7 @@ object DocQueries {
     val q = StructuredQuery(
       where = Some(FieldFilter("event_type", Op.Neq, Str("error"))),
       select = Seq("event_type"))
-    DocStore.query(coll(spark, dir), q)
+    DocStore.queryFused(coll(spark, dir), q)
   }
 
   val docFilterNeqSql: String =
@@ -75,7 +75,7 @@ object DocQueries {
     val q = StructuredQuery(
       where = Some(FieldFilter("k", Op.Eq, I64(7))),
       select = Seq("user_id", "event_type"))
-    DocStore.query(coll(spark, dir), q)
+    DocStore.queryFused(coll(spark, dir), q)
   }
 
   val docProjectionSql: String =
@@ -87,7 +87,7 @@ object DocQueries {
     val q = StructuredQuery(
       where = Some(FieldFilter("value", Op.Gt, Dbl(150.0))),
       select = Seq("value"), limit = Some(20))
-    DocStore.query(coll(spark, dir), q)
+    DocStore.queryFused(coll(spark, dir), q)
   }
 
   val docLimitSql: String =

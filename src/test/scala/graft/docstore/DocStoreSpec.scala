@@ -53,6 +53,25 @@ class DocStoreSpec extends SparkSpec {
     assert(df.count() === 5)
   }
 
+  test("fused single-parse query equals the per-field query on all shapes") {
+    val qs = Seq(
+      StructuredQuery(where = Some(FieldFilter("event_type", Op.Eq, Str("purchase"))),
+        select = Seq("event_type")),
+      StructuredQuery(where = Some(AndFilter(Seq(
+        FieldFilter("k", Op.Gt, I64(50)), FieldFilter("value", Op.Le, Dbl(100.0)),
+        FieldFilter("event_type", Op.Neq, Str("error"))))),
+        select = Seq("user_id", "value")),
+      StructuredQuery(where = Some(FieldFilter("value", Op.Gt, Dbl(150.0))),
+        select = Seq("value"), limit = Some(20)))
+    qs.foreach { q =>
+      val a = DocStore.query(coll, q)
+      val b = DocStore.queryFused(coll, q)
+      assert(a.columns.toSeq === b.columns.toSeq, s"cols for $q")
+      assert(a.exceptAll(b).count() === 0, s"a-b for $q")
+      assert(b.exceptAll(a).count() === 0, s"b-a for $q")
+    }
+  }
+
   test("op parser accepts the reference's spellings") {
     assert(Op.parse("==") === Op.Eq)
     assert(Op.parse(">=") === Op.Ge)
