@@ -24,7 +24,8 @@ object SparkEntry {
   ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
     graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
-    graft.operators.OperatorQueries.all ++ graft.pipeline.CorpusStats.all
+    graft.operators.OperatorQueries.all ++ graft.pipeline.CorpusStats.all ++
+    graft.pipeline.Curation.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
   ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
     graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++
-    graft.operators.OperatorQueries.oracles ++ graft.pipeline.CorpusStats.oracles
+    graft.operators.OperatorQueries.oracles ++ graft.pipeline.CorpusStats.oracles ++
+    graft.pipeline.Curation.oracles
 }

@@ -90,9 +90,63 @@ object Ann {
       .select(col("query_id"), col("cand_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the other scale path: partition the corpus
+    * into C centroid cells (deterministic seeds = lowest vec_ids, one
+    * Lloyd refinement), probe the nprobe nearest cells per query, exact
+    * cosine only inside probed cells. Search cost drops from O(n) to
+    * O(n·nprobe/C) per query; recall is tunable via nprobe. Rows-only
+    * (recall spec-checked against brute force). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val C = 16
+    val nprobe = 8
+    val e = Tables.embeddings(spark, dir)
+
+    // seed centroids: the C lowest vec_ids (deterministic)
+    val seeds = e.filter(col("vec_id") < C)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+
+    def nearestCell(points: DataFrame, cents: DataFrame, rank: Int): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid").asc)
+      points.crossJoin(broadcast(cents))
+        .withColumn("sim", cosine_sim(col("embedding"), col("centroid")))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= rank)
+        .drop("centroid", "sim", "crank")
+    }
+
+    // one Lloyd refinement: mean of assigned vectors per cell, per dim
+    val assigned0 = nearestCell(e, seeds, 1)
+    val refined = assigned0
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m").cast("float")).as("centroid"))
+
+    val cells = nearestCell(e, refined, 1)
+      .select(col("cid").as("cell"), col("vec_id").as("cand_id"), col("embedding").as("c_v"))
+    val probes = nearestCell(
+        e.filter(col("vec_id") < 20).select(col("vec_id"), col("embedding")),
+        refined, nprobe)
+      .select(col("cid").as("cell"), col("vec_id").as("query_id"), col("embedding").as("q_v"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine_sim(col("q_v"), col("c_v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+      .distinct()
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -82,6 +82,18 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
   }
 
+  test("ann IVF recalls a meaningful share of brute-force neighbors") {
+    val brute = Ann.annCosineTopk(spark, sf)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.annIvf(spark, sf)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall=$recall")
+    // every IVF result is a real vector pair
+    ivf.foreach { case (q, c) => assert(q != c) }
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     val fp = TextOps.textFingerprint(spark, sf)
     assert(fp.select("fingerprint").distinct().count() > 400)
