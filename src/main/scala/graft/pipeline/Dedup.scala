@@ -143,7 +143,40 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("label"), col("cos"))
   }
 
+  /** Near-dup clustering: connected components over the MinHash candidate
+    * pair graph via iterative min-label propagation (each round: every
+    * node takes the min label among itself and its neighbors; converges
+    * in O(component diameter) rounds — near-dup components are tiny, so
+    * a fixed small round count suffices; each round is one join+groupBy,
+    * fully distributed). Output: (doc_id, cluster) for docs in any
+    * near-dup pair. Rows-only; structure spec-checked. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    // undirected edge list, both directions + self
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .unionByName(pairs.select(col("a_id").as("src"), col("a_id").as("dst")))
+      .unionByName(pairs.select(col("b_id").as("src"), col("b_id").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var i = 0
+    while (i < 4) {
+      labels = edges
+        .join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("cluster")).as("cluster"))
+        .withColumnRenamed("id2", "id")
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("cluster"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash" -> (dedupMinhash _),

@@ -82,6 +82,22 @@ class PipelineSpec extends SparkSpec {
     assert(lsh.subsetOf(brute))
   }
 
+  test("near-dup clusters are consistent with their pair graph") {
+    val pairs = Dedup.dedupMinhash(spark, sf)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // every paired doc got a cluster; paired docs share a cluster;
+    // cluster label is the component minimum
+    pairs.foreach { case (a, b) =>
+      assert(clusters.contains(a) && clusters.contains(b))
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split")
+      assert(clusters(a) <= math.min(a, b))
+    }
+    clusters.foreach { case (id, c) => assert(c <= id) }
+  }
+
   test("ann IVF recalls a meaningful share of brute-force neighbors") {
     val brute = Ann.annCosineTopk(spark, sf)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
