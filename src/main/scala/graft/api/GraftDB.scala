@@ -135,6 +135,15 @@ class GraftDB(spark: SparkSession, root: String) {
   def query(db: String, coll: String, q: StructuredQuery): DataFrame =
     DocStore.query(collection(db, coll), q)
 
+  /** The reference SDK's queryDoc surface: an EJDB-style query string with
+    * optional bound parameters (`/[age = :age]`). */
+  def queryStr(db: String, coll: String, q: String,
+      params: Map[String, graft.docstore.FieldValue] = Map.empty): DataFrame = {
+    val parsed = graft.docstore.QueryStr.parse(q, params)
+    val res = DocStore.queryFused(collection(db, coll), parsed.sq)
+    if (parsed.count) res.agg(count(lit(1)).as("count")) else res
+  }
+
   /** Rollup (rollup_executor.rs process): compact the live mutation tail
     * into one gzip parquet batch under rollups/, then GC the tail
     * (gc_mutation). Returns the RollupRecord analog. */

@@ -210,7 +210,33 @@ object DocQueries {
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS idx_key, event_id AS _id
       |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
 
+  /** The SDK's query-string language end-to-end (QueryStr → compiler):
+    * filter + parameter binding + projection + limit in one string. */
+  def docQstr(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = QueryStr.parse("/[event_type = purchase] and /[k > :kmin] | /{value} | limit 25",
+      Map("kmin" -> I64(40)))
+    DocStore.queryFused(coll(spark, dir), parsed.sq)
+  }
+
+  val docQstrSql: String =
+    """SELECT event_id AS _id, CAST(value AS VARCHAR) AS value FROM events
+      |WHERE event_type = 'purchase'
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 40
+      |ORDER BY event_id LIMIT 25""".stripMargin
+
+  /** The count apply (match-all pipe count, as in the SDK tests). */
+  def docQstrCount(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = QueryStr.parse("/[value >= 100.0] | count")
+    val res = DocStore.queryFused(coll(spark, dir), parsed.sq)
+    if (parsed.count) res.agg(count(lit(1)).as("count")) else res
+  }
+
+  val docQstrCountSql: String =
+    "SELECT COUNT(*) AS count FROM events WHERE value >= 100.0"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_qstr" -> (docQstr _),
+    "doc_qstr_count" -> (docQstrCount _),
     "doc_filter_eq" -> (docFilterEq _),
     "doc_filter_range" -> (docFilterRange _),
     "doc_filter_and" -> (docFilterAnd _),
@@ -227,6 +253,8 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_qstr" -> docQstrSql,
+    "doc_qstr_count" -> docQstrCountSql,
     "doc_filter_eq" -> docFilterEqSql,
     "doc_filter_range" -> docFilterRangeSql,
     "doc_filter_and" -> docFilterAndSql,

@@ -1,0 +1,102 @@
+package graft.docstore
+
+import scala.util.matching.Regex
+
+/** Parser for the reference's user-visible query-string language — the
+  * EJDB2/JQL subset its SDK exercises (reference: sdk/tests/
+  * client_v2.test.ts:220-266 — `/[city = beijing]`, match-all with
+  * `limit 1`, `/[age = :age]` with bound parameters, `/{age}`
+  * projections, the match-all `count` apply; executed via
+  * storage/src/doc_store.rs:177 `execute_query` + `set_placeholder`).
+  *
+  * Grammar subset (`STAR` = slash-asterisk match-all node):
+  * {{{
+  *   query  := node (('and')? node)* ('|' apply)*
+  *   node   := STAR | '/[' field op value ']' | '/{' field (',' field)* '}'
+  *   op     := '=' | '!=' | '>' | '>=' | '<' | '<='
+  *   value  := number | 'str' | "str" | true | false | bareword | :param
+  *   apply  := 'limit' N | 'count' | '/{' fields '}'
+  * }}}
+  */
+object QueryStr {
+
+  /** A parsed query: the structured form plus whether `| count` was
+    * requested (count collapses the result to a single tally). */
+  final case class ParsedQuery(sq: StructuredQuery, count: Boolean)
+
+  private val filterRe: Regex =
+    """\[\s*([A-Za-z_][\w.]*)\s*(!=|>=|<=|=|>|<)\s*(.+?)\s*\]""".r
+  private val projRe: Regex = """\{\s*([^}]+)\s*\}""".r
+  private val limitRe: Regex = """limit\s+(\d+)""".r
+
+  def parse(query: String, params: Map[String, FieldValue] = Map.empty): ParsedQuery = {
+    val parts = query.split("\\|").map(_.trim).filter(_.nonEmpty)
+    if (parts.isEmpty) throw new IllegalArgumentException("empty query")
+
+    var filters = Vector.empty[Filter]
+    var select = Vector.empty[String]
+    var limit: Option[Int] = None
+    var count = false
+
+    def parseNodeSection(s: String): Unit = {
+      // strip leading '/', allow 'and' connectors and chained nodes
+      val body = s.replaceAll("(?i)\\band\\b", " ")
+      if (body.replace("/", "").trim == "*") return // match-all
+      filterRe.findAllMatchIn(body).foreach { m =>
+        filters :+= FieldFilter(m.group(1), Op.parse(opSpelling(m.group(2))),
+          parseValue(m.group(3), params))
+      }
+      projRe.findAllMatchIn(body).foreach { m =>
+        select ++= m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+      }
+      if (filters.isEmpty && select.isEmpty && body.replace("/", "").trim.nonEmpty)
+        throw new IllegalArgumentException(s"unparseable node: $s")
+    }
+
+    parseNodeSection(parts.head)
+    parts.tail.foreach { apply =>
+      apply.toLowerCase match {
+        case a if a.startsWith("limit") =>
+          limit = Some(limitRe.findFirstMatchIn(a)
+            .getOrElse(throw new IllegalArgumentException(s"bad limit: $apply"))
+            .group(1).toInt)
+        case a if a == "count" => count = true
+        case a if a.startsWith("/") || a.startsWith("{") => parseNodeSection(apply)
+        case other => throw new IllegalArgumentException(s"unknown apply: $other")
+      }
+    }
+
+    val where = filters match {
+      case Vector() => None
+      case Vector(one) => Some(one)
+      case many => Some(AndFilter(many))
+    }
+    ParsedQuery(StructuredQuery(where, select, limit), count)
+  }
+
+  private def opSpelling(s: String): String = s match {
+    case "=" => "=="
+    case other => other
+  }
+
+  private def parseValue(raw: String, params: Map[String, FieldValue]): FieldValue = {
+    val v = raw.trim
+    if (v.startsWith(":")) {
+      val name = v.drop(1)
+      params.getOrElse(name,
+        throw new IllegalArgumentException(s"unbound placeholder :$name"))
+    } else if ((v.startsWith("'") && v.endsWith("'") && v.length >= 2) ||
+        (v.startsWith("\"") && v.endsWith("\"") && v.length >= 2)) {
+      FieldValue.Str(v.substring(1, v.length - 1))
+    } else if (v == "true" || v == "false") {
+      FieldValue.Bool(v.toBoolean)
+    } else if (v.matches("[-+]?\\d+")) {
+      FieldValue.I64(v.toLong)
+    } else if (v.matches("[-+]?\\d*\\.\\d+([eE][-+]?\\d+)?")) {
+      FieldValue.Dbl(v.toDouble)
+    } else {
+      // barewords are strings in the SDK's examples: /[city = beijing]
+      FieldValue.Str(v)
+    }
+  }
+}
