@@ -211,6 +211,61 @@ class GraftDB(spark: SparkSession, root: String) {
   def index(db: String, coll: String, path: String): DataFrame =
     spark.read.parquet(s"${collPath(db, coll)}/indexes/$path")
 
+  def hasIndex(db: String, coll: String, path: String): Boolean =
+    new java.io.File(s"${collPath(db, coll)}/indexes/$path").isDirectory
+
+  /** Index-aware execution: when the query's leading field filter has a
+    * materialized index, evaluate the predicate against the index scan
+    * (sorted parquet — min/max row-group pruning on idx_key, tiny
+    * ReadSchema) and left-semi join the surviving `_id`s back into the
+    * collection; remaining filters/projection run as usual. Falls back to
+    * the plain fused compiler when no index applies — the reference's
+    * planner does exactly this over its EJDB index set
+    * (doc_store.rs add_index / execute_query). */
+  def queryWithIndex(db: String, coll: String, q: StructuredQuery): DataFrame = {
+    import graft.docstore._
+    val (indexed, rest) = q.where match {
+      case Some(ff @ FieldFilter(f, op, _)) if op != Op.ArrayContains && hasIndex(db, coll, f) =>
+        (Some(ff), None)
+      case Some(AndFilter(fs)) =>
+        val (i, r) = fs.partition {
+          case FieldFilter(f, op, _) => op != Op.ArrayContains && hasIndex(db, coll, f)
+          case _ => false
+        }
+        i.headOption.map(_.asInstanceOf[FieldFilter]) match {
+          case Some(ff) =>
+            val remaining = (i.drop(1) ++ r)
+            (Some(ff), if (remaining.isEmpty) None else Some(AndFilter(remaining)))
+          case None => (None, q.where)
+        }
+      case other => (None, other)
+    }
+    indexed match {
+      case None => DocStore.queryFused(collection(db, coll), q)
+      case Some(FieldFilter(f, op, v)) =>
+        val lit0 = v match {
+          case FieldValue.I64(x) => lit(x)
+          case FieldValue.Dbl(x) => lit(x)
+          case FieldValue.Bool(x) => lit(x)
+          case FieldValue.Str(x) => lit(x)
+        }
+        val key = col("idx_key")
+        val pred = op match {
+          case Op.Eq => key === lit0
+          case Op.Neq => key =!= lit0
+          case Op.Lt => key < lit0
+          case Op.Le => key <= lit0
+          case Op.Gt => key > lit0
+          case Op.Ge => key >= lit0
+          case Op.ArrayContains => lit(true)
+        }
+        val ids = index(db, coll, f).filter(pred).select(col("_id"))
+        val narrowed = collection(db, coll).df
+          .join(ids, Seq("_id"), "left_semi")
+        DocStore.queryFused(DocCollection(coll, narrowed), q.copy(where = rest))
+    }
+  }
+
   /** Metadata listings (db_store_v2.rs get_database_of_owner /
     * get_collection_of_database). */
   def listDatabases(): Seq[String] = listDirs(root)

@@ -155,11 +155,15 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"))
     // undirected edge list, both directions + self
+    // materialize the edge list once — iterative propagation would
+    // otherwise re-run the whole MinHash candidate generation per round
+    // (on a cluster: checkpoint to reliable storage instead)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .unionByName(pairs.select(col("a_id").as("src"), col("a_id").as("dst")))
       .unionByName(pairs.select(col("b_id").as("src"), col("b_id").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     var i = 0

@@ -100,6 +100,30 @@ class GraftDBSpec extends SparkSpec {
     assert(idx.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((3L, 1L), (5L, 0L)))
   }
 
+  test("index-aware query equals plain query and prunes via the index") {
+    import graft.docstore._
+    import graft.docstore.FieldValue._
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", (0 until 100).map(i =>
+      s"""{"rate":${i % 10},"tag":"t${i % 3}"}"""))
+    db.addIndex("d1", "c", "rate", "Int64Key")
+    val q = StructuredQuery(where = Some(AndFilter(Seq(
+      FieldFilter("rate", Op.Ge, I64(7)),
+      FieldFilter("tag", Op.Eq, Str("t1"))))))
+    val plain = db.query("d1", "c", q)
+    val viaIdx = db.queryWithIndex("d1", "c", q)
+    assert(viaIdx.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(viaIdx).count() === 0)
+    assert(viaIdx.count() > 0)
+    // the index path pushes the key predicate into the index scan
+    val plan = viaIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("idx_key"))
+    // unindexed field falls back to the fused compiler
+    val q2 = StructuredQuery(where = Some(FieldFilter("tag", Op.Eq, Str("t2"))))
+    assert(db.queryWithIndex("d1", "c", q2).count() === db.query("d1", "c", q2).count())
+  }
+
   test("metadata listings mirror db/collection layout") {
     val db = freshDb()
     db.createCollection("d1", "books")
