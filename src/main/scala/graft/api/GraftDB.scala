@@ -83,6 +83,8 @@ class GraftDB(spark: SparkSession, root: String) {
     * documented mask semantics). Empty mask = whole-doc replace. */
   def updateDocuments(db: String, coll: String, ids: Seq[Long],
       docs: Seq[String], masks: Seq[Seq[String]]): Unit = {
+    require(ids.length == docs.length && ids.length == masks.length,
+      s"ids/docs/masks length mismatch: ${ids.length}/${docs.length}/${masks.length}")
     val block = nextBlock(db, coll)
     append(db, coll, ids.indices.map { i =>
       Row(block, i, ActionUpdate, ids(i), docs(i),

@@ -73,6 +73,29 @@ object Streaming {
       .select(col("content_hash"), col("event_id"), col("ets"))
   }
 
+  /** Real-time ingestion (the reference storage node's mutation intake):
+    * stream events into a GraftDB collection as AddDocument mutations via
+    * foreachBatch — each micro-batch appends one block to the log, so
+    * (block, order) ordering mirrors (batchId, row index). Returns the
+    * started query; callers own its lifecycle. */
+  def ingestToDb(spark: SparkSession, dir: String, db: graft.api.GraftDB,
+      dbName: String, coll: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    db.createCollection(dbName, coll)
+    readEventStream(spark, dir).toDF()
+      .select(to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))).as("doc"))
+      .writeStream
+      // driver-side collect mirrors the reference node's sequential
+      // (block, order) stamping; a cluster-scale intake would instead
+      // have each partition append its own pre-stamped parquet file.
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.collect().map(_.getString(0)).toSeq
+        if (docs.nonEmpty) db.addDocuments(dbName, coll, docs)
+        ()
+      }
+      .start()
+  }
+
   private[streaming] def updateDocState(
       userId: Long, events: Iterator[Ev],
       state: GroupState[DocState]): Iterator[DocState] = {

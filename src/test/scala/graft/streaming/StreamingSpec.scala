@@ -49,6 +49,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch ingestion lands the stream in a GraftDB collection") {
+    val db = new graft.api.GraftDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-ingest").toString)
+    val q = Streaming.ingestToDb(spark, sf, db, "rt", "events")
+    try q.processAllAvailable() finally q.stop()
+    val n = db.collectionState("rt", "events")
+    assert(n === graft.sources.Tables.events(spark, sf).count())
+    // ingested docs are queryable through the doc-store surface
+    val purchases = db.queryStr("rt", "events", "/[event_type = purchase] | count")
+      .head().getLong(0)
+    assert(purchases ===
+      graft.sources.Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
+  }
+
   test("doc state counts every mutation per key") {
     val q = Streaming.docState(spark, sf).toDF()
       .writeStream.outputMode("append")
