@@ -226,7 +226,20 @@ object EventQueries {
       |  CAST(SUM(CAST(length(props) AS BIGINT)) AS BIGINT) AS payload_bytes
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Exact distinct users per event type through the custom bitmap
+    * TypedImperativeAggregate (partial state = one bit per id — the
+    * cheap-on-the-wire exact alternative to hash-set distinct for dense
+    * id spaces). Oracle = plain COUNT(DISTINCT). */
+  def evtBitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions.bitmap_distinct(col("user_id")).as("n_users"))
+
+  val evtBitmapDistinctSql: String =
+    "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_bitmap_distinct" -> (evtBitmapDistinct _),
     "evt_time_range" -> (evtTimeRange _),
     "evt_decode_abi" -> (evtDecodeAbi _),
     "evt_window_agg" -> (evtWindowAgg _),
@@ -241,6 +254,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_bitmap_distinct" -> evtBitmapDistinctSql,
     "evt_time_range" -> evtTimeRangeSql,
     "evt_decode_abi" -> evtDecodeAbiSql,
     "evt_window_agg" -> evtWindowAggSql,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,6 +27,8 @@ object GraftFunctions {
     column(ShingleMinHash(expression(tokens), Literal(n), Literal(k)))
   def shingle_hashes(tokens: Column, n: Int): Column =
     column(ShingleHashes(expression(tokens), Literal(n)))
+  def bitmap_distinct(c: Column): Column =
+    column(BitmapDistinct(expression(c)).toAggregateExpression())
 
   /** FNV-1a 64-bit over UTF-8 bytes — the shared token hash for
     * SimHash/MinHash. Public so tests can cross-check. */
@@ -262,6 +265,49 @@ case class ShingleMinHash(tokens: Expression, nExpr: Expression, kExpr: Expressi
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(tokens = f, nExpr = s, kExpr = t)
+}
+
+/** Exact distinct count of a bounded non-negative long key via a bitmap
+  * buffer — a `TypedImperativeAggregate` (mutable buffer + binary
+  * serialization between partial and final aggregation, like production
+  * HLL/bitmap sketches). For id-dense keys this is both exact and far
+  * smaller on the wire than a hash-set distinct: the partial state is
+  * one bit per present id. */
+case class BitmapDistinct(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.BitSet]
+    with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): java.util.BitSet = new java.util.BitSet()
+
+  override def update(buffer: java.util.BitSet, input: InternalRow): java.util.BitSet = {
+    val v = child.eval(input)
+    if (v != null) {
+      val id = v.asInstanceOf[Long]
+      require(id >= 0 && id <= Int.MaxValue, s"id $id out of bitmap range")
+      buffer.set(id.toInt)
+    }
+    buffer
+  }
+
+  override def merge(b: java.util.BitSet, o: java.util.BitSet): java.util.BitSet = {
+    b.or(o); b
+  }
+
+  override def eval(buffer: java.util.BitSet): Any = buffer.cardinality().toLong
+
+  override def serialize(buffer: java.util.BitSet): Array[Byte] = buffer.toByteArray
+
+  override def deserialize(storageFormat: Array[Byte]): java.util.BitSet =
+    java.util.BitSet.valueOf(storageFormat)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Distinct 64-bit FNV-1a hashes of the word n-gram shingles of a token
