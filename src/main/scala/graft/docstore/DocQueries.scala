@@ -210,6 +210,22 @@ object DocQueries {
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS idx_key, event_id AS _id
       |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
 
+  /** ARRAY_CONTAINS (proto op 7) against a JSON array field: documents
+    * viewed as docs with a `tags` array (their first 5 tokens); the
+    * oracle recomputes membership relationally. */
+  def docArrayContains(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val docs = d.select(d("doc_id").as("_id"),
+      to_json(struct(slice(split(trim(d("text")), "\\s+"), 1, 5).as("tags"))).as("doc"))
+    val q = StructuredQuery(
+      where = Some(FieldFilter("tags", Op.ArrayContains, Str("data"))))
+    DocStore.query(DocCollection("documents", docs), q).select("_id")
+  }
+
+  val docArrayContainsSql: String =
+    """SELECT doc_id AS _id FROM documents
+      |WHERE list_contains(regexp_split_to_array(trim(text), '\s+')[1:5], 'data')""".stripMargin
+
   /** The SDK's query-string language end-to-end (QueryStr → compiler):
     * filter + parameter binding + projection + limit in one string. */
   def docQstr(spark: SparkSession, dir: String): DataFrame = {
@@ -235,6 +251,7 @@ object DocQueries {
     "SELECT COUNT(*) AS count FROM events WHERE value >= 100.0"
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_array_contains" -> (docArrayContains _),
     "doc_qstr" -> (docQstr _),
     "doc_qstr_count" -> (docQstrCount _),
     "doc_filter_eq" -> (docFilterEq _),
@@ -253,6 +270,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_array_contains" -> docArrayContainsSql,
     "doc_qstr" -> docQstrSql,
     "doc_qstr_count" -> docQstrCountSql,
     "doc_filter_eq" -> docFilterEqSql,
