@@ -238,8 +238,72 @@ object EventQueries {
   val evtBitmapDistinctSql: String =
     "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
 
+  /** Log-integrity verification (the storage node's per-sender nonce
+    * monotonicity check, storage/src/state_store.rs): count order
+    * violations — event ids that regress within a sender's time-ordered
+    * stream. */
+  def mutationIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_mutations"),
+        sum(when(col("prev_id").isNotNull && col("event_id") < col("prev_id"), 1L)
+          .otherwise(0L)).as("n_violations"))
+  }
+
+  val mutationIntegritySql: String =
+    """SELECT user_id, COUNT(*) AS n_mutations,
+      |  CAST(SUM(CASE WHEN prev_id IS NOT NULL AND event_id < prev_id THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_id
+      |  FROM events) t
+      |GROUP BY user_id""".stripMargin
+
+  /** Time-weighted average value per key — the tsdb staple for irregular
+    * samples: each value weighted by its holding interval. Numerator and
+    * denominator are exact (decimal × integer microseconds); the ratio is
+    * one IEEE division of exact operands. */
+  def evtTimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_us", col("next_us") - col("ts_us"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("value").cast(D) * col("dur_us").cast(DecimalType(18, 0))).as("wsum"),
+        sum(col("dur_us")).as("total_us"))
+      // the exact numerator has ~17 significant digits — more than a
+      // double carries — so only the rounded ratio is emitted (the raw
+      // decimal→double cast is 1-ulp engine-dependent at that width)
+      .select(col("user_id"), col("total_us"),
+        round(col("wsum").cast("double") / col("total_us"), 6).as("twa"))
+  }
+
+  val evtTimeWeightedAvgSql: String =
+    """SELECT user_id, total_us,
+      |  round(CAST(wsum AS DOUBLE) / total_us, 6) AS twa
+      |FROM (
+      |  SELECT user_id,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(dur_us AS DECIMAL(18,0))) AS wsum,
+      |    CAST(SUM(dur_us) AS BIGINT) AS total_us
+      |  FROM (
+      |    SELECT user_id, value,
+      |      LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) t
+      |  WHERE dur_us IS NOT NULL
+      |  GROUP BY user_id) g""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_bitmap_distinct" -> (evtBitmapDistinct _),
+    "mutation_integrity" -> (mutationIntegrity _),
+    "evt_time_weighted_avg" -> (evtTimeWeightedAvg _),
     "evt_time_range" -> (evtTimeRange _),
     "evt_decode_abi" -> (evtDecodeAbi _),
     "evt_window_agg" -> (evtWindowAgg _),
@@ -255,6 +319,8 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "evt_bitmap_distinct" -> evtBitmapDistinctSql,
+    "mutation_integrity" -> mutationIntegritySql,
+    "evt_time_weighted_avg" -> evtTimeWeightedAvgSql,
     "evt_time_range" -> evtTimeRangeSql,
     "evt_decode_abi" -> evtDecodeAbiSql,
     "evt_window_agg" -> evtWindowAggSql,
