@@ -66,13 +66,54 @@ object Curation {
       |  AND doc_id IN (SELECT doc_id FROM documents
       |                 WHERE length(regexp_split_to_array(trim(text), '\s+')) >= 20)""".stripMargin
 
+  /** Deterministic train/val/test split via a multiplicative hash of the
+    * doc key (Knuth's 2654435761 mod 100 → 90/5/5) — reproducible across
+    * runs and engines, no RNG, stable under repartitioning. */
+  def pipelineTrainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+  }
+
+  val pipelineTrainSplitSql: String =
+    """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+      |            WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       lang, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM documents GROUP BY 1, 2""".stripMargin
+
+  /** Vocabulary building: corpus-wide token frequencies, top 100 with
+    * deterministic tiebreak — the input to tokenizer/BPE training. */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(100)
+  }
+
+  val textVocabSql: String =
+    """SELECT token, COUNT(*) AS freq
+      |FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents) t
+      |WHERE length(token) > 0
+      |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalize" -> (textNormalize _),
     "pipeline_keep_list" -> (pipelineKeepList _),
+    "pipeline_train_split" -> (pipelineTrainSplit _),
+    "text_vocab" -> (textVocab _),
   )
 
   val oracles: Map[String, String] = Map(
     "text_normalize" -> textNormalizeSql,
     "pipeline_keep_list" -> pipelineKeepListSql,
+    "pipeline_train_split" -> pipelineTrainSplitSql,
+    "text_vocab" -> textVocabSql,
   )
 }
