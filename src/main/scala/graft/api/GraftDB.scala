@@ -27,6 +27,11 @@ import java.nio.file.{Files, Paths}
   * range; materialization shuffles once on id; rollup compaction is the
   * reference's Arweave batch write re-expressed as gzip parquet + manifest,
   * and `recover()` proves state is reconstructible from rollups alone.
+  *
+  * Concurrency: like the reference's storage node, writes assume a single
+  * sequencer — the (block, order) stamps come from one writer. Readers
+  * are safe concurrently; concurrent writers would need an external
+  * sequencer for block assignment.
   */
 class GraftDB(spark: SparkSession, root: String) {
   import GraftDB._

@@ -37,7 +37,8 @@ object Salting {
 
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
       specs: AggSpec*): DataFrame = {
-    require(salts > 0)
+    require(salts > 0, "salts must be positive")
+    require(specs.nonEmpty, "at least one AggSpec required")
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
     val phase1 = salted
