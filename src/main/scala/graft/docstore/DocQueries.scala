@@ -240,6 +240,44 @@ object DocQueries {
       |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 40
       |ORDER BY event_id LIMIT 25""".stripMargin
 
+  /** Order-by over a typed doc field (the proto's declared-next
+    * `repeated Order order_by`, db3_database_v2.proto:340-363): k DESC
+    * with the appended `_id` DESC tiebreak per the Firestore appending
+    * rule, then limit. Sort+limit fuses to TakeOrderedAndProject —
+    * per-partition top-N, no global sort materialized. */
+  def docOrderby(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("value", Op.Gt, Dbl(150.0))),
+      select = Seq("k"),
+      orderBy = Seq(Order("k", desc = true, keyType = I64(0))),
+      limit = Some(50))
+    DocStore.queryFused(coll(spark, dir), q)
+  }
+
+  val docOrderbySql: String =
+    """SELECT event_id AS _id,
+      |  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS k
+      |FROM events WHERE value > 150.0
+      |ORDER BY CAST(json_extract_string(props, '$.k') AS BIGINT) DESC, event_id DESC
+      |LIMIT 50""".stripMargin
+
+  /** Offset paging (proto's declared-next `int32 offset`,
+    * db3_database_v2.proto:327-338): applies after where/order, before
+    * limit. */
+  def docOffset(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("event_type", Op.Eq, Str("view"))),
+      select = Seq("value"),
+      orderBy = Seq(Order("value", keyType = Dbl(0))),
+      offset = Some(100), limit = Some(40))
+    DocStore.queryFused(coll(spark, dir), q)
+  }
+
+  val docOffsetSql: String =
+    """SELECT event_id AS _id, CAST(value AS VARCHAR) AS value FROM events
+      |WHERE event_type = 'view'
+      |ORDER BY events.value ASC, event_id ASC LIMIT 40 OFFSET 100""".stripMargin
+
   /** The count apply (match-all pipe count, as in the SDK tests). */
   def docQstrCount(spark: SparkSession, dir: String): DataFrame = {
     val parsed = QueryStr.parse("/[value >= 100.0] | count")
@@ -260,6 +298,8 @@ object DocQueries {
     "doc_filter_neq" -> (docFilterNeq _),
     "doc_projection" -> (docProjection _),
     "doc_limit" -> (docLimit _),
+    "doc_orderby" -> (docOrderby _),
+    "doc_offset" -> (docOffset _),
     "doc_get_by_id" -> (docGetById _),
     "doc_count_state" -> (docCountState _),
     "doc_state_latest" -> (docStateLatest _),
@@ -279,6 +319,8 @@ object DocQueries {
     "doc_filter_neq" -> docFilterNeqSql,
     "doc_projection" -> docProjectionSql,
     "doc_limit" -> docLimitSql,
+    "doc_orderby" -> docOrderbySql,
+    "doc_offset" -> docOffsetSql,
     "doc_get_by_id" -> docGetByIdSql,
     "doc_count_state" -> docCountStateSql,
     "doc_state_latest" -> docStateLatestSql,

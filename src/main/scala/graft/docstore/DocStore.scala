@@ -59,6 +59,26 @@ object DocStore {
       }
   }
 
+  /** Full sort-key list for a query: explicit orders (typed via their
+    * keyType witness) then the appended `_id`, which takes the direction
+    * of the last explicit order — exactly the proto's Firestore appending
+    * rule (`ORDER BY a DESC` → `ORDER BY a DESC, __name__ DESC`,
+    * db3_database_v2.proto:345-360). */
+  private def sortCols(q: StructuredQuery, keyFor: Order => Column,
+      idCol: Column): Seq[Column] = {
+    val explicit = q.orderBy.map(o =>
+      if (o.desc) keyFor(o).desc else keyFor(o).asc)
+    val idSorted =
+      if (q.orderBy.lastOption.exists(_.desc)) idCol.desc else idCol.asc
+    explicit :+ idSorted
+  }
+
+  /** Whether the plan needs a global sort: explicit ordering, or an
+    * offset/limit that must be deterministic. Sort+limit fuses to
+    * TakeOrderedAndProject (per-partition top-N, no full shuffle). */
+  private def needsSort(q: StructuredQuery): Boolean =
+    q.orderBy.nonEmpty || q.limit.isDefined || q.offset.isDefined
+
   /** Execute a StructuredQuery against a collection. Projection returns
     * `_id` plus one (string-typed) column per selected field; empty select
     * returns `_id, doc` whole. Limit without an explicit order is made
@@ -67,12 +87,16 @@ object DocStore {
   def query(col: DocCollection, q: StructuredQuery): DataFrame = {
     var df = col.df
     q.where.foreach(f => df = df.filter(compileFilter(df("doc"), f)))
+    if (needsSort(q))
+      df = df.orderBy(sortCols(q,
+        o => fieldCol(df("doc"), o.field, o.keyType), df("_id")): _*)
     if (q.select.nonEmpty) {
       val cols = df("_id") +: q.select.map(f =>
         get_json_object(df("doc"), "$." + f).as(f))
       df = df.select(cols: _*)
     }
-    q.limit.foreach(n => df = df.orderBy("_id").limit(n))
+    q.offset.foreach(o => df = df.offset(o))
+    q.limit.foreach(n => df = df.limit(n))
     df
   }
 
@@ -94,8 +118,18 @@ object DocStore {
         case FieldValue.Str(_) => StringType
       }))
     }
+    def keyTypeOf(v: FieldValue): DataType = v match {
+      case FieldValue.I64(_) => LongType
+      case FieldValue.Dbl(_) => DoubleType
+      case FieldValue.Bool(_) => BooleanType
+      case FieldValue.Str(_) => StringType
+    }
+    // order fields first: their typed parse must win the dedup so numeric
+    // sort keys aren't compared lexicographically (the string projection
+    // of the same field is a cast away; the reverse is not)
     val wanted: Seq[(String, DataType)] =
-      (q.where.toSeq.flatMap(filterFields) ++ q.select.map(_ -> StringType))
+      (q.orderBy.map(o => o.field -> keyTypeOf(o.keyType)) ++
+        q.where.toSeq.flatMap(filterFields) ++ q.select.map(_ -> StringType))
         .foldLeft(Vector.empty[(String, DataType)]) { (acc, fd) =>
           if (acc.exists(_._1 == fd._1)) acc else acc :+ fd
         }
@@ -118,13 +152,17 @@ object DocStore {
         }
     }
     q.where.foreach(f => df = df.filter(compile(f)))
+    if (needsSort(q))
+      df = df.orderBy(sortCols(q,
+        o => col("__p").getField(o.field), col("_id")): _*)
     // projection is string-typed (raw JSON values) even when the same
     // field was parsed typed for a filter
     df = if (q.select.nonEmpty)
       df.select(col("_id") +: q.select.map(f =>
         col("__p").getField(f).cast("string").as(f)): _*)
     else df.select("_id", "doc")
-    q.limit.foreach(n => df = df.orderBy("_id").limit(n))
+    q.offset.foreach(o => df = df.offset(o))
+    q.limit.foreach(n => df = df.limit(n))
     df
   }
 

@@ -15,8 +15,13 @@ import scala.util.matching.Regex
   *   node   := STAR | '/[' field op value ']' | '/{' field (',' field)* '}'
   *   op     := '=' | '!=' | '>' | '>=' | '<' | '<='
   *   value  := number | 'str' | "str" | true | false | bareword | :param
-  *   apply  := 'limit' N | 'count' | '/{' fields '}'
+  *   apply  := 'limit' N | 'skip' N | 'count' | '/{' fields '}'
+  *           | 'asc' field | 'desc' field
   * }}}
+  *
+  * `asc`/`desc`/`skip` map to the proto's declared-next order_by/offset
+  * surface (db3_database_v2.proto:327-363); sort keys parse as strings
+  * unless the caller refines `Order.keyType` on the parsed query.
   */
 object QueryStr {
 
@@ -28,6 +33,8 @@ object QueryStr {
     """\[\s*([A-Za-z_][\w.]*)\s*(!=|>=|<=|=|>|<)\s*(.+?)\s*\]""".r
   private val projRe: Regex = """\{\s*([^}]+)\s*\}""".r
   private val limitRe: Regex = """limit\s+(\d+)""".r
+  private val skipRe: Regex = """skip\s+(\d+)""".r
+  private val orderRe: Regex = """(?i)(asc|desc)\s+/?([A-Za-z_][\w.]*)""".r
 
   def parse(query: String, params: Map[String, FieldValue] = Map.empty): ParsedQuery = {
     val parts = query.split("\\|").map(_.trim).filter(_.nonEmpty)
@@ -36,6 +43,8 @@ object QueryStr {
     var filters = Vector.empty[Filter]
     var select = Vector.empty[String]
     var limit: Option[Int] = None
+    var offset: Option[Int] = None
+    var orderBy = Vector.empty[Order]
     var count = false
 
     def parseNodeSection(s: String): Unit = {
@@ -60,6 +69,16 @@ object QueryStr {
           limit = Some(limitRe.findFirstMatchIn(a)
             .getOrElse(throw new IllegalArgumentException(s"bad limit: $apply"))
             .group(1).toInt)
+        case a if a.startsWith("skip") =>
+          offset = Some(skipRe.findFirstMatchIn(a)
+            .getOrElse(throw new IllegalArgumentException(s"bad skip: $apply"))
+            .group(1).toInt)
+        case a if a.startsWith("asc") || a.startsWith("desc") =>
+          // match against the original-case text: field names are
+          // case-sensitive JSON keys
+          val m = orderRe.findFirstMatchIn(apply.trim)
+            .getOrElse(throw new IllegalArgumentException(s"bad order: $apply"))
+          orderBy :+= Order(m.group(2), desc = m.group(1).toLowerCase == "desc")
         case a if a == "count" => count = true
         case a if a.startsWith("/") || a.startsWith("{") => parseNodeSection(apply)
         case other => throw new IllegalArgumentException(s"unknown apply: $other")
@@ -71,7 +90,7 @@ object QueryStr {
       case Vector(one) => Some(one)
       case many => Some(AndFilter(many))
     }
-    ParsedQuery(StructuredQuery(where, select, limit), count)
+    ParsedQuery(StructuredQuery(where, select, limit, orderBy, offset), count)
   }
 
   private def opSpelling(s: String): String = s match {

@@ -46,9 +46,25 @@ sealed trait Filter
 final case class FieldFilter(field: String, op: Op, value: FieldValue) extends Filter
 final case class AndFilter(filters: Seq[Filter]) extends Filter
 
+/** One ordering term (the proto's declared-next `Order` —
+  * db3_database_v2.proto:340-363, commented `repeated Order order_by`).
+  * `keyType` is a type witness for the JSON field (its value is ignored):
+  * doc fields are schemaless strings until told otherwise, and ordering
+  * "10" < "9" lexicographically would silently mis-sort numeric keys.
+  * Defaults to string, matching the reference's bson ordering for
+  * untyped keys. */
+final case class Order(field: String, desc: Boolean = false,
+    keyType: FieldValue = FieldValue.Str(""))
+
 /** Projection/limit semantics per the proto: empty select = all fields;
-  * limit applies after all other constraints. */
+  * offset applies after where/order but before limit
+  * (db3_database_v2.proto:327-338, declared-next `int32 offset`); limit
+  * applies after all other constraints. Ordering follows the proto's
+  * Firestore rules: the doc id (`__name__` analog `_id`) is appended to
+  * every ordering with the direction of the last explicit order. */
 final case class StructuredQuery(
     where: Option[Filter] = None,
     select: Seq[String] = Nil,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    orderBy: Seq[Order] = Nil,
+    offset: Option[Int] = None)

@@ -1,0 +1,155 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-event typed ABI decode — the reference indexer's core
+  * capability (reference: src/event/src/event_processor.rs:98-206
+  * `start`/`log_to_doc`/`param_to_value`; src/node/src/indexer_impl.rs:197
+  * one document table per event type).
+  *
+  * The reference subscribes to EVM logs, matches each log's signature
+  * against every event declared in a contract's ABI JSON, decodes the
+  * matching event's params, and writes one JSON document per log into a
+  * collection named after the event. Its `param_to_value` mapping is:
+  * address → "0x"-hex string, uint/int → decimal string, bytes → hex
+  * string, bool → bool, string → string, arrays/tuples → JSON arrays.
+  *
+  * The Spark re-expression: the ABI JSON is parsed once on the driver
+  * into per-event `StructType`s; each event type decodes with ONE
+  * `from_json` against its own typed schema (never N repeated
+  * `get_json_object` scans), and the decode dispatches on the event-type
+  * column inside a single whole-stage-codegen projection. Per-type typed
+  * tables come out of `decode` (the analog of one collection per event);
+  * `decodeLong` is the single-scan union view with per-param rows.
+  *
+  * Scale posture: `decodeLong` is one pass over the log — the per-type
+  * `from_json` sits behind a `when(event_type = ...)` branch so each row
+  * is parsed exactly once, by its own schema. `decode`'s per-type frames
+  * filter on the type column, which reaches the parquet scan as a pushed
+  * filter (row-group pruning when the log is type-partitioned, as the
+  * reference's per-type tables are).
+  */
+object AbiDecode {
+
+  /** One declared event input (`{indexed, name, type}` in the ABI). */
+  final case class AbiParam(name: String, abiType: String, indexed: Boolean)
+
+  /** One `"type": "event"` ABI entry. */
+  final case class AbiEvent(name: String, params: Seq[AbiParam]) {
+    def schema: StructType =
+      StructType(params.map(p => StructField(p.name, sparkType(p.abiType))))
+  }
+
+  /** Parse an ABI JSON (the contract-level array) into its declared,
+    * non-anonymous events. Driver-side config parse of a small string —
+    * json4s, same as the doc-mask merge path. */
+  def parseAbi(abiJson: String): Seq[AbiEvent] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val entries = JsonMethods.parse(abiJson) match {
+      case JArray(xs) => xs
+      case _ => throw new IllegalArgumentException("ABI must be a JSON array")
+    }
+    entries.flatMap { e =>
+      (e \ "type", e \ "anonymous") match {
+        case (JString("event"), anon) if anon != JBool(true) =>
+          val name = e \ "name" match {
+            case JString(s) => s
+            case _ => throw new IllegalArgumentException("event entry without name")
+          }
+          val params = (e \ "inputs" match {
+            case JArray(is) => is
+            case _ => Nil
+          }).map { in =>
+            val pn = in \ "name" match { case JString(s) => s; case _ => "" }
+            val pt = in \ "type" match { case JString(s) => s; case _ => "string" }
+            val idx = in \ "indexed" match { case JBool(b) => b; case _ => false }
+            AbiParam(pn, pt, idx)
+          }
+          Some(AbiEvent(name, params))
+        case _ => None
+      }
+    }
+  }
+
+  /** ABI type → Spark type, following the reference's `param_to_value`
+    * JSON representation (event_processor.rs:215-238): integers wider
+    * than 63 bits, addresses, and byte strings stay decimal/hex STRINGS
+    * (uint256 has 78 decimal digits — wider than any SQL numeric);
+    * narrow ints decode to LONG, bool to BOOLEAN, arrays recurse. */
+  def sparkType(abiType: String): DataType = {
+    val arr = "^(.*)\\[\\d*\\]$".r
+    abiType match {
+      case arr(elem) => ArrayType(sparkType(elem))
+      case "address" | "string" => StringType
+      case "bool" => BooleanType
+      case t if t.startsWith("bytes") => StringType
+      case t if t.startsWith("uint") =>
+        val bits = if (t == "uint") 256 else t.drop(4).toInt
+        if (bits < 64) LongType else StringType
+      case t if t.startsWith("int") =>
+        val bits = if (t == "int") 256 else t.drop(3).toInt
+        if (bits <= 64) LongType else StringType
+      case "tuple" => StringType // opaque; components not carried in-type
+      case other => throw new IllegalArgumentException(s"unsupported ABI type $other")
+    }
+  }
+
+  /** Per-event-type typed tables — the analog of the reference writing
+    * each decoded log into the collection named after its event
+    * (indexer_impl.rs:197). Each frame keeps the `keep` passthrough
+    * columns and appends one typed column per ABI param. */
+  def decode(events: DataFrame, abi: Seq[AbiEvent],
+      keep: Seq[String] = Seq("event_id"),
+      typeCol: String = "event_type", propsCol: String = "props",
+      targetEvents: Set[String] = Set.empty): Map[String, DataFrame] =
+    abi.filter(e => targetEvents.isEmpty || targetEvents(e.name))
+      .map { ev =>
+        val cols = keep.map(col) ++
+          ev.params.map(p => col("__d").getField(p.name).as(p.name))
+        ev.name -> events
+          .filter(col(typeCol) === ev.name)
+          .withColumn("__d", from_json(col(propsCol), ev.schema))
+          .select(cols: _*)
+      }.toMap
+
+  /** Single-scan long-format decode: one row per (log, param) with the
+    * value rendered to its reference JSON string form and the param's
+    * indexed flag. The per-type `from_json` is gated by a `when` branch
+    * on the type column, so every row is parsed exactly once against its
+    * own schema — one pass, no per-type re-scan. Rows of types absent
+    * from the ABI are dropped (the reference skips non-matching
+    * signatures). */
+  def decodeLong(events: DataFrame, abi: Seq[AbiEvent],
+      idCol: String = "event_id",
+      typeCol: String = "event_type", propsCol: String = "props"): DataFrame = {
+    require(abi.nonEmpty, "empty ABI")
+    val branches: Seq[Column] = abi.map { ev =>
+      val d = from_json(col(propsCol), ev.schema)
+      val params = ev.params.map { p =>
+        struct(
+          lit(p.name).as("param"),
+          renderValue(d.getField(p.name), sparkType(p.abiType)).as("value_str"),
+          lit(if (p.indexed) 1L else 0L).as("indexed"))
+      }
+      when(col(typeCol) === ev.name, array(params: _*))
+    }
+    events
+      .withColumn("__params", coalesce(branches :+ lit(null): _*))
+      .filter(col("__params").isNotNull)
+      .select(col(idCol), col(typeCol).as("decoded_type"),
+        explode(col("__params")).as("p"))
+      .select(col(idCol), col("decoded_type"),
+        col("p.param").as("param"), col("p.value_str").as("value_str"),
+        col("p.indexed").as("indexed"))
+  }
+
+  /** Render a decoded value to the reference's JSON string form
+    * (param_to_value): scalars via string cast, arrays as compact JSON. */
+  private def renderValue(c: Column, t: DataType): Column = t match {
+    case _: ArrayType => to_json(c)
+    case _ => c.cast("string")
+  }
+}

@@ -48,6 +48,43 @@ object EventQueries {
     """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
 
+  /** ABI fixture for the synthetic event log: every testdata event type
+    * declared as a contract event over the shared `k` prop, with mixed
+    * widths so the decode exercises each type-mapping branch (narrow
+    * uint/int → LONG, uint256 → decimal string, string → string) and
+    * mixed indexed flags. The shape mirrors the WETH ABI the reference's
+    * own test pins (event_processor.rs:244). */
+  val testdataAbi: String =
+    """[
+      |{"anonymous":false,"type":"event","name":"signup",
+      | "inputs":[{"indexed":true,"name":"k","type":"uint32"}]},
+      |{"anonymous":false,"type":"event","name":"click",
+      | "inputs":[{"indexed":false,"name":"k","type":"uint48"}]},
+      |{"anonymous":false,"type":"event","name":"view",
+      | "inputs":[{"indexed":true,"name":"k","type":"uint256"}]},
+      |{"anonymous":false,"type":"event","name":"error",
+      | "inputs":[{"indexed":false,"name":"k","type":"int64"}]},
+      |{"anonymous":false,"type":"event","name":"purchase",
+      | "inputs":[{"indexed":false,"name":"k","type":"string"}]}
+      |]""".stripMargin
+
+  /** Full multi-event ABI decode (event_processor.rs:98-206 log_to_doc /
+    * param_to_value; indexer_impl.rs:197 one table per event type): the
+    * driver-checked long-format view — one row per (log, declared param)
+    * with the reference's JSON string rendering and the indexed flag.
+    * Single scan; each row parsed once by its own event's schema. The
+    * per-type typed tables come from `AbiDecode.decode` (spec-checked
+    * with the WETH-style fixture). */
+  def evtDecodeAbiMulti(spark: SparkSession, dir: String): DataFrame =
+    AbiDecode.decodeLong(Tables.events(spark, dir),
+      AbiDecode.parseAbi(testdataAbi))
+
+  val evtDecodeAbiMultiSql: String =
+    """SELECT event_id, event_type AS decoded_type, 'k' AS param,
+      |  json_extract_string(props, '$.k') AS value_str,
+      |  CAST(CASE WHEN event_type IN ('signup','view') THEN 1 ELSE 0 END AS BIGINT) AS indexed
+      |FROM events""".stripMargin
+
   /** Tumbling-window aggregation: hourly per event type. One shuffle on
     * (bucket, type); partial agg map-side. */
   def evtWindowAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -306,6 +343,7 @@ object EventQueries {
     "evt_time_weighted_avg" -> (evtTimeWeightedAvg _),
     "evt_time_range" -> (evtTimeRange _),
     "evt_decode_abi" -> (evtDecodeAbi _),
+    "evt_decode_abi_multi" -> (evtDecodeAbiMulti _),
     "evt_window_agg" -> (evtWindowAgg _),
     "evt_topk" -> (evtTopk _),
     "evt_latest_per_key" -> (evtLatestPerKey _),
@@ -323,6 +361,7 @@ object EventQueries {
     "evt_time_weighted_avg" -> evtTimeWeightedAvgSql,
     "evt_time_range" -> evtTimeRangeSql,
     "evt_decode_abi" -> evtDecodeAbiSql,
+    "evt_decode_abi_multi" -> evtDecodeAbiMultiSql,
     "evt_window_agg" -> evtWindowAggSql,
     "evt_topk" -> evtTopkSql,
     "evt_latest_per_key" -> evtLatestPerKeySql,

@@ -72,6 +72,39 @@ class DocStoreSpec extends SparkSpec {
     }
   }
 
+  test("orderBy sorts typed keys numerically with Firestore _id appending") {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("value", Op.Gt, Dbl(150.0))),
+      select = Seq("k"),
+      orderBy = Seq(Order("k", desc = true, keyType = I64(0))),
+      limit = Some(30))
+    Seq(DocStore.query(coll, q), DocStore.queryFused(coll, q)).foreach { df =>
+      val rows = df.collect().map(r => (r.getAs[String]("k").toLong, r.getLong(0)))
+      assert(rows.length === 30)
+      // numeric descending (a lexicographic sort would put "9" above "87")
+      assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.reverse.toSeq)
+      // _id appended with the last order's direction: within equal k,
+      // ids descend
+      rows.groupBy(_._1).values.filter(_.length > 1).foreach { g =>
+        assert(g.map(_._2).toSeq === g.map(_._2).sorted.reverse.toSeq)
+      }
+    }
+  }
+
+  test("offset pages past the first rows, before limit") {
+    def q(off: Option[Int]) = StructuredQuery(
+      where = Some(FieldFilter("event_type", Op.Eq, Str("view"))),
+      orderBy = Seq(Order("k", keyType = I64(0))),
+      offset = off, limit = Some(50))
+    val all = DocStore.queryFused(coll, q(None)).collect().map(_.getLong(0))
+    val paged = DocStore.queryFused(coll, q(Some(10))).collect().map(_.getLong(0))
+    assert(paged.length === 50)
+    assert(paged.take(40).toSeq === all.drop(10).toSeq)
+    // non-fused path agrees
+    val paged2 = DocStore.query(coll, q(Some(10))).collect().map(_.getLong(0))
+    assert(paged2.toSeq === paged.toSeq)
+  }
+
   test("op parser accepts the reference's spellings") {
     assert(Op.parse("==") === Op.Eq)
     assert(Op.parse(">=") === Op.Ge)

@@ -40,6 +40,14 @@ class QueryStrSpec extends SparkSpec {
     intercept[IllegalArgumentException](QueryStr.parse("   "))
   }
 
+  test("asc/desc/skip applies parse into orderBy/offset") {
+    val p = QueryStr.parse("/[age > 10] | asc /city | desc age | skip 5 | limit 2")
+    assert(p.sq.orderBy === Seq(Order("city"), Order("age", desc = true)))
+    assert(p.sq.offset === Some(5))
+    assert(p.sq.limit === Some(2))
+    intercept[IllegalArgumentException](QueryStr.parse("/* | asc "))
+  }
+
   test("query string executes end-to-end through GraftDB") {
     val db = new graft.api.GraftDB(spark,
       java.nio.file.Files.createTempDirectory("graftdb-qs").toString)
