@@ -39,8 +39,14 @@ object Salting {
       specs: AggSpec*): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(specs.nonEmpty, "at least one AggSpec required")
+    // deterministic salt from the whole row's hash: a stage retry
+    // re-derives the same salt per row (spark_partition_id /
+    // monotonically_increasing_id would re-deal rows across salts on
+    // retry — harmless for algebraic aggs, but nondeterministic plans
+    // defeat replay debugging); hot keys still spread because their
+    // non-key columns vary
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      pmod(hash(df.columns.map(col): _*), lit(salts)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(specs.head.phase1("__p0"),

@@ -91,19 +91,26 @@ object Dedup {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"),
         shingle_minhash(split(trim(col("text")), "\\s+"), 3, bands * rows).as("sig"))
-    val banded = d.select(col("doc_id"), col("sig"),
+    // candidate generation ships (band, bucket, id) only — the 512-byte
+    // signatures never ride the ×bands bucket shuffle; they re-attach to
+    // the deduped candidate pairs below (identical scan subtrees, so the
+    // second attach reuses the first's exchange)
+    val banded = d.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sig").as("b_sig"))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+      .join(d.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (aggregate(zip_with(col("a_sig"), col("b_sig"),
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m)
           .cast("double") / (bands * rows)).as("est_jaccard"))
-      .distinct()
   }
 
   /** SimHash near-dup: 64-bit fingerprint, banded into 4×16-bit chunks
@@ -126,56 +133,94 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
-  /** Embedding near-dup: cosine ≥ threshold pairs, blocked by label (the
-    * synthetic embeddings are near-orthogonal, so 0.4 captures the true
-    * closest-pair tail; real corpora would use ~0.95),
-    * stand-in for an ANN-bucket prefilter at scale), verified with the
-    * codegen'd CosineSim. Rows-only check (float kernel not reproduced in
-    * the oracle). */
+  /** Embedding near-dup: cosine ≥ threshold pairs behind an IVF-cell
+    * blocker (the SemDeDup shape): every vector is assigned to its
+    * `nprobe` nearest coarse-quantizer cells, candidate pairs share a
+    * cell, and only candidates get the exact codegen'd CosineSim rescore.
+    * Compare volume is O(Σ cell²·nprobe²) — cells are n/C, and C grows
+    * with the corpus, so nothing global-quadratic ever materializes
+    * (the previous label blocking was an all-pairs join in disguise:
+    * n²/10 compares). Multi-probe (nprobe=2) covers pairs straddling a
+    * cell boundary; the spec pins pairs ⊇ the label-blocked ground truth
+    * on the fixture. Rows-only check (float kernel not reproduced in the
+    * oracle). Threshold 0.4 captures the synthetic near-orthogonal
+    * fixture's closest-pair tail; real corpora would use ~0.95. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_v"))
-    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_v"))
-    a.join(b, Seq("label"))
+    val cells = Ann.ivfCells(e, c = 16, nprobe = 2)
+      .select(col("cid").as("cell"), col("vec_id"))
+    val a = cells.select(col("cell"), col("vec_id").as("a_id"))
+    val b = cells.select(col("cell"), col("vec_id").as("b_id"))
+    a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+        col("label").as("a_label")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_v")), Seq("b_id"))
       .withColumn("cos", cosine_sim(col("a_v"), col("b_v")))
       .filter(col("cos") >= 0.4)
-      .select(col("a_id"), col("b_id"), col("label"), col("cos"))
+      .select(col("a_id"), col("b_id"), col("a_label").as("label"), col("cos"))
   }
 
   /** Near-dup clustering: connected components over the MinHash candidate
-    * pair graph via iterative min-label propagation (each round: every
-    * node takes the min label among itself and its neighbors; converges
-    * in O(component diameter) rounds — near-dup components are tiny, so
-    * a fixed small round count suffices; each round is one join+groupBy,
-    * fully distributed). Output: (doc_id, cluster) for docs in any
-    * near-dup pair. Rows-only; structure spec-checked. */
+    * pair graph. Rows-only; structure spec-checked (including a
+    * diameter-8 path graph collapsing to one component). */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"))
-    // undirected edge list, both directions + self
-    // materialize the edge list once — iterative propagation would
-    // otherwise re-run the whole MinHash candidate generation per round
-    // (on a cluster: checkpoint to reliable storage instead)
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .unionByName(pairs.select(col("a_id").as("src"), col("a_id").as("dst")))
-      .unionByName(pairs.select(col("b_id").as("src"), col("b_id").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
-    var i = 0
-    while (i < 4) {
-      labels = edges
-        .join(labels.withColumnRenamed("id", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("cluster")).as("cluster"))
-        .withColumnRenamed("id2", "id")
-      i += 1
+    connectedComponents(pairs)
+  }
+
+  /** Connected components by min-label propagation run to FIXPOINT: each
+    * round every node takes the min label among itself and its neighbors
+    * (one join + one groupBy, fully distributed); rounds stop when no
+    * label changed (checked with a limit-1 probe, not a count), with
+    * `maxRounds` as a runaway guard — a fixed round count would silently
+    * mislabel any component whose diameter exceeds it. Convergence takes
+    * O(max component diameter) rounds; near-dup components are shallow,
+    * so the loop usually exits in 3-5.
+    *
+    * Each round's frame is checkpointed to truncate the lineage (else
+    * round N replans rounds 1..N-1): into `checkpointDir` when given
+    * (reliable storage — survives executor loss on a cluster), else an
+    * executor-local checkpoint (fine for local mode; lineage is cut
+    * either way). Output: (doc_id, cluster = component-min id) for every
+    * node of the pair graph. */
+  def connectedComponents(pairs: DataFrame,
+      checkpointDir: Option[String] = None,
+      maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    // undirected edge list, both directions + self-edges (a node is its
+    // own neighbor so isolated self-labels survive the propagation round)
+    val edges = cut(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .unionByName(pairs.select(col("a_id").as("src"), col("a_id").as("dst")))
+        .unionByName(pairs.select(col("b_id").as("src"), col("b_id").as("dst")))
+        .distinct())
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = cut(edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("cluster")).as("cluster")))
+      converged = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
+        .filter(col("cluster") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 

@@ -74,12 +74,18 @@ class PipelineSpec extends SparkSpec {
     perQuery.foreach(r => assert(r.getLong(1) === 10))
   }
 
-  test("ann LSH results are a subset of brute-force candidates' ids") {
+  test("multi-table ann LSH recalls >= 0.8 of brute-force neighbors") {
     val brute = Ann.annCosineTopk(spark, sf)
-      .select("query_id").distinct().as[Long].collect().toSet
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val lsh = Ann.annLsh(spark, sf)
-      .select("query_id").distinct().as[Long].collect().toSet
-    assert(lsh.subsetOf(brute))
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall") // measured 0.895 at 4 bits × 16 tables
+    // and single-table recall is strictly worse — the OR over tables is
+    // what buys the recall
+    val one = Ann.annLshTables(spark, sf, bits = 4, tables = 1)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert((brute & one).size < (brute & lsh).size)
   }
 
   test("near-dup clusters are consistent with their pair graph") {
@@ -98,16 +104,55 @@ class PipelineSpec extends SparkSpec {
     clusters.foreach { case (id, c) => assert(c <= id) }
   }
 
-  test("ann IVF recalls a meaningful share of brute-force neighbors") {
+  test("ann IVF recalls >= 0.8 of brute-force neighbors at nprobe=12/16") {
     val brute = Ann.annCosineTopk(spark, sf)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     val ivf = Ann.annIvf(spark, sf)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
     assert(ivf.nonEmpty)
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.3, s"recall=$recall")
+    assert(recall >= 0.8, s"recall=$recall") // measured 0.985
     // every IVF result is a real vector pair
     ivf.foreach { case (q, c) => assert(q != c) }
+  }
+
+  test("embedding near-dup blocker covers the label-blocked ground truth") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    // the previous label-blocked form, as ground truth on the fixture
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    val labelPairs = a.join(b, Seq("label")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine_sim(col("a_v"), col("b_v")))
+      .filter(col("cos") >= 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val blocked = Dedup.dedupEmbedding(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(labelPairs.nonEmpty)
+    assert(labelPairs.subsetOf(blocked), s"missing: ${labelPairs -- blocked}")
+    // the candidate join is keyed on the IVF cell — no unkeyed self-join
+    // anywhere in the pair generation (the only nested-loop join is the
+    // broadcast of the 16-row centroid table)
+    val plan = Dedup.dedupEmbedding(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cell"), plan.take(500))
+  }
+
+  test("connected components reach fixpoint on a diameter-8 path graph") {
+    // a fixed 4-round propagation would stop at label distance 4 and
+    // split this component; the fixpoint loop must collapse it to min=0
+    val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size === 9)
+    assert(cc.values.toSet === Set(0L))
+    // reliable-checkpoint variant agrees
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
+    val cc2 = Dedup.connectedComponents(pairs, checkpointDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc2 === cc)
+    // runaway guard trips rather than returning a wrong answer
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(pairs, maxRounds = 2).collect())
   }
 
   test("fingerprint is deterministic and content-sensitive") {
