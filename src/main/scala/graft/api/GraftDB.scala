@@ -39,11 +39,66 @@ class GraftDB(spark: SparkSession, root: String) {
   private def collPath(db: String, coll: String) = s"$root/$db/$coll"
   private def mutPath(db: String, coll: String) = s"${collPath(db, coll)}/mutations"
   private def rollPath(db: String, coll: String) = s"${collPath(db, coll)}/rollups"
+  private def statePath(db: String, coll: String) = s"${collPath(db, coll)}/state/state.json"
+  private def manifestPath(db: String, coll: String) = s"${collPath(db, coll)}/manifest"
 
   def createCollection(db: String, coll: String): Unit = {
     Files.createDirectories(Paths.get(mutPath(db, coll)))
     Files.createDirectories(Paths.get(rollPath(db, coll)))
   }
+
+  // ---- block/id state cell -------------------------------------------
+  // The reference keeps (block, order) in a single tiny KV cell and bumps
+  // it per mutation batch (mutation_store.rs:444
+  // increase_block_return_last_state) — O(1) per append. The analog: a
+  // one-line JSON state file per collection, written atomically
+  // (temp + move). Reading the whole mutation log to find max(block) on
+  // every write — the round-1 shape — is O(log) per append and a scale
+  // wall on a 100 TB log.
+
+  private def readState(db: String, coll: String): Option[CollState] = {
+    val p = Paths.get(statePath(db, coll))
+    if (!Files.exists(p)) None
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      Some(JsonMethods.parse(Files.readString(p)).extract[CollState])
+    }
+  }
+
+  private def writeState(db: String, coll: String, s: CollState): Unit = {
+    import org.json4s.jackson.Serialization
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val p = Paths.get(statePath(db, coll))
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(s"state.json.tmp")
+    Files.writeString(tmp, Serialization.write(s))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current (lastBlock, nextId). Reads the state cell; falls back to one
+    * full-log scan ONLY for legacy collections written before the cell
+    * existed (and persists the result, so the scan never repeats). */
+  private def currentState(db: String, coll: String): CollState =
+    readState(db, coll).getOrElse {
+      val log = mutationLog(db, coll)
+      val s =
+        if (log.isEmpty) CollState(-1L, 0L)
+        else {
+          val r = log.agg(max(col("block")), max(col("id"))).head()
+          CollState(r.getLong(0), r.getLong(1) + 1L)
+        }
+      writeState(db, coll, s)
+      s
+    }
+
+  /** The next block a writer would stamp — state-cell read, no log scan.
+    * (The single-sequencer assumption above applies: concurrent callers
+    * would race the reservation.) */
+  def nextBlockId(db: String, coll: String): Long =
+    currentState(db, coll).lastBlock + 1L
 
   /** The full mutation log: rolled-up batches + live tail, one schema. */
   def mutationLog(db: String, coll: String): DataFrame = {
@@ -56,30 +111,21 @@ class GraftDB(spark: SparkSession, root: String) {
     else reads.reduce(_ unionByName _)
   }
 
-  private def nextBlock(db: String, coll: String): Long = {
-    val log = mutationLog(db, coll)
-    if (log.isEmpty) 0L
-    else log.agg(max(col("block"))).head().getLong(0) + 1L
-  }
-
-  private def maxId(db: String, coll: String): Long = {
-    val log = mutationLog(db, coll)
-    if (log.isEmpty) -1L
-    else log.agg(max(col("id"))).head().getLong(0)
-  }
-
   private def append(db: String, coll: String, rows: Seq[Row]): Unit =
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mutationSchema)
       .write.mode(SaveMode.Append).parquet(mutPath(db, coll))
 
-  /** AddDocument: assigns monotonically increasing ids (doc_order analog). */
+  /** AddDocument: assigns monotonically increasing ids (doc_order analog).
+    * Block/id come from the state cell — no log scan per batch. */
   def addDocuments(db: String, coll: String, docs: Seq[String]): Seq[Long] = {
-    val block = nextBlock(db, coll)
-    val base = maxId(db, coll) + 1
+    val st = currentState(db, coll)
+    val block = st.lastBlock + 1
+    val base = st.nextId
     val ids = docs.indices.map(base + _)
     append(db, coll, docs.zipWithIndex.map { case (d, i) =>
       Row(block, i, ActionAdd, base + i, d, null)
     })
+    writeState(db, coll, CollState(block, base + docs.length))
     ids
   }
 
@@ -90,19 +136,52 @@ class GraftDB(spark: SparkSession, root: String) {
       docs: Seq[String], masks: Seq[Seq[String]]): Unit = {
     require(ids.length == docs.length && ids.length == masks.length,
       s"ids/docs/masks length mismatch: ${ids.length}/${docs.length}/${masks.length}")
-    val block = nextBlock(db, coll)
+    val st = currentState(db, coll)
+    val block = st.lastBlock + 1
     append(db, coll, ids.indices.map { i =>
       Row(block, i, ActionUpdate, ids(i), docs(i),
         if (masks(i).isEmpty) null else masks(i).mkString(","))
     })
+    writeState(db, coll, st.copy(lastBlock = block))
   }
 
   /** DeleteDocument tombstones. */
   def deleteDocuments(db: String, coll: String, ids: Seq[Long]): Unit = {
-    val block = nextBlock(db, coll)
+    val st = currentState(db, coll)
+    val block = st.lastBlock + 1
     append(db, coll, ids.zipWithIndex.map { case (id, i) =>
       Row(block, i, ActionDelete, id, null, null)
     })
+    writeState(db, coll, st.copy(lastBlock = block))
+  }
+
+  /** Partition-parallel bulk append of one block: every input partition
+    * stamps its own rows (order = partitionId·2^20 + rowIdx, the
+    * reference's (block, order) entry-id composition) and writes its own
+    * parquet — no driver materialization anywhere. The block's rows land
+    * in their own sub-directory with Overwrite, so a retried streaming
+    * micro-batch is idempotent. Doc ids encode (block, order) like the
+    * reference's DocumentEntryId; caps: 2^11 partitions × 2^20 rows per
+    * block. */
+  def appendDocumentsAt(db: String, coll: String, block: Long,
+      docs: DataFrame, docCol: String = "doc"): Unit = {
+    val stride = 1 << 20
+    val rows = docs.select(col(docCol).cast("string")).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        require(pid < (1 << 11), s"partition id $pid exceeds order budget")
+        it.zipWithIndex.map { case (row, i) =>
+          require(i < stride, s"partition row count exceeds $stride")
+          val order = pid * stride + i
+          Row(block, order, ActionAdd, block * IdStride + order,
+            row.getString(0), null)
+        }
+      }
+    spark.createDataFrame(rows, mutationSchema)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${mutPath(db, coll)}/block_$block")
+    val st = currentState(db, coll)
+    writeState(db, coll, CollState(math.max(st.lastBlock, block),
+      math.max(st.nextId, (block + 1) * IdStride)))
   }
 
   /** Live document state: distributed fold of the log.
@@ -151,26 +230,87 @@ class GraftDB(spark: SparkSession, root: String) {
     if (parsed.count) res.agg(count(lit(1)).as("count")) else res
   }
 
-  /** Rollup (rollup_executor.rs process): compact the live mutation tail
-    * into one gzip parquet batch under rollups/, then GC the tail
-    * (gc_mutation). Returns the RollupRecord analog. */
-  def rollup(db: String, coll: String): RollupRecord = {
+  /** Rollup (rollup_executor.rs:256 `process`): drain the live mutation
+    * tail into SIZE-BOUNDED gzip parquet batches under rollups/ — batches
+    * are whole blocks in block order, cut when the running payload size
+    * crosses `maxBatchBytes` (the reference drains the log into multiple
+    * batches bounded by size/interval, never one unbounded blob). Every
+    * batch writes a RollupRecord row into the persisted manifest
+    * (mutation_store.rs:291 add_rollup_record); the GC'd tail writes a
+    * GcRecord (mutation_store.rs:248 add_gc_record).
+    *
+    * Scale shape: batch assignment windows over the PER-BLOCK size frame
+    * (#blocks rows, not #mutations), the assignment broadcast-joins back,
+    * and the write is one distributed partitionBy(batch) pass sorted by
+    * (block, order) — compaction parallelism = #batches, no
+    * repartition(1) single-core gzip. */
+  def rollup(db: String, coll: String,
+      maxBatchBytes: Long = 64L * 1024 * 1024): Seq[RollupRecord] = {
     val tailDir = mutPath(db, coll)
-    if (!hasParquet(tailDir)) return RollupRecord(0, 0, 0, 0)
-    val tail = spark.read.schema(mutationSchema).parquet(tailDir)
-    val (lo, hi, n) = {
-      val r = tail.agg(min(col("block")), max(col("block")), count(lit(1))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+    if (!hasParquet(tailDir)) return Seq.empty
+    val tail = spark.read.schema(mutationSchema)
+      .option("recursiveFileLookup", "true").parquet(tailDir)
+    val rowBytes = coalesce(length(col("doc")).cast("long"), lit(0L)) +
+      coalesce(length(col("mask")).cast("long"), lit(0L)) + lit(24L)
+    val byBlock = Window.orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val assign = tail.groupBy(col("block"))
+      .agg(sum(rowBytes).as("bytes"))
+      .withColumn("running", sum(col("bytes")).over(byBlock))
+      .withColumn("batch", ((col("running") - col("bytes")) / maxBatchBytes)
+        .cast("long"))
+      .select(col("block"), col("batch"))
+    val (lo, hi) = {
+      val r = tail.agg(min(col("block")), max(col("block"))).head()
+      (r.getLong(0), r.getLong(1))
     }
-    val batchDir = s"${rollPath(db, coll)}/batch_${lo}_$hi"
-    tail.repartition(1).sortWithinPartitions("block", "order")
-      .write.mode(SaveMode.Overwrite)
-      .option("compression", "gzip").parquet(batchDir)
-    val size = dirSize(batchDir)
-    // GC the rolled-up tail
+    val runDir = s"${rollPath(db, coll)}/run_${lo}_$hi"
+    tail.join(broadcast(assign), Seq("block"))
+      .repartition(col("batch"))
+      .sortWithinPartitions("batch", "block", "order")
+      .write.partitionBy("batch").mode(SaveMode.Overwrite)
+      .option("compression", "gzip").parquet(runDir)
+    // per-batch stats: #batches rows of metadata on the driver (the
+    // reference's record list lives in RocksDB the same way)
+    val records = tail.join(broadcast(assign), Seq("block"))
+      .groupBy(col("batch"))
+      .agg(min(col("block")).as("lo"), max(col("block")).as("hi"),
+        count(lit(1)).as("n"), sum(rowBytes).as("raw"))
+      .orderBy(col("batch"))
+      .collect()
+      .map { r =>
+        val path = s"$runDir/batch=${r.getAs[Long]("batch")}"
+        RollupRecord(r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+          r.getAs[Long]("n"), dirSize(path), r.getAs[Long]("raw"), path)
+      }.toSeq
+    appendManifest(s"${manifestPath(db, coll)}/rollup", records.map(rec =>
+      Row(rec.startBlock, rec.endBlock, rec.mutationCount,
+        rec.compressedBytes, rec.rawBytes, rec.path)), rollupManifestSchema)
+    // GC the rolled-up tail + its GcRecord
+    val n = records.map(_.mutationCount).sum
     deleteRecursively(Paths.get(tailDir))
     Files.createDirectories(Paths.get(tailDir))
-    RollupRecord(lo, hi, n, size)
+    appendManifest(s"${manifestPath(db, coll)}/gc",
+      Seq(Row(lo, hi, n)), gcManifestSchema)
+    records
+  }
+
+  private def appendManifest(dir: String, rows: Seq[Row], schema: StructType): Unit =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode(SaveMode.Append).parquet(dir)
+
+  /** Persisted rollup history (mutation_store.rs:430 scan_rollup_records). */
+  def scanRollupRecords(db: String, coll: String): DataFrame = {
+    val dir = s"${manifestPath(db, coll)}/rollup"
+    if (hasParquet(dir)) spark.read.schema(rollupManifestSchema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], rollupManifestSchema)
+  }
+
+  /** Persisted GC history (mutation_store.rs scan_gc_records). */
+  def scanGcRecords(db: String, coll: String): DataFrame = {
+    val dir = s"${manifestPath(db, coll)}/gc"
+    if (hasParquet(dir)) spark.read.schema(gcManifestSchema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], gcManifestSchema)
   }
 
   /** Recovery = re-reading state from rollups (+ any live tail); the fold
@@ -179,12 +319,28 @@ class GraftDB(spark: SparkSession, root: String) {
 
   /** Bulk-ingest documents from newline-delimited JSON files (the
     * reference SDK's addDoc over an external dump): each line becomes one
-    * AddDocument mutation. */
+    * AddDocument mutation. Fully distributed — the lines never visit the
+    * driver: ids are assigned densely by zipWithIndex over the
+    * deterministic file/split ordering, every partition writes its own
+    * parquet, and the driver only reserves the (block, id-base) range in
+    * the state cell. (A single bulk block holds up to 2^31 lines — the
+    * `order` column's width; ids are unbounded longs.) */
   def addDocumentsFromJson(db: String, coll: String, jsonPath: String): Long = {
-    val docs = spark.read.textFile(jsonPath).collect().toSeq
-      .map(_.trim).filter(_.nonEmpty)
-    addDocuments(db, coll, docs)
-    docs.length.toLong
+    import spark.implicits._
+    val lines = spark.read.textFile(jsonPath)
+      .map(_.trim).filter((l: String) => l.nonEmpty)
+    val n = lines.count()
+    if (n == 0) return 0L
+    val st = currentState(db, coll)
+    val block = st.lastBlock + 1
+    val base = st.nextId
+    val rows = lines.rdd.zipWithIndex().map { case (doc, i) =>
+      Row(block, i.toInt, ActionAdd, base + i, doc, null)
+    }
+    spark.createDataFrame(rows, mutationSchema)
+      .write.mode(SaveMode.Append).parquet(mutPath(db, coll))
+    writeState(db, coll, CollState(block, base + n))
+    n
   }
 
   /** Export live state (sink): parquet or ndjson of (_id, doc). */
@@ -298,8 +454,33 @@ object GraftDB {
   case class MutationRow(block: Long, order: Int, action: Int,
       id: Long, doc: String, mask: String)
 
+  /** RollupRecord analog (rollup_executor.rs RollupRecord{start_block,
+    * end_block, mutation_count, raw_data_size, compress_data_size,
+    * arweave_tx → path}). */
   case class RollupRecord(startBlock: Long, endBlock: Long,
-      mutationCount: Long, compressedBytes: Long)
+      mutationCount: Long, compressedBytes: Long,
+      rawBytes: Long = 0L, path: String = "")
+
+  /** The per-collection block-state cell (mutation_store.rs:444):
+    * last stamped block + next dense doc id. */
+  case class CollState(lastBlock: Long, nextId: Long)
+
+  /** Doc-id stride for block-encoded ids from partition-parallel appends
+    * (id = block·2^31 + order, the DocumentEntryId composition). */
+  val IdStride: Long = 1L << 31
+
+  val rollupManifestSchema: StructType = StructType(Seq(
+    StructField("start_block", LongType, nullable = false),
+    StructField("end_block", LongType, nullable = false),
+    StructField("mutation_count", LongType, nullable = false),
+    StructField("compressed_bytes", LongType, nullable = false),
+    StructField("raw_bytes", LongType, nullable = false),
+    StructField("path", StringType, nullable = false)))
+
+  val gcManifestSchema: StructType = StructType(Seq(
+    StructField("start_block", LongType, nullable = false),
+    StructField("end_block", LongType, nullable = false),
+    StructField("mutation_count", LongType, nullable = false)))
 
   val mutationSchema: StructType = StructType(Seq(
     StructField("block", LongType, nullable = false),

@@ -75,22 +75,23 @@ object Streaming {
 
   /** Real-time ingestion (the reference storage node's mutation intake):
     * stream events into a GraftDB collection as AddDocument mutations via
-    * foreachBatch — each micro-batch appends one block to the log, so
-    * (block, order) ordering mirrors (batchId, row index). Returns the
-    * started query; callers own its lifecycle. */
+    * foreachBatch. Partition-parallel: the driver only assigns the block
+    * (= stream's reserved base + micro-batch id — the sequencer role);
+    * every partition stamps its own (block, partitionId·2^20 + rowIdx)
+    * orders and writes its own parquet directly
+    * (GraftDB.appendDocumentsAt). No row ever visits the driver, and the
+    * per-block Overwrite write makes a retried micro-batch idempotent.
+    * Returns the started query; callers own its lifecycle. */
   def ingestToDb(spark: SparkSession, dir: String, db: graft.api.GraftDB,
       dbName: String, coll: String): org.apache.spark.sql.streaming.StreamingQuery = {
     db.createCollection(dbName, coll)
+    val blockBase = db.nextBlockId(dbName, coll)
     readEventStream(spark, dir).toDF()
       .select(to_json(struct(col("event_id"), col("user_id"),
         col("event_type"), col("value"))).as("doc"))
       .writeStream
-      // driver-side collect mirrors the reference node's sequential
-      // (block, order) stamping; a cluster-scale intake would instead
-      // have each partition append its own pre-stamped parquet file.
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val docs = batch.collect().map(_.getString(0)).toSeq
-        if (docs.nonEmpty) db.addDocuments(dbName, coll, docs)
+        if (!batch.isEmpty) db.appendDocumentsAt(dbName, coll, blockBase + batchId, batch)
         ()
       }
       .start()

@@ -33,9 +33,11 @@ object DbDemo {
 
     db.updateDocuments("demo", "book", Seq(ids.head), Seq("""{"rate":6}"""), Seq(Seq("rate")))
     db.deleteDocuments("demo", "book", Seq(ids(2)))
-    val rec = db.rollup("demo", "book")
-    println(s"rollup: blocks ${rec.startBlock}..${rec.endBlock}, " +
-      s"${rec.mutationCount} mutations, ${rec.compressedBytes} bytes gzip")
+    val recs = db.rollup("demo", "book")
+    recs.foreach(rec => println(s"rollup: blocks ${rec.startBlock}..${rec.endBlock}, " +
+      s"${rec.mutationCount} mutations, ${rec.compressedBytes} bytes gzip -> ${rec.path}"))
+    println("rollup manifest:")
+    db.scanRollupRecords("demo", "book").show(truncate = false)
 
     println("state after masked update + delete + rollup + recover:")
     db.recover("demo", "book").df.orderBy("_id").show(truncate = false)

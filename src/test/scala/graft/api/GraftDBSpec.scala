@@ -143,14 +143,133 @@ class GraftDBSpec extends SparkSpec {
     db.updateDocuments("d1", "c", Seq(0L), Seq("""{"n":100}"""), Seq(Nil))
     db.deleteDocuments("d1", "c", Seq(1L))
     val before = db.collection("d1", "c").df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val rec = db.rollup("d1", "c")
-    assert(rec.mutationCount === 52)
-    assert(rec.compressedBytes > 0)
+    val recs = db.rollup("d1", "c")
+    assert(recs.map(_.mutationCount).sum === 52)
+    recs.foreach(r => assert(r.compressedBytes > 0))
     val after = db.recover("d1", "c").df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(after === before)
     assert(after(0L) === """{"n":100}""" && !after.contains(1L) && after.size === 49)
     // appends continue after rollup with fresh blocks
     db.addDocuments("d1", "c", Seq("""{"n":999}"""))
     assert(db.collection("d1", "c").df.count() === 50)
+  }
+
+  test("size-bounded rollup cuts multiple batches; manifest matches dirs; recovery exact") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    // 3 blocks of ~30 bytes payload each
+    db.addDocuments("d1", "c", Seq("""{"n":1,"pad":"xxxxxxxxxx"}"""))
+    db.addDocuments("d1", "c", Seq("""{"n":2,"pad":"xxxxxxxxxx"}"""))
+    db.addDocuments("d1", "c", Seq("""{"n":3,"pad":"xxxxxxxxxx"}"""))
+    val before = db.collection("d1", "c").df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // threshold below one block's bytes → every block its own batch
+    val recs = db.rollup("d1", "c", maxBatchBytes = 10L)
+    assert(recs.length === 3, recs.mkString(";"))
+    // batches partition the block range in order, without overlap
+    assert(recs.map(r => (r.startBlock, r.endBlock)) === Seq((0L, 0L), (1L, 1L), (2L, 2L)))
+    // manifest rows mirror the returned records and their dirs exist
+    val manifest = db.scanRollupRecords("d1", "c").collect()
+    assert(manifest.length === 3)
+    manifest.foreach { m =>
+      assert(new java.io.File(m.getAs[String]("path")).isDirectory,
+        m.getAs[String]("path"))
+      assert(m.getAs[Long]("compressed_bytes") > 0)
+    }
+    val gc = db.scanGcRecords("d1", "c").collect()
+    assert(gc.length === 1 && gc.head.getAs[Long]("mutation_count") === 3)
+    // recovery from the rolled-up batches is byte-identical
+    val after = db.recover("d1", "c").df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === before)
+    // a second rollup appends to the manifest rather than clobbering it
+    db.addDocuments("d1", "c", Seq("""{"n":4}"""))
+    db.rollup("d1", "c")
+    assert(db.scanRollupRecords("d1", "c").count() === 4)
+  }
+
+  test("block/id assignment comes from the state cell, not a log scan") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", Seq("""{"v":1}""", """{"v":2}"""))
+    db.deleteDocuments("d1", "c", Seq(0L))
+    // blow away the log: a state-cell implementation keeps assigning
+    // correct fresh (block, id) without it; a log-scanning one would
+    // restart from zero
+    val mutDir = java.nio.file.Paths.get(new java.net.URI(
+      db.mutationLog("d1", "c").inputFiles.head)).getParent
+    mutDir.toFile.listFiles().foreach(f => if (f.isFile) f.delete())
+    val ids = db.addDocuments("d1", "c", Seq("""{"v":3}"""))
+    assert(ids === Seq(2L)) // dense continuation despite the missing log
+    val blocks = db.mutationLog("d1", "c").select("block").distinct().collect()
+      .map(_.getLong(0)).sorted
+    assert(blocks.toSeq === Seq(2L)) // only the fresh block remains on disk
+  }
+
+  test("legacy collections without a state cell fall back to one log scan") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", Seq("""{"v":1}"""))
+    // simulate a pre-state-cell layout by removing the cell
+    val stateDir = java.nio.file.Paths.get(new java.net.URI(
+      db.mutationLog("d1", "c").inputFiles.head)).getParent.getParent.resolve("state")
+    assert(stateDir.toFile.isDirectory)
+    stateDir.toFile.listFiles().foreach(_.delete())
+    stateDir.toFile.delete()
+    val ids = db.addDocuments("d1", "c", Seq("""{"v":2}"""))
+    assert(ids === Seq(1L)) // continued densely from the scanned log
+    assert(stateDir.toFile.isDirectory) // and the cell was re-persisted
+  }
+
+  test("distributed json ingestion assigns dense deterministic ids without collect") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    val in = Files.createTempDirectory("graft-bulk")
+    // multiple files → multiple partitions
+    Files.writeString(in.resolve("a.ndjson"), (0 until 40).map(i => s"""{"a":$i}""").mkString("\n"))
+    Files.writeString(in.resolve("b.ndjson"), (40 until 75).map(i => s"""{"a":$i}""").mkString("\n"))
+    val n = db.addDocumentsFromJson("d1", "c", in.toString)
+    assert(n === 75)
+    val log = db.mutationLog("d1", "c")
+    // dense ids 0..74, one block
+    val idSet = log.select("id").collect().map(_.getLong(0)).toSet
+    assert(idSet === (0L until 75L).toSet)
+    assert(log.select("block").distinct().count() === 1)
+    // deterministic: a second identical ingest into a fresh collection
+    // produces the same (id, doc) mapping
+    db.createCollection("d1", "c2")
+    db.addDocumentsFromJson("d1", "c2", in.toString)
+    val m1 = log.select("id", "doc").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = db.mutationLog("d1", "c2").select("id", "doc").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 === m2)
+    // and the ingestion plan is distributed — no Collect anywhere
+    // (structural guarantee: addDocumentsFromJson builds the mutation
+    // rows from lines.rdd.zipWithIndex, which never materializes on the
+    // driver; nothing to assert on a plan here because the write already
+    // happened, so assert on behavior: ids dense + deterministic above)
+  }
+
+  test("appendDocumentsAt stamps partition-parallel orders and block-encoded ids") {
+    import org.apache.spark.sql.functions.col
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    val docs = spark.range(0, 1000, 1, 8) // 8 partitions
+      .selectExpr("""concat('{"v":', id, '}') as doc""")
+    val block = db.nextBlockId("d1", "c")
+    assert(block === 0L)
+    db.appendDocumentsAt("d1", "c", block, docs)
+    val log = db.mutationLog("d1", "c")
+    assert(log.count() === 1000)
+    // ids encode (block, order); orders unique within the block
+    assert(log.select("order").distinct().count() === 1000)
+    assert(log.filter(col("id") =!= col("block") * GraftDB.IdStride + col("order")).count() === 0)
+    // state advanced past the block-encoded range
+    assert(db.nextBlockId("d1", "c") === 1L)
+    // retrying the same block is idempotent (overwrite, not duplicate)
+    db.appendDocumentsAt("d1", "c", block, docs)
+    assert(db.mutationLog("d1", "c").count() === 1000)
+    // live state folds every doc
+    assert(db.collection("d1", "c").df.count() === 1000)
   }
 }
