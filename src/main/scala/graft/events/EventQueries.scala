@@ -299,6 +299,37 @@ object EventQueries {
       |  FROM events) t
       |GROUP BY user_id""".stripMargin
 
+  /** Ownership verification analog (node/src/mutation_utils.rs recovers
+    * each mutation's sender from its signature; db_store_v2.rs:819
+    * verify_docs_ownership rejects mutations to docs the sender does not
+    * own). Without crypto in scope, the consistency check: a doc key
+    * (props.k) is owned by the sender of its earliest mutation; any later
+    * mutation from a different sender counts as a foreign write. One
+    * shuffle on the doc key; the window and the aggregate share it. */
+  def mutationOwnership(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("owner", first(col("user_id")).over(w))
+      .groupBy(col("k"))
+      .agg(max(col("owner")).as("owner"),
+        count(lit(1)).as("n_mutations"),
+        sum(when(col("user_id") =!= col("owner"), 1L).otherwise(0L))
+          .as("n_foreign"))
+  }
+
+  val mutationOwnershipSql: String =
+    """WITH o AS (
+      |  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, user_id,
+      |    FIRST_VALUE(user_id) OVER (
+      |      PARTITION BY CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |      ORDER BY ts ASC, event_id ASC) AS owner
+      |  FROM events)
+      |SELECT k, MAX(owner) AS owner, COUNT(*) AS n_mutations,
+      |  CAST(SUM(CASE WHEN user_id <> owner THEN 1 ELSE 0 END) AS BIGINT) AS n_foreign
+      |FROM o GROUP BY k""".stripMargin
+
   /** Time-weighted average value per key — the tsdb staple for irregular
     * samples: each value weighted by its holding interval. Numerator and
     * denominator are exact (decimal × integer microseconds); the ratio is
@@ -340,6 +371,7 @@ object EventQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_bitmap_distinct" -> (evtBitmapDistinct _),
     "mutation_integrity" -> (mutationIntegrity _),
+    "mutation_ownership" -> (mutationOwnership _),
     "evt_time_weighted_avg" -> (evtTimeWeightedAvg _),
     "evt_time_range" -> (evtTimeRange _),
     "evt_decode_abi" -> (evtDecodeAbi _),
@@ -358,6 +390,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "evt_bitmap_distinct" -> evtBitmapDistinctSql,
     "mutation_integrity" -> mutationIntegritySql,
+    "mutation_ownership" -> mutationOwnershipSql,
     "evt_time_weighted_avg" -> evtTimeWeightedAvgSql,
     "evt_time_range" -> evtTimeRangeSql,
     "evt_decode_abi" -> evtDecodeAbiSql,
