@@ -2,7 +2,9 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.functions.GraftFunctions._
 
 /** SURVEY §2D/F — corpus curation endpoints: text normalization and the
   * keep-list materialization that an LLM-data pipeline actually ships
@@ -103,10 +105,97 @@ object Curation {
       |WHERE length(token) > 0
       |GROUP BY token ORDER BY freq DESC, token ASC LIMIT 100""".stripMargin
 
+  /** Sequence packing: greedy fill of fixed token-budget context windows
+    * per source stream in doc_id order — the step that turns a curated
+    * corpus into dense training inputs. Same running-sum assignment as
+    * the rollup batcher; windows never span sources, so the running sum
+    * parallelizes across sources instead of one global sequential fold. */
+  def pipelinePack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("toks", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("running", sum(col("toks")).over(w))
+      .withColumn("window_id", ((col("running") - col("toks")) / budget).cast("long"))
+      .groupBy(col("source"), col("window_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / budget)
+  }
+
+  val pipelinePackSql: String =
+    """WITH a AS (
+      |  SELECT source, doc_id,
+      |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+      |    SUM(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+      |      OVER (PARTITION BY source ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING) AS running
+      |  FROM documents)
+      |SELECT source, CAST(FLOOR((running - toks) / 512.0) AS BIGINT) AS window_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(SUM(toks) AS BIGINT) AS DOUBLE) / 512 AS fill_ratio
+      |FROM a GROUP BY 1, 2""".stripMargin
+
+  /** Benchmark decontamination: n-gram CONTAINMENT of the benchmark set
+    * (doc_id < 20 plays the eval set) inside each training doc —
+    * |∩| / |bench shingles|, the asymmetric overlap that catches a
+    * benchmark embedded in a larger document, which symmetric jaccard
+    * dilutes. Inverted-index join on 64-bit shingle hashes: only
+    * (train, bench) pairs sharing content ever materialize — the same
+    * 100 TB shape as the jaccard join. Threshold 0.05 suits the
+    * fixture's word-soup 3-grams; real pipelines run ~0.8 on 8-grams. */
+  def pipelineContamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        shingle_hashes(split(trim(col("text")), "\\s+"), 3).as("ng"))
+    val bench = d.filter(col("doc_id") < 20)
+      .withColumn("bench_sz", size(col("ng")).cast("long"))
+    val bx = bench.select(col("doc_id").as("bench_id"), col("bench_sz"),
+      explode(col("ng")).as("sh"))
+    val tx = d.filter(col("doc_id") >= 20)
+      .select(col("doc_id").as("train_id"), explode(col("ng")).as("sh"))
+    bx.join(tx, Seq("sh"))
+      .groupBy(col("train_id"), col("bench_id"), col("bench_sz"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") / col("bench_sz"))
+      .filter(col("containment") >= 0.05)
+      .select(col("train_id"), col("bench_id"), col("inter"), col("containment"))
+  }
+
+  val pipelineContaminationSql: String =
+    """WITH ng AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+      |      i -> string_split(trim(text), ' ')[i] || ' ' || string_split(trim(text), ' ')[i+1] || ' ' || string_split(trim(text), ' ')[i+2])) AS g
+      |  FROM documents),
+      |b AS (SELECT doc_id AS bench_id, g AS bg, CAST(len(g) AS BIGINT) AS bench_sz FROM ng WHERE doc_id < 20),
+      |t AS (SELECT doc_id AS train_id, g AS tg FROM ng WHERE doc_id >= 20)
+      |SELECT train_id, bench_id,
+      |  CAST(len(list_intersect(tg, bg)) AS BIGINT) AS inter,
+      |  CAST(len(list_intersect(tg, bg)) AS DOUBLE) / bench_sz AS containment
+      |FROM t JOIN b ON CAST(len(list_intersect(tg, bg)) AS DOUBLE) / bench_sz >= 0.05""".stripMargin
+
+  /** Deterministic stratified sampling: an independent multiplicative
+    * hash (xxhash32 prime, decorrelated from the split hash) keeps ~10%
+    * of each source stratum — reproducible across runs/engines/
+    * repartitioning, no RNG state. Emits the sampled rows themselves. */
+  def pipelineSample(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id") * 2246822519L, lit(100L)) < 10)
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
+  val pipelineSampleSql: String =
+    """SELECT doc_id, source, lang FROM documents
+      |WHERE (doc_id * 2246822519) % 100 < 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_normalize" -> (textNormalize _),
     "pipeline_keep_list" -> (pipelineKeepList _),
     "pipeline_train_split" -> (pipelineTrainSplit _),
+    "pipeline_pack" -> (pipelinePack _),
+    "pipeline_contamination" -> (pipelineContamination _),
+    "pipeline_sample" -> (pipelineSample _),
     "text_vocab" -> (textVocab _),
   )
 
@@ -114,6 +203,9 @@ object Curation {
     "text_normalize" -> textNormalizeSql,
     "pipeline_keep_list" -> pipelineKeepListSql,
     "pipeline_train_split" -> pipelineTrainSplitSql,
+    "pipeline_pack" -> pipelinePackSql,
+    "pipeline_contamination" -> pipelineContaminationSql,
+    "pipeline_sample" -> pipelineSampleSql,
     "text_vocab" -> textVocabSql,
   )
 }
