@@ -132,15 +132,31 @@ object Ann {
   }
 
   /** Rank-`rank` nearest centroids per vector (broadcast the tiny
-    * centroid table; the corpus never shuffles for assignment). */
+    * centroid table; the corpus never shuffles for assignment — see the
+    * rank-1 path). Ties break toward the lowest cid, both paths.
+    *
+    * rank = 1 (the hot path: every corpus-side assignment) is an argmax,
+    * expressed as max_by over the scored crossJoin: partial aggregation
+    * combines map-side, so the exchange carries n rows, not the n×C a
+    * row_number window would sort and shuffle. rank > 1 (query-side
+    * probes only — a small fraction of rows) keeps the window form. */
   private def nearestCell(points: DataFrame, cents: DataFrame, rank: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cid").asc)
-    points.crossJoin(broadcast(cents))
+    val scored = points.crossJoin(broadcast(cents))
       .withColumn("sim", cosine_sim(col("embedding"), col("centroid")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= rank)
-      .drop("centroid", "sim", "crank")
+    if (rank == 1) {
+      val others = points.columns.filterNot(_ == "vec_id")
+      scored.groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+          others.map(c => any_value(col(c)).as(c)): _*)
+        .select((Seq("vec_id") ++ others :+ "cid").map(col): _*)
+    } else {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cid").asc)
+      scored
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= rank)
+        .drop("centroid", "sim", "crank")
+    }
   }
 
   /** IVF coarse quantizer: C seed centroids (lowest vec_ids —
