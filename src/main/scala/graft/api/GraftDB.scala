@@ -387,12 +387,16 @@ class GraftDB(spark: SparkSession, root: String) {
     * (doc_store.rs add_index / execute_query). */
   def queryWithIndex(db: String, coll: String, q: StructuredQuery): DataFrame = {
     import graft.docstore._
+    // only scalar comparisons use the sorted index; membership/array ops
+    // (and OR trees) fall back to the fused compiler
+    def indexable(op: Op) =
+      op != Op.ArrayContains && op != Op.In && op != Op.NotIn
     val (indexed, rest) = q.where match {
-      case Some(ff @ FieldFilter(f, op, _)) if op != Op.ArrayContains && hasIndex(db, coll, f) =>
+      case Some(ff @ FieldFilter(f, op, _)) if indexable(op) && hasIndex(db, coll, f) =>
         (Some(ff), None)
       case Some(AndFilter(fs)) =>
         val (i, r) = fs.partition {
-          case FieldFilter(f, op, _) => op != Op.ArrayContains && hasIndex(db, coll, f)
+          case FieldFilter(f, op, _) => indexable(op) && hasIndex(db, coll, f)
           case _ => false
         }
         i.headOption.map(_.asInstanceOf[FieldFilter]) match {
@@ -411,6 +415,8 @@ class GraftDB(spark: SparkSession, root: String) {
           case FieldValue.Dbl(x) => lit(x)
           case FieldValue.Bool(x) => lit(x)
           case FieldValue.Str(x) => lit(x)
+          case FieldValue.Arr(_) =>
+            throw new IllegalStateException("array operand is never indexable")
         }
         val key = col("idx_key")
         val pred = op match {
@@ -420,7 +426,8 @@ class GraftDB(spark: SparkSession, root: String) {
           case Op.Le => key <= lit0
           case Op.Gt => key > lit0
           case Op.Ge => key >= lit0
-          case Op.ArrayContains => lit(true)
+          // membership/array ops are filtered out by indexable() above
+          case Op.ArrayContains | Op.In | Op.NotIn => lit(true)
         }
         val ids = index(db, coll, f).filter(pred).select(col("_id"))
         val narrowed = collection(db, coll).df

@@ -57,6 +57,52 @@ object DocQueries {
       |WHERE event_type = 'purchase' AND value >= 100.0
       |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 50""".stripMargin
 
+  /** OR composite (proto's declared-next `OR = 2`,
+    * db3_database_v2.proto:143-145), mixing field types and nesting an
+    * AND underneath. */
+  def docFilterOr(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(OrFilter(Seq(
+        FieldFilter("event_type", Op.Eq, Str("error")),
+        AndFilter(Seq(
+          FieldFilter("k", Op.Gt, I64(90)),
+          FieldFilter("value", Op.Lt, Dbl(50.0))))))),
+      select = Seq("event_type"))
+    DocStore.queryFused(coll(spark, dir), q)
+  }
+
+  val docFilterOrSql: String =
+    """SELECT event_id AS _id, event_type FROM events
+      |WHERE event_type = 'error'
+      |   OR (CAST(json_extract_string(props, '$.k') AS BIGINT) > 90 AND value < 50.0)""".stripMargin
+
+  /** IN over an ArrayValue operand (proto's declared-next `IN = 8`,
+    * db3_database_v2.proto:260-264). */
+  def docFilterIn(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("event_type", Op.In,
+        Arr(Seq(Str("signup"), Str("error"))))),
+      select = Seq("event_type"))
+    DocStore.queryFused(coll(spark, dir), q)
+  }
+
+  val docFilterInSql: String =
+    """SELECT event_id AS _id, event_type FROM events
+      |WHERE event_type IN ('signup', 'error')""".stripMargin
+
+  /** NOT_IN (proto's declared-next `NOT_IN = 10`, proto:278-287) over an
+    * Int64 ArrayValue. */
+  def docFilterNotIn(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("k", Op.NotIn,
+        Arr((0L until 50L by 10L).map(I64.apply)))))
+    DocStore.queryFused(coll(spark, dir), q).select("_id")
+  }
+
+  val docFilterNotInSql: String =
+    """SELECT event_id AS _id FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) NOT IN (0, 10, 20, 30, 40)""".stripMargin
+
   /** NOT_EQUAL (proto op 6 — declared but unimplemented in the reference's
     * JSON filter parser, bson_util.rs:88; implemented here). */
   def docFilterNeq(spark: SparkSession, dir: String): DataFrame = {
@@ -295,6 +341,9 @@ object DocQueries {
     "doc_filter_eq" -> (docFilterEq _),
     "doc_filter_range" -> (docFilterRange _),
     "doc_filter_and" -> (docFilterAnd _),
+    "doc_filter_or" -> (docFilterOr _),
+    "doc_filter_in" -> (docFilterIn _),
+    "doc_filter_not_in" -> (docFilterNotIn _),
     "doc_filter_neq" -> (docFilterNeq _),
     "doc_projection" -> (docProjection _),
     "doc_limit" -> (docLimit _),
@@ -316,6 +365,9 @@ object DocQueries {
     "doc_filter_eq" -> docFilterEqSql,
     "doc_filter_range" -> docFilterRangeSql,
     "doc_filter_and" -> docFilterAndSql,
+    "doc_filter_or" -> docFilterOrSql,
+    "doc_filter_in" -> docFilterInSql,
+    "doc_filter_not_in" -> docFilterNotInSql,
     "doc_filter_neq" -> docFilterNeqSql,
     "doc_projection" -> docProjectionSql,
     "doc_limit" -> docLimitSql,

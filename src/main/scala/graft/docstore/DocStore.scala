@@ -28,6 +28,7 @@ object DocStore {
       case FieldValue.Dbl(_) => raw.cast("double")
       case FieldValue.Bool(_) => raw.cast("boolean")
       case FieldValue.Str(_) => raw
+      case FieldValue.Arr(vs) => fieldCol(doc, field, vs.head)
     }
   }
 
@@ -36,27 +37,42 @@ object DocStore {
     case FieldValue.Dbl(x) => lit(x)
     case FieldValue.Bool(x) => lit(x)
     case FieldValue.Str(x) => lit(x)
+    case FieldValue.Arr(_) =>
+      throw new IllegalArgumentException("ArrayValue is only valid with in/not-in")
+  }
+
+  private def inList(v: FieldValue): Seq[Column] = v match {
+    case FieldValue.Arr(vs) => vs.map(lit_)
+    case other => Seq(lit_(other)) // single-element membership degenerates
+  }
+
+  /** Compile one comparison once the typed field column is in hand —
+    * shared by the per-field and fused compilers. */
+  private def compileOp(c: Column, op: Op, v: FieldValue): Column = op match {
+    case Op.Eq => c === lit_(v)
+    case Op.Neq => c =!= lit_(v)
+    case Op.Lt => c < lit_(v)
+    case Op.Le => c <= lit_(v)
+    case Op.Gt => c > lit_(v)
+    case Op.Ge => c >= lit_(v)
+    case Op.In => c.isin(inList(v): _*)
+    case Op.NotIn => !c.isin(inList(v): _*)
+    case Op.ArrayContains => array_contains(c,
+      v match { case FieldValue.Str(s) => s; case other => other.toString })
   }
 
   /** Compile a Filter tree to one Spark predicate Column. */
   def compileFilter(doc: Column, f: Filter): Column = f match {
     case AndFilter(fs) => fs.map(compileFilter(doc, _)).reduce(_ && _)
+    case OrFilter(fs) => fs.map(compileFilter(doc, _)).reduce(_ || _)
+    case FieldFilter(field, Op.ArrayContains, v) =>
+      // JSON array field: parse as array<string> and probe membership.
+      compileOp(
+        from_json(get_json_object(doc, "$." + field),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
+        Op.ArrayContains, v)
     case FieldFilter(field, op, v) =>
-      val c = fieldCol(doc, field, v)
-      op match {
-        case Op.Eq => c === lit_(v)
-        case Op.Neq => c =!= lit_(v)
-        case Op.Lt => c < lit_(v)
-        case Op.Le => c <= lit_(v)
-        case Op.Gt => c > lit_(v)
-        case Op.Ge => c >= lit_(v)
-        case Op.ArrayContains =>
-          // JSON array field: parse as array<string> and probe membership.
-          array_contains(
-            from_json(get_json_object(doc, "$." + field),
-              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
-            v match { case FieldValue.Str(s) => s; case other => other.toString })
-      }
+      compileOp(fieldCol(doc, field, v), op, v)
   }
 
   /** Full sort-key list for a query: explicit orders (typed via their
@@ -107,16 +123,19 @@ object DocStore {
     * (the 100 TB hot path — JSON parsing dominates such scans). */
   def queryFused(coll: DocCollection, q: StructuredQuery): DataFrame = {
     import org.apache.spark.sql.types._
+    def scalarType(v: FieldValue): DataType = v match {
+      case FieldValue.I64(_) => LongType
+      case FieldValue.Dbl(_) => DoubleType
+      case FieldValue.Bool(_) => BooleanType
+      case FieldValue.Str(_) => StringType
+      case FieldValue.Arr(vs) => scalarType(vs.head)
+    }
     def filterFields(f: Filter): Seq[(String, DataType)] = f match {
       case AndFilter(fs) => fs.flatMap(filterFields)
+      case OrFilter(fs) => fs.flatMap(filterFields)
       case FieldFilter(field, Op.ArrayContains, _) =>
         Seq(field -> ArrayType(StringType))
-      case FieldFilter(field, _, v) => Seq(field -> (v match {
-        case FieldValue.I64(_) => LongType
-        case FieldValue.Dbl(_) => DoubleType
-        case FieldValue.Bool(_) => BooleanType
-        case FieldValue.Str(_) => StringType
-      }))
+      case FieldFilter(field, _, v) => Seq(field -> scalarType(v))
     }
     def keyTypeOf(v: FieldValue): DataType = v match {
       case FieldValue.I64(_) => LongType
@@ -138,18 +157,9 @@ object DocStore {
     var df = coll.df.withColumn("__p", from_json(col("doc"), schema))
     def compile(f: Filter): Column = f match {
       case AndFilter(fs) => fs.map(compile).reduce(_ && _)
+      case OrFilter(fs) => fs.map(compile).reduce(_ || _)
       case FieldFilter(field, op, v) =>
-        val c = col("__p").getField(field)
-        op match {
-          case Op.Eq => c === lit_(v)
-          case Op.Neq => c =!= lit_(v)
-          case Op.Lt => c < lit_(v)
-          case Op.Le => c <= lit_(v)
-          case Op.Gt => c > lit_(v)
-          case Op.Ge => c >= lit_(v)
-          case Op.ArrayContains => array_contains(c,
-            v match { case FieldValue.Str(s) => s; case other => other.toString })
-        }
+        compileOp(col("__p").getField(field), op, v)
     }
     q.where.foreach(f => df = df.filter(compile(f)))
     if (needsSort(q))

@@ -17,13 +17,17 @@ object FilterJson {
   }
 
   private def parseObj(o: JObject): Option[Filter] = {
-    o \ "and" match {
-      case JArray(fs) =>
-        if (fs.isEmpty) throw new IllegalArgumentException("filters is empty")
-        Some(AndFilter(fs.map {
-          case f: JObject => parseField(f)
-          case _ => throw new IllegalArgumentException("composite member must be an object")
-        }))
+    def members(fs: List[JValue]): Seq[Filter] = {
+      if (fs.isEmpty) throw new IllegalArgumentException("filters is empty")
+      fs.map {
+        case f: JObject => parseObj(f).getOrElse(
+          throw new IllegalArgumentException("empty composite member"))
+        case _ => throw new IllegalArgumentException("composite member must be an object")
+      }
+    }
+    (o \ "and", o \ "or") match {
+      case (JArray(fs), _) => Some(AndFilter(members(fs)))
+      case (_, JArray(fs)) => Some(OrFilter(members(fs)))
       case _ =>
         if (o.obj.isEmpty) None else Some(parseField(o))
     }
@@ -38,14 +42,18 @@ object FilterJson {
       case JString(s) => Op.parse(s)
       case _ => throw new IllegalArgumentException("op is required in filter json")
     }
-    val value = o \ "value" match {
-      case JInt(v) => FieldValue.I64(v.toLong)
-      case JLong(v) => FieldValue.I64(v)
-      case JDouble(v) => FieldValue.Dbl(v)
-      case JBool(v) => FieldValue.Bool(v)
-      case JString(v) => FieldValue.Str(v)
-      case JNothing => throw new IllegalArgumentException("value is required in filter json")
+    def scalar(v: JValue): FieldValue = v match {
+      case JInt(x) => FieldValue.I64(x.toLong)
+      case JLong(x) => FieldValue.I64(x)
+      case JDouble(x) => FieldValue.Dbl(x)
+      case JBool(x) => FieldValue.Bool(x)
+      case JString(x) => FieldValue.Str(x)
       case other => throw new IllegalArgumentException(s"unsupported value $other")
+    }
+    val value = o \ "value" match {
+      case JArray(vs) => FieldValue.Arr(vs.map(scalar)) // in / not-in operand
+      case JNothing => throw new IllegalArgumentException("value is required in filter json")
+      case v => scalar(v)
     }
     FieldFilter(field, op, value)
   }

@@ -17,6 +17,15 @@ object FieldValue {
   final case class Dbl(v: Double) extends FieldValue
   final case class Str(v: String) extends FieldValue
   final case class Bool(v: Boolean) extends FieldValue
+
+  /** ArrayValue operand for IN / NOT_IN (the proto requires non-empty,
+    * ≤ 10 values, db3_database_v2.proto:260-287). Elements must share one
+    * scalar type. */
+  final case class Arr(vs: Seq[FieldValue]) extends FieldValue {
+    require(vs.nonEmpty && vs.size <= 10, "ArrayValue must have 1..10 values")
+    require(vs.forall(_.getClass == vs.head.getClass),
+      "ArrayValue elements must share one type")
+  }
 }
 
 sealed trait Op
@@ -28,8 +37,13 @@ object Op {
   case object Gt extends Op
   case object Ge extends Op
   case object ArrayContains extends Op
+  /** IN / NOT_IN — the proto's declared-next membership ops
+    * (db3_database_v2.proto:260-287, commented `IN = 8` / `NOT_IN = 10`). */
+  case object In extends Op
+  case object NotIn extends Op
 
-  /** Parse the reference's filter-op spelling (bson_util.rs:81-97). */
+  /** Parse the reference's filter-op spelling (bson_util.rs:81-97;
+    * in/not-in use the Firestore spellings the proto cites). */
   def parse(s: String): Op = s match {
     case "==" => Eq
     case "!=" => Neq
@@ -38,6 +52,8 @@ object Op {
     case ">" => Gt
     case ">=" => Ge
     case "array-contains" => ArrayContains
+    case "in" => In
+    case "not-in" => NotIn
     case other => throw new IllegalArgumentException(s"Invalid OP $other")
   }
 }
@@ -45,6 +61,9 @@ object Op {
 sealed trait Filter
 final case class FieldFilter(field: String, op: Op, value: FieldValue) extends Filter
 final case class AndFilter(filters: Seq[Filter]) extends Filter
+/** OR composite — the proto's declared-next operator
+  * (db3_database_v2.proto:143-145, commented `OR = 2`). */
+final case class OrFilter(filters: Seq[Filter]) extends Filter
 
 /** One ordering term (the proto's declared-next `Order` —
   * db3_database_v2.proto:340-363, commented `repeated Order order_by`).

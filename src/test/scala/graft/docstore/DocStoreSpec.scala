@@ -72,6 +72,45 @@ class DocStoreSpec extends SparkSpec {
     }
   }
 
+  test("OR / IN / NOT_IN compile identically in both compilers and match ground truth") {
+    val orQ = StructuredQuery(where = Some(OrFilter(Seq(
+      FieldFilter("event_type", Op.Eq, Str("error")),
+      FieldFilter("k", Op.Gt, I64(90))))))
+    val inQ = StructuredQuery(where = Some(
+      FieldFilter("event_type", Op.In, Arr(Seq(Str("signup"), Str("error"))))))
+    val notInQ = StructuredQuery(where = Some(
+      FieldFilter("k", Op.NotIn, Arr(Seq(I64(0), I64(1), I64(2))))))
+    Seq(orQ, inQ, notInQ).foreach { q =>
+      val a = DocStore.query(coll, q)
+      val b = DocStore.queryFused(coll, q)
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0, s"$q")
+    }
+    val orWant = events.filter(col("event_type") === "error" ||
+      get_json_object(col("props"), "$.k").cast("long") > 90).count()
+    assert(DocStore.query(coll, orQ).count() === orWant && orWant > 0)
+    val inWant = events.filter(col("event_type").isin("signup", "error")).count()
+    assert(DocStore.query(coll, inQ).count() === inWant && inWant > 0)
+    val notInWant = events.filter(
+      !get_json_object(col("props"), "$.k").cast("long").isin(0, 1, 2)).count()
+    assert(DocStore.query(coll, notInQ).count() === notInWant && notInWant > 0)
+    // ArrayValue constraints from the proto: non-empty, <= 10, one type
+    intercept[IllegalArgumentException](FieldValue.Arr(Nil))
+    intercept[IllegalArgumentException](FieldValue.Arr((0 to 10).map(i => I64(i.toLong))))
+    intercept[IllegalArgumentException](FieldValue.Arr(Seq(I64(1), Str("x"))))
+  }
+
+  test("FilterJson parses or-composites and array operands") {
+    val f = FilterJson.parse(
+      """{"or":[{"field":"city","op":"==","value":"sf"},
+        |       {"and":[{"field":"age","op":">","value":30},
+        |               {"field":"tag","op":"in","value":["a","b"]}]}]}""".stripMargin)
+    assert(f === Some(OrFilter(Seq(
+      FieldFilter("city", Op.Eq, Str("sf")),
+      AndFilter(Seq(
+        FieldFilter("age", Op.Gt, I64(30)),
+        FieldFilter("tag", Op.In, Arr(Seq(Str("a"), Str("b"))))))))))
+  }
+
   test("orderBy sorts typed keys numerically with Firestore _id appending") {
     val q = StructuredQuery(
       where = Some(FieldFilter("value", Op.Gt, Dbl(150.0))),
