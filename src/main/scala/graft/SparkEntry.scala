@@ -21,6 +21,7 @@ object SparkEntry {
     "q_distinct_union" -> (Analytics.qDistinctUnion _),
     "q_case_having" -> (Analytics.qCaseHaving _),
     "q_window_rank" -> (Analytics.qWindowRank _),
+    "q_rollup_agg" -> (Analytics.qRollupAgg _),
   ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
     graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
@@ -38,6 +39,7 @@ object SparkEntry {
     "q_distinct_union" -> Analytics.qDistinctUnionSql,
     "q_case_having" -> Analytics.qCaseHavingSql,
     "q_window_rank" -> Analytics.qWindowRankSql,
+    "q_rollup_agg" -> Analytics.qRollupAggSql,
   ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
     graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++

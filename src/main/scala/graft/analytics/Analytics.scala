@@ -205,4 +205,26 @@ object Analytics {
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       |  FROM orders) t WHERE rn <= 3""".stripMargin
+
+  /** ROLLUP grouping sets — subtotal + grand-total rows in one pass (the
+    * OLAP cube surface). Spark expands the sets and still runs ONE
+    * shuffle with partial aggregation; null grouping keys are rendered
+    * as 'ALL' and disambiguated by grouping_id so the oracle hash has no
+    * null-vs-'ALL' ambiguity. */
+  def qRollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .rollup(col("source"), col("lang"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("gid"), col("n_docs"), col("sum_chars"))
+  }
+
+  val qRollupAggSql: String =
+    """SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+      |  CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
 }

@@ -27,6 +27,9 @@ object Streaming {
       value: Double, props: String)
   case class DocState(user_id: Long, last_type: String, last_value: Double,
       last_ts: Long, last_event_id: Long, n_mutations: Long)
+  case class SessState(lastTsUs: Long, startUs: Long, n: Long, sessionId: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, dur_us: Long)
 
   def readEventStream(spark: SparkSession, dir: String): Dataset[Ev] = {
     import spark.implicits._
@@ -71,6 +74,45 @@ object Streaming {
       .withWatermark("ets", "1 hour")
       .dropDuplicates("content_hash")
       .select(col("content_hash"), col("event_id"), col("ets"))
+  }
+
+  /** Streaming sessionization — the streaming twin of
+    * EventQueries.evtSessionize: per-user 30-min-gap sessions tracked in
+    * one small state record per key. Events are sorted within each
+    * micro-batch invocation (micro-batch granularity is the streaming
+    * contract); a session CLOSES when a later event opens a new one, and
+    * closed sessions are emitted append-mode. The open session rides in
+    * state across batches — a production job would add an event-time
+    * timeout to flush idle sessions; the bounded fixture never needs it. */
+  def sessionize(spark: SparkSession, dir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    readEventStream(spark, dir)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        updateSessions)
+  }
+
+  private[streaming] def updateSessions(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[SessState]): Iterator[SessionOut] = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+    var st = state.getOption.orNull
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val tsUs = e.ts / 1000L // ns → µs (ts is non-negative)
+      if (st == null) {
+        st = SessState(tsUs, tsUs, 1L, 1L)
+      } else if (tsUs - st.lastTsUs > gapUs) {
+        closed += SessionOut(userId, st.sessionId, st.n, st.startUs,
+          st.lastTsUs - st.startUs)
+        st = SessState(tsUs, tsUs, 1L, st.sessionId + 1)
+      } else {
+        st = st.copy(lastTsUs = tsUs, n = st.n + 1)
+      }
+    }
+    if (st != null) state.update(st)
+    closed.result().iterator
   }
 
   /** Real-time ingestion (the reference storage node's mutation intake):

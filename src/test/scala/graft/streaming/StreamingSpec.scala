@@ -49,6 +49,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize emits exactly the batch sessions that closed") {
+    import org.apache.spark.sql.expressions.Window
+    val q = Streaming.sessionize(spark, sf).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+      // the open (last) session per user stays in state; every other
+      // batch session must have been emitted, bit-identical
+      val w = Window.partitionBy(col("user_id"))
+      val want = graft.events.EventQueries.evtSessionize(spark, sf)
+        .withColumn("max_sid", max(col("session_id")).over(w))
+        .filter(col("session_id") < col("max_sid"))
+        .drop("max_sid")
+      assert(want.count() > 0)
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    } finally q.stop()
+  }
+
   test("foreachBatch ingestion lands the stream in a GraftDB collection") {
     val db = new graft.api.GraftDB(spark,
       java.nio.file.Files.createTempDirectory("graft-ingest").toString)
