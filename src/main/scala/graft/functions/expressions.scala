@@ -30,6 +30,19 @@ object GraftFunctions {
   def bitmap_distinct(c: Column): Column =
     column(BitmapDistinct(expression(c)).toAggregateExpression())
 
+  def hyperplane_buckets(v: Column, bits: Int, tables: Int): Column =
+    column(HyperplaneBuckets(expression(v), Literal(bits), Literal(tables)))
+
+  /** splitmix64 finalizer — the shared pseudo-hyperplane/permutation
+    * seed mixer. Public so the declarative and expression LSH paths stay
+    * bit-identical. */
+  def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — the shared token hash for
     * SimHash/MinHash. Public so tests can cross-check. */
   def fnv1a64(bytes: Array[Byte]): Long = {
@@ -356,4 +369,55 @@ case class ShingleHashes(tokens: Expression, nExpr: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(tokens = l, nExpr = r)
+}
+
+/** All `tables` random-hyperplane LSH buckets of a float vector in ONE
+  * pass: bucket_t packs `bits` sign bits, plane component (t, b, j) is
+  * derived on the fly from splitmix64 — identical math to the declarative
+  * composition in graft.pipeline.Ann, but as one O(tables·bits·dim)
+  * scalar loop instead of a ~4k-literal expression tree (which costs
+  * seconds of janino compilation and defeats constant folding). */
+case class HyperplaneBuckets(vec: Expression, bitsExpr: Expression,
+    tablesExpr: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def first: Expression = vec
+  override def second: Expression = bitsExpr
+  override def third: Expression = tablesExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any, bitsAny: Any, tablesAny: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val bits = bitsAny.asInstanceOf[Int]
+    val tables = tablesAny.asInstanceOf[Int]
+    val dim = arr.numElements()
+    val x = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { x(j) = arr.getFloat(j).toDouble; j += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var k = 0
+        while (k < dim) {
+          val plane = GraftFunctions.splitmix64(
+            t.toLong * 0x10000L + b.toLong * 1024L + k).toDouble / Long.MaxValue
+          dot += x(k) * plane
+          k += 1
+        }
+        if (dot > 0) bucket += (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      th: Expression): Expression = copy(vec = f, bitsExpr = s, tablesExpr = th)
 }

@@ -32,19 +32,17 @@ object Ann {
 
   /** Packed `bits`-bit random-hyperplane signature of vector column `v`:
     * bit b = sign(dot(v, plane_b)). Planes are deterministic pseudo-
-    * hyperplanes from splitmix64; `seed` decorrelates tables. Pure column
-    * expression — whole-stage codegen, no UDF. */
+    * hyperplanes from splitmix64; `seed` decorrelates tables. Declarative
+    * composition kept as the cross-check twin of the fused
+    * `hyperplane_buckets` expression (spec asserts bit-identity) — the
+    * hot path uses the expression, whose single scalar loop avoids the
+    * ~4k-literal plane tree this form hands to codegen. */
   private[pipeline] def hyperplaneBucket(v: Column, bits: Int, dim: Int,
       seed: Long = 0L): Column = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
     val planes: Seq[Seq[Double]] = (0 until bits).map { b =>
       (0 until dim).map { j =>
-        mix(seed * 0x10000L + b.toLong * 1024 + j).toDouble / Long.MaxValue
+        splitmix64(seed * 0x10000L + b.toLong * 1024 + j)
+          .toDouble / Long.MaxValue
       }
     }
     val planeLits = array(planes.map(p => array(p.map(lit): _*)): _*)
@@ -103,12 +101,10 @@ object Ann {
   def annLshTables(spark: SparkSession, dir: String,
       bits: Int, tables: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val buckets = array((0 until tables).map(t =>
-      struct(lit(t).as("tbl"),
-        hyperplaneBucket(col("embedding"), bits, Dim, t.toLong).as("bucket"))): _*)
     val banded = e
-      .select(col("vec_id"), explode(buckets).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+      .select(col("vec_id"),
+        posexplode(hyperplane_buckets(col("embedding"), bits, tables)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("bucket"))
     val qb = banded.filter(col("vec_id") < 20)
       .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"))
     val cb = banded

@@ -74,6 +74,16 @@ class PipelineSpec extends SparkSpec {
     perQuery.foreach(r => assert(r.getLong(1) === 10))
   }
 
+  test("fused hyperplane_buckets is bit-identical to the declarative plane composition") {
+    val e = graft.sources.Tables.embeddings(spark, sf).limit(50)
+    val fused = e.select(col("vec_id"),
+      hyperplane_buckets(col("embedding"), 4, 3).as("b"))
+    val decl = e.select(col("vec_id"), array((0 until 3).map(t =>
+      Ann.hyperplaneBucket(col("embedding"), 4, Ann.Dim, t.toLong)): _*).as("b"))
+    assert(fused.exceptAll(decl).count() === 0)
+    assert(decl.exceptAll(fused).count() === 0)
+  }
+
   test("multi-table ann LSH recalls >= 0.8 of brute-force neighbors") {
     val brute = Ann.annCosineTopk(spark, sf)
       .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
