@@ -166,10 +166,17 @@ object Ann {
     val assigned0 = nearestCell(e, seeds, 1)
     val sums = (0 until Dim).map(i =>
       sum(col("embedding").getItem(i)).as(s"s$i"))
-    assigned0.groupBy(col("cid"))
+    val refined = assigned0.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("cid"), array((0 until Dim).map(i =>
         (col(s"s$i") / col("n")).cast("float")): _*).as("centroid"))
+    // materialize the C centroids on the driver (C rows of metadata — the
+    // k-means driver pattern, as MLlib does): every downstream use
+    // (corpus assignment, query probes, near-dup blocking) then reads a
+    // LocalRelation instead of re-executing the refinement subtree
+    val spark = e.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(refined.collect(): _*), refined.schema)
   }
 
   /** Multi-probe cell assignment: each vector lands in its `nprobe`
