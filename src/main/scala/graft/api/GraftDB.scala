@@ -100,12 +100,33 @@ class GraftDB(spark: SparkSession, root: String) {
   def nextBlockId(db: String, coll: String): Long =
     currentState(db, coll).lastBlock + 1L
 
-  /** The full mutation log: rolled-up batches + live tail, one schema. */
+  /** The full mutation log: rolled-up batches + live tail, one schema.
+    * Rolled-up batches are located through the persisted RollupRecord
+    * manifest (the reference recovers from its rollup records the same
+    * way, recover.rs over scan_rollup_records) — on an object store that
+    * is one small manifest read instead of a huge eventually-consistent
+    * prefix listing. Collections written before the manifest existed
+    * fall back to listing rollups/ recursively. */
   def mutationLog(db: String, coll: String): DataFrame = {
-    val reads = Seq(mutPath(db, coll), rollPath(db, coll))
+    val manifested = scanRollupRecords(db, coll)
+      .select(col("path")).collect().map(_.getString(0))
       .filter(p => hasParquet(p))
-      .map(p => spark.read.schema(mutationSchema)
-        .option("recursiveFileLookup", "true").parquet(p))
+    val rollReads: Seq[DataFrame] =
+      if (manifested.nonEmpty)
+        // recursiveFileLookup also disables partition-column inference on
+        // the batch=N dir names — the file schema is the whole schema
+        Seq(spark.read.schema(mutationSchema)
+          .option("recursiveFileLookup", "true").parquet(manifested.toSeq: _*))
+      else if (hasParquet(rollPath(db, coll)))
+        Seq(spark.read.schema(mutationSchema)
+          .option("recursiveFileLookup", "true").parquet(rollPath(db, coll)))
+      else Seq.empty
+    val tailReads =
+      if (hasParquet(mutPath(db, coll)))
+        Seq(spark.read.schema(mutationSchema)
+          .option("recursiveFileLookup", "true").parquet(mutPath(db, coll)))
+      else Seq.empty
+    val reads = rollReads ++ tailReads
     if (reads.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mutationSchema)
     else reads.reduce(_ unionByName _)

@@ -186,6 +186,17 @@ class GraftDBSpec extends SparkSpec {
     db.addDocuments("d1", "c", Seq("""{"n":4}"""))
     db.rollup("d1", "c")
     assert(db.scanRollupRecords("d1", "c").count() === 4)
+    // recovery locates batches THROUGH the manifest: every rolled-up
+    // input file sits under a manifested path (no directory re-listing)
+    val manifestPaths = db.scanRollupRecords("d1", "c")
+      .select("path").collect().map(_.getString(0))
+    val rolledInputs = db.mutationLog("d1", "c").inputFiles
+      .map(f => java.nio.file.Paths.get(new java.net.URI(f)).toString)
+      .filter(_.contains("/rollups/"))
+    assert(rolledInputs.nonEmpty)
+    rolledInputs.foreach { f =>
+      assert(manifestPaths.exists(f.startsWith), f)
+    }
   }
 
   test("block/id assignment comes from the state cell, not a log scan") {
