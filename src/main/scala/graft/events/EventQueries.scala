@@ -275,6 +275,21 @@ object EventQueries {
   val evtBitmapDistinctSql: String =
     "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
 
+  /** Mergeable-sketch rollup — the pre-aggregation pattern that makes
+    * distinct counts tractable at 100 TB: per-(day, type) HLL sketches
+    * (DataSketches, via hll_sketch_agg) are built once and UNIONED per
+    * type, so re-aggregating a year of daily partitions touches sketch
+    * bytes, not raw user ids. Rows-only (estimates aren't reproducible in
+    * the oracle); accuracy spec-checked against exact distinct. */
+  def evtSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+  }
+
   /** Log-integrity verification (the storage node's per-sender nonce
     * monotonicity check, storage/src/state_store.rs): count order
     * violations — event ids that regress within a sender's time-ordered
@@ -372,6 +387,7 @@ object EventQueries {
     "evt_bitmap_distinct" -> (evtBitmapDistinct _),
     "mutation_integrity" -> (mutationIntegrity _),
     "mutation_ownership" -> (mutationOwnership _),
+    "evt_sketch_rollup" -> (evtSketchRollup _),
     "evt_time_weighted_avg" -> (evtTimeWeightedAvg _),
     "evt_time_range" -> (evtTimeRange _),
     "evt_decode_abi" -> (evtDecodeAbi _),

@@ -50,4 +50,18 @@ class AnalyticsSpec extends SparkSpec {
       .groupBy("o_custkey").count().filter(col("count") > 3).count()
     assert(over === 0)
   }
+
+  test("HLL sketch rollup estimates distinct users within 5% of exact") {
+    val got = graft.events.EventQueries.evtSketchRollup(spark, sf)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("approx_users")).toMap
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (t, est) =>
+      val err = math.abs(est.toDouble - exact(t)) / exact(t)
+      assert(err <= 0.05, s"$t est=$est exact=${exact(t)}")
+    }
+  }
 }
