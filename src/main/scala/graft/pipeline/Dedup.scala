@@ -208,14 +208,17 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      // one join+groupBy per round; the node's own previous label rides
+      // along through its self-edge (dst = src), so the convergence probe
+      // needs no second join — labels only ever decrease, so changed ⟺
+      // some new min undercuts the own label
       val next = cut(edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
-        .agg(min(col("cluster")).as("cluster")))
-      converged = next.join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
-        .filter(col("cluster") =!= col("prev"))
-        .isEmpty
-      labels = next
+        .agg(min(col("cluster")).as("cluster"),
+          max(when(col("dst") === col("src"), col("cluster"))).as("own")))
+      converged = next.filter(col("cluster") < col("own")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
       round += 1
     }
     if (!converged)
