@@ -275,6 +275,43 @@ object EventQueries {
   val evtBitmapDistinctSql: String =
     "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
 
+  /** Gap-fill with last-observation-carried-forward — the tsdb staple
+    * for irregular streams: every user gets a dense hourly grid between
+    * their first and last observation, empty hours filled from the most
+    * recent prior hour. Grid generation is per-user `sequence`+explode
+    * (no global calendar join); the fill is one ignore-nulls window over
+    * the user's own partition — shuffles once on user_id. */
+  def evtGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("v"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("h"), col("filled"))
+  }
+
+  val evtGapfillSql: String =
+    """WITH hourly AS (
+      |  SELECT user_id, h, v FROM (
+      |    SELECT user_id, date_trunc('hour', ts) AS h, value AS v,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) t WHERE rn = 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(MIN(h), MAX(h), INTERVAL 1 HOUR)) AS h
+      |  FROM hourly GROUP BY user_id)
+      |SELECT g.user_id, g.h,
+      |  LAST_VALUE(v IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING) AS filled
+      |FROM grid g LEFT JOIN hourly USING (user_id, h)""".stripMargin
+
   /** Mergeable-sketch rollup — the pre-aggregation pattern that makes
     * distinct counts tractable at 100 TB: per-(day, type) HLL sketches
     * (DataSketches, via hll_sketch_agg) are built once and UNIONED per
@@ -388,6 +425,7 @@ object EventQueries {
     "mutation_integrity" -> (mutationIntegrity _),
     "mutation_ownership" -> (mutationOwnership _),
     "evt_sketch_rollup" -> (evtSketchRollup _),
+    "evt_gapfill" -> (evtGapfill _),
     "evt_time_weighted_avg" -> (evtTimeWeightedAvg _),
     "evt_time_range" -> (evtTimeRange _),
     "evt_decode_abi" -> (evtDecodeAbi _),
@@ -407,6 +445,7 @@ object EventQueries {
     "evt_bitmap_distinct" -> evtBitmapDistinctSql,
     "mutation_integrity" -> mutationIntegritySql,
     "mutation_ownership" -> mutationOwnershipSql,
+    "evt_gapfill" -> evtGapfillSql,
     "evt_time_weighted_avg" -> evtTimeWeightedAvgSql,
     "evt_time_range" -> evtTimeRangeSql,
     "evt_decode_abi" -> evtDecodeAbiSql,
