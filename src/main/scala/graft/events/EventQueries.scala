@@ -275,6 +275,63 @@ object EventQueries {
   val evtBitmapDistinctSql: String =
     "SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"
 
+  /** Funnel analysis — ordered-sequence matching over each user's event
+    * stream: the stage reached walking signup → click → high-value
+    * purchase (value >= 180 — the conversion event worth funneling on) in
+    * event-time order. Relational min-chain form: stage k's earliest
+    * qualifying (ts, id) key must strictly follow stage k-1's — three
+    * per-user aggregations co-partitioned on user_id; no per-user event
+    * array ever materializes, so the shape is immune to events-per-user
+    * skew. (A list_reduce-based oracle is also out: DuckDB 1.0's parallel
+    * ordered-list aggregation is nondeterministic.) */
+  def evtFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("k", struct(unix_micros(col("ts")).as("t"), col("event_id").as("i")))
+      .withColumn("c",
+        when(col("event_type") === "signup", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase" && col("value") >= 180.0, 3)
+          .otherwise(0))
+    val t1 = ev.filter(col("c") === 1)
+      .groupBy(col("user_id")).agg(min(col("k")).as("k1"))
+    val t2 = ev.filter(col("c") === 2).join(t1, Seq("user_id"))
+      .filter(col("k") > col("k1"))
+      .groupBy(col("user_id")).agg(min(col("k")).as("k2"))
+    val t3 = ev.filter(col("c") === 3).join(t2, Seq("user_id"))
+      .filter(col("k") > col("k2"))
+      .groupBy(col("user_id")).agg(min(col("k")).as("k3"))
+    ev.select(col("user_id")).distinct()
+      .join(t1, Seq("user_id"), "left")
+      .join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(
+        when(col("k3").isNotNull, 3L).when(col("k2").isNotNull, 2L)
+          .when(col("k1").isNotNull, 1L).otherwise(0L).as("funnel_stage"))
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val evtFunnelSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ROW(epoch_us(ts), event_id) AS k,
+      |    CASE WHEN event_type = 'signup' THEN 1
+      |         WHEN event_type = 'click' THEN 2
+      |         WHEN event_type = 'purchase' AND value >= 180.0 THEN 3
+      |         ELSE 0 END AS c
+      |  FROM events),
+      |t1 AS (SELECT user_id, MIN(k) AS k1 FROM ev WHERE c = 1 GROUP BY user_id),
+      |t2 AS (SELECT ev.user_id, MIN(k) AS k2 FROM ev JOIN t1 USING (user_id)
+      |       WHERE c = 2 AND k > k1 GROUP BY ev.user_id),
+      |t3 AS (SELECT ev.user_id, MIN(k) AS k3 FROM ev JOIN t2 USING (user_id)
+      |       WHERE c = 3 AND k > k2 GROUP BY ev.user_id),
+      |users AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT CAST(CASE WHEN k3 IS NOT NULL THEN 3 WHEN k2 IS NOT NULL THEN 2
+      |            WHEN k1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_stage,
+      |  COUNT(*) AS n_users
+      |FROM users LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+      |  LEFT JOIN t3 USING (user_id)
+      |GROUP BY 1""".stripMargin
+
   /** Gap-fill with last-observation-carried-forward — the tsdb staple
     * for irregular streams: every user gets a dense hourly grid between
     * their first and last observation, empty hours filled from the most
@@ -426,6 +483,7 @@ object EventQueries {
     "mutation_ownership" -> (mutationOwnership _),
     "evt_sketch_rollup" -> (evtSketchRollup _),
     "evt_gapfill" -> (evtGapfill _),
+    "evt_funnel" -> (evtFunnel _),
     "evt_time_weighted_avg" -> (evtTimeWeightedAvg _),
     "evt_time_range" -> (evtTimeRange _),
     "evt_decode_abi" -> (evtDecodeAbi _),
@@ -446,6 +504,7 @@ object EventQueries {
     "mutation_integrity" -> mutationIntegritySql,
     "mutation_ownership" -> mutationOwnershipSql,
     "evt_gapfill" -> evtGapfillSql,
+    "evt_funnel" -> evtFunnelSql,
     "evt_time_weighted_avg" -> evtTimeWeightedAvgSql,
     "evt_time_range" -> evtTimeRangeSql,
     "evt_decode_abi" -> evtDecodeAbiSql,
