@@ -1,5 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint: times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line on stdout
+  * (the driver parses it into BENCH_r{N}.json). Keep the line short —
+  * per-query seconds are rounded to ms — and keep it the LAST thing
+  * printed, unprefixed (build.sbt sets `run / outputStrategy :=
+  * StdoutOutput` so sbt does not wrap it in `[info] `).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,20 +17,36 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen/parquet-codec warmup so the first timed query doesn't
-    // absorb session initialization.
+    spark.sparkContext.setLogLevel("ERROR")
+    // Warm up what is shared across queries and NOT the thing being
+    // measured: JVM/codegen paths, parquet footers + schema inference for
+    // every base table at this SF. Without this the first timed query
+    // absorbs session + IO setup (doc_filter_in showed 12.8s in r02 purely
+    // from hash-map iteration order putting it first).
     spark.range(1000).selectExpr("sum(id)").collect()
+    // events.parquet carries TIMESTAMP(NANOS); Tables sets this for real
+    // reads, the warmup needs it too
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")) {
+      try spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
+      catch { case _: Throwable => }
+    }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
     spark.stop()
+    // last line of output, after Spark's shutdown logging
+    System.out.println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
