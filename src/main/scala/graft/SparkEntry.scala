@@ -22,6 +22,7 @@ object SparkEntry {
     "q_case_having" -> (Analytics.qCaseHaving _),
     "q_window_rank" -> (Analytics.qWindowRank _),
     "q_rollup_agg" -> (Analytics.qRollupAgg _),
+    "q_pivot" -> (Analytics.qPivot _),
   ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
     graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
@@ -40,6 +41,7 @@ object SparkEntry {
     "q_case_having" -> Analytics.qCaseHavingSql,
     "q_window_rank" -> Analytics.qWindowRankSql,
     "q_rollup_agg" -> Analytics.qRollupAggSql,
+    "q_pivot" -> Analytics.qPivotSql,
   ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
     graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++

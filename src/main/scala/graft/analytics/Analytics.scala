@@ -227,4 +227,28 @@ object Analytics {
       |  CAST(GROUPING(source, lang) AS BIGINT) AS gid,
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
+
+  /** PIVOT — long-to-wide reshape: order revenue by priority, one column
+    * per order status. The pivot values are pinned explicitly so Spark
+    * skips the extra distinct-values scan and the plan stays ONE groupBy
+    * shuffle with map-side combine (a pivot over K pinned values is just
+    * K conditional aggregates). Money sums in DECIMAL(18,2), final cast
+    * to DOUBLE. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(col("o_totalprice").cast(D)))
+      .select(col("o_orderpriority"),
+        col("F").cast("double").as("rev_f"),
+        col("O").cast("double").as("rev_o"),
+        col("P").cast("double").as("rev_p"))
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_o,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS rev_p
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
 }

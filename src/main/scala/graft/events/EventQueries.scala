@@ -477,7 +477,60 @@ object EventQueries {
       |  WHERE dur_us IS NOT NULL
       |  GROUP BY user_id) g""".stripMargin
 
+  /** Fixed-width value histogram per event type — the profile/monitoring
+    * staple. One groupBy with full map-side combine; bucket ids are exact
+    * (floor of one IEEE division), money sums in DECIMAL(18,2). At 100 TB
+    * the result stays tiny: |types| × |buckets| rows out of one scan. */
+  def evtHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 25.0
+    Tables.events(spark, dir)
+      .withColumn("bucket", floor(col("value") / width).cast("long"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value").cast(D)).as("sv"))
+      .select(col("event_type"), col("bucket"),
+        (col("bucket") * width).as("bucket_lo"),
+        col("n_events"), col("sv").cast("double").as("sum_value"))
+  }
+
+  val evtHistogramSql: String =
+    """SELECT event_type, bucket, bucket * 25.0 AS bucket_lo,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (SELECT event_type, value,
+      |        CAST(floor(value / 25.0) AS BIGINT) AS bucket FROM events) t
+      |GROUP BY event_type, bucket""".stripMargin
+
+  /** Weekly retention cohorts: users grouped by first-activity week,
+    * counted at each later activity-week offset. Week ids are exact
+    * integer division of epoch microseconds (DuckDB TIMESTAMP is µs, so
+    * the raw-nanos side divides by 1000 first). Shape: one shuffle on
+    * user_id folds each user to (first week, distinct weeks) — per-user
+    * state is bounded by the corpus timespan in weeks, never event count
+    * — then one small re-aggregation on (cohort, offset). */
+  def evtRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val usPerWeek = 604800000000L
+    Tables.eventsRaw(spark, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div $usPerWeek").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks"))
+      .select(col("cohort_wk"), explode(col("wks")).as("wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  val evtRetentionCohortSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+      |c AS (
+      |  SELECT user_id, wk, MIN(wk) OVER (PARTITION BY user_id) AS cohort_wk
+      |  FROM uw)
+      |SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_histogram" -> (evtHistogram _),
+    "evt_retention_cohort" -> (evtRetentionCohort _),
     "evt_bitmap_distinct" -> (evtBitmapDistinct _),
     "mutation_integrity" -> (mutationIntegrity _),
     "mutation_ownership" -> (mutationOwnership _),
@@ -500,6 +553,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_histogram" -> evtHistogramSql,
+    "evt_retention_cohort" -> evtRetentionCohortSql,
     "evt_bitmap_distinct" -> evtBitmapDistinctSql,
     "mutation_integrity" -> mutationIntegritySql,
     "mutation_ownership" -> mutationOwnershipSql,

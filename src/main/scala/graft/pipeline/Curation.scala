@@ -189,7 +189,31 @@ object Curation {
     """SELECT doc_id, source, lang FROM documents
       |WHERE (doc_id * 2246822519) % 100 < 10""".stripMargin
 
+  /** Deterministic WEIGHTED sampling: keep probability proportional to a
+    * per-doc weight (here token count, capped — the token-budget
+    * subsampling a mixture pipeline runs), decided by an independent
+    * multiplicative hash (xxhash32 prime3, decorrelated from both the
+    * split and the uniform-sample hashes). Keep iff
+    * hash(doc_id) mod 100000 < min(toks, 500) × 200 — all-integer, so
+    * reproducible across engines, runs, and repartitioning. */
+  def pipelineSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .filter(pmod(col("doc_id") * 3266489917L, lit(100000L)) <
+        least(col("toks"), lit(500L)) * 200L)
+      .select(col("doc_id"), col("source"), col("toks"))
+  }
+
+  val pipelineSampleWeightedSql: String =
+    """SELECT doc_id, source, toks FROM (
+      |  SELECT doc_id, source,
+      |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+      |  FROM documents) t
+      |WHERE (doc_id * 3266489917) % 100000 < least(toks, 500) * 200""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_sample_weighted" -> (pipelineSampleWeighted _),
     "text_normalize" -> (textNormalize _),
     "pipeline_keep_list" -> (pipelineKeepList _),
     "pipeline_train_split" -> (pipelineTrainSplit _),
@@ -200,6 +224,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_sample_weighted" -> pipelineSampleWeightedSql,
     "text_normalize" -> textNormalizeSql,
     "pipeline_keep_list" -> pipelineKeepListSql,
     "pipeline_train_split" -> pipelineTrainSplitSql,

@@ -116,7 +116,90 @@ object TextOps {
       |              (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
       |FROM documents""".stripMargin
 
+  /** Gopher-style repetition signals: duplicate-token fraction and
+    * most-frequent-token share per document. Token counting is a
+    * (doc_id, token) aggregation — the honest 100 TB shape (explode +
+    * two map-side-combinable groupBys that reuse the same hash
+    * partitioning prefix), not a per-row quadratic HOF. Ratios are one
+    * IEEE division of exact integers each. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_cnt"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_frac"),
+        (col("top_cnt").cast("double") / col("n_tokens")).as("top_frac"))
+  }
+
+  val textRepetitionSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM tok WHERE length(token) > 0 GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(MAX(c) AS BIGINT) AS top_cnt,
+      |  CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_frac,
+      |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+      |FROM tc GROUP BY doc_id""".stripMargin
+
+  // PII patterns shared by the Spark pipeline and the DuckDB oracle —
+  // RE2-compatible (DuckDB) and java.util.regex-compatible (Spark).
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiSsn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private val piiIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrubbing: redact emails / SSN-shaped ids / IPv4 addresses with
+    * typed placeholder tokens and count redactions. The synthetic corpus
+    * carries no PII, so a deterministic injection (keyed on doc_id, same
+    * formula on both engines) plants known instances first — the oracle
+    * then proves the scrubber removed exactly what was planted. Pure
+    * per-row regex column ops: no shuffle, whole-stage codegen. */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val injected = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" reach me at user"), col("doc_id"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" id 123-45-6789")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" host 10.0.42.7")).otherwise(lit("")))
+    val redactions = regexp_count(injected, lit(piiEmail)) +
+      regexp_count(injected, lit(piiSsn)) + regexp_count(injected, lit(piiIp))
+    val scrubbed = regexp_replace(
+      regexp_replace(regexp_replace(injected, piiEmail, "<EMAIL>"),
+        piiSsn, "<ID>"), piiIp, "<IP>")
+    d.select(col("doc_id"), scrubbed.as("scrub_text"),
+      redactions.cast("long").as("n_redactions"))
+  }
+
+  val textPiiScrubSql: String = {
+    val inj = "text || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' reach me at user' || doc_id || '@mail.example.com' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' id 123-45-6789' ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' host 10.0.42.7' ELSE '' END"
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(inj,
+       |    '$piiEmail', '<EMAIL>', 'g'),
+       |    '$piiSsn', '<ID>', 'g'),
+       |    '$piiIp', '<IP>', 'g') AS scrub_text,
+       |  CAST(len(regexp_extract_all(inj, '$piiEmail'))
+       |     + len(regexp_extract_all(inj, '$piiSsn'))
+       |     + len(regexp_extract_all(inj, '$piiIp')) AS BIGINT) AS n_redactions
+       |FROM (SELECT doc_id, $inj AS inj FROM documents) t""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "text_pii_scrub" -> (textPiiScrub _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -124,6 +207,8 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
+    "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
