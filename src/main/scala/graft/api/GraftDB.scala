@@ -41,6 +41,8 @@ class GraftDB(spark: SparkSession, root: String) {
   private def rollPath(db: String, coll: String) = s"${collPath(db, coll)}/rollups"
   private def statePath(db: String, coll: String) = s"${collPath(db, coll)}/state/state.json"
   private def manifestPath(db: String, coll: String) = s"${collPath(db, coll)}/manifest"
+  private def snapPath(db: String, coll: String, block: Long) =
+    s"${collPath(db, coll)}/snapshots/block_$block"
 
   def createCollection(db: String, coll: String): Unit = {
     Files.createDirectories(Paths.get(mutPath(db, coll)))
@@ -211,13 +213,73 @@ class GraftDB(spark: SparkSession, root: String) {
   def collection(db: String, coll: String): DocCollection =
     collectionAt(db, coll, Long.MaxValue)
 
+  // ---- state snapshots ------------------------------------------------
+  // Without snapshots every read folds the WHOLE log — O(history), the
+  // thing that kills a long-lived 100 TB collection whose live state is a
+  // fraction of its mutation history. A snapshot materializes the folded
+  // state at block B once; later reads seed the fold from the snapshot
+  // and replay only blocks > B. The reference gets the same effect from
+  // its materialized index-node state (db_store_v2.rs holds current docs;
+  // the log is for recovery/audit) — here the snapshot IS that
+  // materialized state, versioned and manifest-tracked.
+
+  /** Materialize the folded state as of `block` (defaults to the last
+    * stamped block) under snapshots/ and record it in the manifest.
+    * Returns (block, docCount). */
+  def snapshot(db: String, coll: String, block: Long = Long.MinValue): (Long, Long) = {
+    val at = if (block == Long.MinValue) currentState(db, coll).lastBlock else block
+    val dir = snapPath(db, coll, at)
+    foldLog(db, coll, at).write.mode(SaveMode.Overwrite).parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    appendManifest(s"${manifestPath(db, coll)}/snapshot",
+      Seq(Row(at, n, dir)), snapshotManifestSchema)
+    (at, n)
+  }
+
+  /** Persisted snapshot history (block, n_docs, path). */
+  def scanSnapshots(db: String, coll: String): DataFrame = {
+    val dir = s"${manifestPath(db, coll)}/snapshot"
+    if (hasParquet(dir)) spark.read.schema(snapshotManifestSchema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snapshotManifestSchema)
+  }
+
+  /** Newest usable snapshot at or below `block`, if any. */
+  private def latestSnapshotAt(db: String, coll: String, block: Long): Option[(Long, String)] =
+    scanSnapshots(db, coll)
+      .filter(col("block") <= block)
+      .orderBy(col("block").desc).limit(1)
+      .collect().headOption
+      .map(r => (r.getLong(0), r.getString(2)))
+      .filter { case (_, p) => hasParquet(p) }
+
   /** Time-travel read: live state as of `block` (inclusive) — the
     * blockchain-versioned view the reference's (block,order)-stamped log
-    * makes natural. Same fold, log truncated at the block bound. */
-  def collectionAt(db: String, coll: String, block: Long): DocCollection = {
+    * makes natural. Seeds from the newest snapshot ≤ block when one
+    * exists (snapshot docs enter the fold as synthetic AddDocument rows
+    * ordered before every replayed mutation) and replays only the blocks
+    * after it; otherwise folds the full truncated log. */
+  def collectionAt(db: String, coll: String, block: Long): DocCollection =
+    DocCollection(coll, foldLog(db, coll, block))
+
+  private def foldLog(db: String, coll: String, block: Long): DataFrame = {
     import spark.implicits._
-    val folded = mutationLog(db, coll)
-      .filter(col("block") <= block)
+    val source = latestSnapshotAt(db, coll, block) match {
+      case Some((snapBlock, path)) =>
+        val seed = spark.read.parquet(path)
+          .select(col("_id").as("id"), col("doc"))
+          .withColumn("block", lit(snapBlock))
+          .withColumn("order", lit(Int.MinValue))
+          .withColumn("action", lit(ActionAdd))
+          .withColumn("mask", lit(null).cast("string"))
+          .select("block", "order", "action", "id", "doc", "mask")
+        // block > snapBlock prunes rolled-up batches and block_N tail
+        // dirs by parquet row-group stats — the replay reads O(tail)
+        seed.unionByName(mutationLog(db, coll)
+          .filter(col("block") > snapBlock && col("block") <= block))
+      case None =>
+        mutationLog(db, coll).filter(col("block") <= block)
+    }
+    source
       .as[MutationRow]
       .groupByKey(_.id)
       .mapGroups { (id, muts) =>
@@ -236,7 +298,6 @@ class GraftDB(spark: SparkSession, root: String) {
       }
       .filter(_._2 != null)
       .toDF("_id", "doc")
-    DocCollection(coll, folded)
   }
 
   def query(db: String, coll: String, q: StructuredQuery): DataFrame =
@@ -503,6 +564,12 @@ object GraftDB {
     StructField("mutation_count", LongType, nullable = false),
     StructField("compressed_bytes", LongType, nullable = false),
     StructField("raw_bytes", LongType, nullable = false),
+    StructField("path", StringType, nullable = false)))
+
+  /** Snapshot manifest: folded-state checkpoints (block, n_docs, path). */
+  val snapshotManifestSchema: StructType = StructType(Seq(
+    StructField("block", LongType, nullable = false),
+    StructField("n_docs", LongType, nullable = false),
     StructField("path", StringType, nullable = false)))
 
   val gcManifestSchema: StructType = StructType(Seq(

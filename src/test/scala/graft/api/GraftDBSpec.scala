@@ -283,4 +283,60 @@ class GraftDBSpec extends SparkSpec {
     // live state folds every doc
     assert(db.collection("d1", "c").df.count() === 1000)
   }
+
+  test("snapshot seeds the fold; reads replay only the tail after it") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    val ids = db.addDocuments("d1", "c",
+      (0 until 50).map(i => s"""{"v":$i,"keep":1}"""))            // block 0
+    db.updateDocuments("d1", "c", ids.take(10),
+      ids.take(10).map(i => s"""{"v":${i + 100}}"""), Seq.fill(10)(Seq("v"))) // block 1
+    db.deleteDocuments("d1", "c", ids.slice(10, 15))               // block 2
+    val expected = db.collection("d1", "c").df
+      .orderBy("_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    val (snapBlock, nDocs) = db.snapshot("d1", "c")
+    assert(snapBlock === 2L && nDocs === 45L)
+    assert(db.scanSnapshots("d1", "c").count() === 1)
+
+    // post-snapshot mutations
+    db.updateDocuments("d1", "c", Seq(ids(20)), Seq("""{"v":999}"""), Seq(Seq("v"))) // block 3
+    db.deleteDocuments("d1", "c", Seq(ids(21)))                    // block 4
+
+    val after = db.collection("d1", "c")
+    // the fold's scan reads the snapshot files, proving the seeded path
+    assert(after.df.inputFiles.exists(_.contains("snapshots/block_2")),
+      "fold did not engage the snapshot")
+    val got = after.df.orderBy("_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // masked update over a snapshot-seeded doc (mergeMasked re-appends
+    // the masked field, hence the order)
+    assert(got(ids(20)) === """{"keep":1,"v":999}""")
+    assert(!got.contains(ids(21)))
+    assert(got.size === 44)
+    // every untouched doc identical to the unsnapshotted fold
+    expected.filter(e => e._1 != ids(20) && e._1 != ids(21))
+      .foreach(e => assert(got(e._1) === e._2))
+    // time-travel BELOW the snapshot never uses it
+    val early = db.collectionAt("d1", "c", 0L)
+    assert(!early.df.inputFiles.exists(_.contains("snapshots")))
+    assert(early.df.count() === 50)
+    // snapshot chaining: a second snapshot seeds from the first
+    val (b2, n2) = db.snapshot("d1", "c")
+    assert(b2 === 4L && n2 === 44L)
+    assert(db.collection("d1", "c").df
+      .inputFiles.exists(_.contains("snapshots/block_4")))
+  }
+
+  test("snapshot survives rollup GC of the replayed tail") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", (0 until 30).map(i => s"""{"v":$i}"""))
+    db.snapshot("d1", "c")
+    db.addDocuments("d1", "c", (30 until 40).map(i => s"""{"v":$i}"""))
+    db.rollup("d1", "c") // drains + GCs the whole tail into rollups/
+    val state = db.collection("d1", "c").df
+    assert(state.count() === 40)
+    assert(state.inputFiles.exists(_.contains("snapshots/block_0")))
+  }
 }
