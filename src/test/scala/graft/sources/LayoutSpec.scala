@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import java.nio.file.Files
+
+class LayoutSpec extends SparkSpec {
+
+  test("mortonZ interleaves bits (hand-checked codes, order-preserving on the diagonal)") {
+    val df = spark.range(1).select(
+      Layout.mortonZ(lit(0L), lit(0L)).as("z00"),
+      Layout.mortonZ(lit(1L), lit(0L)).as("z10"),
+      Layout.mortonZ(lit(0L), lit(1L)).as("z01"),
+      Layout.mortonZ(lit(3L), lit(5L)).as("z35"),
+      Layout.mortonZ(lit(0xFFFFL), lit(0xFFFFL)).as("zmax"))
+    val r = df.head()
+    assert(r.getAs[Long]("z00") === 0L)
+    assert(r.getAs[Long]("z10") === 1L)
+    assert(r.getAs[Long]("z01") === 2L)
+    // x=3 (011), y=5 (101) -> interleave y2x2 y1x1 y0x0 = 10 01 11 = 0x27
+    assert(r.getAs[Long]("z35") === 0x27L)
+    assert(r.getAs[Long]("zmax") === 0xFFFFFFFFL)
+  }
+
+  test("z-ordered files cover small rectangles of both dimensions") {
+    val dir = Files.createTempDirectory("zorder").toString
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("value"), col("event_id"))
+    Layout.zorderWrite(ev, s"$dir/z", "user_id", "value", files = 8)
+
+    def spans(path: String): (Double, Double) = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("user_id") - min("user_id")).cast("double").as("uspan"),
+          (max("value") - min("value")).as("vspan"))
+        .agg(avg("uspan"), avg("vspan")).head()
+      (byFile.getDouble(0), byFile.getDouble(1))
+    }
+    val g = ev.agg((max("user_id") - min("user_id")).cast("double"),
+      (max("value") - min("value"))).head()
+    val (gu, gv) = (g.getDouble(0), g.getDouble(1))
+    val (zu, zv) = spans(s"$dir/z")
+    // every file must cover a strict sub-rectangle in BOTH dims — a
+    // single-column sort would leave one dimension at ~full span
+    assert(zu < gu * 0.6, s"user_id span $zu not clustered vs global $gu")
+    assert(zv < gv * 0.6, s"value span $zv not clustered vs global $gv")
+    // and no rows were lost or duplicated by the reshuffle
+    assert(spark.read.parquet(s"$dir/z").count() === ev.count())
+  }
+}
