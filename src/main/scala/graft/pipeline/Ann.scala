@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
@@ -155,28 +155,77 @@ object Ann {
     }
   }
 
-  /** IVF coarse quantizer: C seed centroids (lowest vec_ids —
-    * deterministic) + one Lloyd refinement. The refinement aggregates
-    * per-dimension sums as `dim` agg columns over ONE shuffle with
-    * map-side partial aggregation — never posexplode (which would push
-    * n×dim rows through the exchange). */
+  // An IVF coarse quantizer is an INDEX artifact: built once, reused by
+  // every search/blocking pass over the same corpus (FAISS persists it;
+  // the reference persists its EJDB indexes the same way). Memoize the
+  // driver-side centroid rows per (corpus files, C) so one session's
+  // queries share one build instead of re-training per query. Keyed by
+  // the scan's file set — any rewrite of the corpus changes the key.
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Row]]()
+
+  /** IVF coarse quantizer: sample-trained centroids (buildCentroids) as
+    * a C-row LocalRelation, cached per (corpus files, C). */
   private[pipeline] def ivfCentroids(e: DataFrame, c: Int): DataFrame = {
-    val seeds = e.filter(col("vec_id") < c)
-      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-    val assigned0 = nearestCell(e, seeds, 1)
-    val sums = (0 until Dim).map(i =>
-      sum(col("embedding").getItem(i)).as(s"s$i"))
-    val refined = assigned0.groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .select(col("cid"), array((0 until Dim).map(i =>
-        (col(s"s$i") / col("n")).cast("float")): _*).as("centroid"))
-    // materialize the C centroids on the driver (C rows of metadata — the
-    // k-means driver pattern, as MLlib does): every downstream use
-    // (corpus assignment, query probes, near-dup blocking) then reads a
-    // LocalRelation instead of re-executing the refinement subtree
-    val spark = e.sparkSession
-    spark.createDataFrame(
-      java.util.Arrays.asList(refined.collect(): _*), refined.schema)
+    val files = e.inputFiles
+    val rows =
+      if (files.nonEmpty)
+        centroidCache.computeIfAbsent((files.sorted.mkString(","), c),
+          _ => buildCentroids(e, c))
+      else buildCentroids(e, c) // in-memory corpora (tests): no stable key
+    e.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), centroidSchema)
+  }
+
+  private val centroidSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("centroid",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+
+  /** Quantizer training: C seed centroids (the sample's lowest vec_ids —
+    * deterministic) + one Lloyd refinement, computed ON THE DRIVER over a
+    * size-bounded deterministic sample — the FAISS/MLlib pattern: k-means
+    * training is a max(16384, 256·C)-point problem regardless of corpus
+    * size, so sampling to one node is the 100 TB shape (only ASSIGNMENT
+    * is distributed — nearestCell above). Driver math also sums each
+    * cell in a fixed order, so centroids are bit-deterministic where the
+    * old 64-column distributed agg depended on partition order. */
+  private def buildCentroids(e: DataFrame, c: Int): Array[Row] = {
+    val target = math.max(16384L, 256L * c)
+    val n = e.count()
+    val sampled =
+      if (n <= target) e
+      else e.filter(pmod(col("vec_id") * 2654435761L, lit(1L << 20)) <
+        lit(((1L << 20) * target + n - 1) / n))
+    val pts = sampled.select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val seeds = pts.take(c) // lowest vec_ids in the sample
+    val dim = if (pts.nonEmpty) pts(0)._2.length else Dim
+    val sums = Array.fill(c)(new Array[Double](dim))
+    val counts = new Array[Long](c)
+    for ((_, v) <- pts) {
+      var best = 0; var bestSim = Double.NegativeInfinity
+      var j = 0
+      while (j < seeds.length) { // ascending cid: strict > keeps lowest on ties
+        val s = cosine(v, seeds(j)._2)
+        if (s > bestSim) { bestSim = s; best = j }
+        j += 1
+      }
+      counts(best) += 1
+      var i = 0
+      while (i < dim) { sums(best)(i) += v(i); i += 1 }
+    }
+    seeds.indices.filter(counts(_) > 0).map { j =>
+      Row(seeds(j)._1,
+        (0 until dim).map(i => (sums(j)(i) / counts(j)).toFloat))
+    }.toArray
   }
 
   /** Multi-probe cell assignment: each vector lands in its `nprobe`
