@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
       graft.sources.Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
   }
 
+  test("subscription push fans one stream out to topic-filtered sinks") {
+    import Subscriptions._
+    val root = java.nio.file.Files.createTempDirectory("graft-subs").toString
+    val db = new graft.api.GraftDB(spark, s"$root/db")
+    db.createCollection("rt", "c")
+    db.addDocuments("rt", "c", (0 until 10).map(i => s"""{"v":$i}""")) // block 0
+    db.addDocuments("rt", "c", (0 until 5).map(i => s"""{"w":$i}"""))  // block 1
+    val subs = Seq(
+      Subscription("alice", Set(TopicBlock)),
+      Subscription("bob", Set(TopicBlock, TopicMutation)))
+    val q = Subscriptions.subscribe(spark, s"$root/db/rt/c/mutations", subs, s"$root/out")
+    try q.processAllAvailable() finally q.stop()
+    // alice: block events only, one per block with its mutation count
+    val alice = spark.read.parquet(s"$root/out/alice/block")
+      .orderBy("block_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(alice.toSeq === Seq((0L, 10), (1L, 5)))
+    assert(!new java.io.File(s"$root/out/alice/mutation").exists())
+    // bob: both topics; mutation headers cover every log row
+    val bobBlocks = spark.read.parquet(s"$root/out/bob/block").count()
+    val bobMuts = spark.read.parquet(s"$root/out/bob/mutation")
+    assert(bobBlocks === 2)
+    assert(bobMuts.count() === 15)
+    assert(bobMuts.select("block", "order").distinct().count() === 15)
+  }
+
   test("doc state counts every mutation per key") {
     val q = Streaming.docState(spark, sf).toDF()
       .writeStream.outputMode("append")
