@@ -528,7 +528,76 @@ object EventQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_users
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Z-score anomaly flagging per event type. Moments are EXACT decimal
+    * sums (sum, sum-of-squares) so the per-type stats are partition-order
+    * independent; mean/var/z are then a fixed chain of IEEE ops written
+    * identically in the oracle, rounded to 6dp. The 5-row stats table
+    * broadcasts back onto the scan — one shuffle for the agg, none for
+    * the join. */
+  def evtAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dv = col("value").cast(D)
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dv).as("sv"), sum(dv * dv).as("sq"))
+      .select(col("event_type"),
+        (col("sv").cast("double") / col("n")).as("mean"),
+        (col("sq").cast("double") / col("n") -
+          (col("sv").cast("double") / col("n")) * (col("sv").cast("double") / col("n")))
+          .as("variance"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("value") - col("mean")) / sqrt(col("variance")), 6))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+  }
+
+  val evtAnomalySql: String =
+    """WITH s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS sq
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT event_type, CAST(sv AS DOUBLE) / n AS mean,
+      |    CAST(sq AS DOUBLE) / n - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n) AS variance
+      |  FROM s)
+      |SELECT event_id, e.event_type, value,
+      |  round((value - mean) / sqrt(variance), 6) AS z
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE abs(round((value - mean) / sqrt(variance), 6)) > 3.0""".stripMargin
+
+  /** Most common 3-step event paths — the sequence-mining sibling of the
+    * funnel: per-user lead chains over one window (single shuffle on
+    * user_id), then a count per path string. Ordering ties break on
+    * event_id, matching the oracle's µs timestamps. */
+  def evtTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("e1", lead(col("event_type"), 1).over(w))
+      .withColumn("e2", lead(col("event_type"), 2).over(w))
+      .filter(col("e2").isNotNull)
+      .withColumn("path", concat_ws(">", col("event_type"), col("e1"), col("e2")))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(20)
+  }
+
+  val evtTopPathsSql: String =
+    """WITH p AS (
+      |  SELECT event_type || '>' ||
+      |    LEAD(event_type, 1) OVER w || '>' ||
+      |    LEAD(event_type, 2) OVER w AS path,
+      |    LEAD(event_type, 2) OVER w AS e2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+      |SELECT path, COUNT(*) AS n_paths FROM p WHERE e2 IS NOT NULL
+      |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_anomaly" -> (evtAnomaly _),
+    "evt_top_paths" -> (evtTopPaths _),
     "evt_histogram" -> (evtHistogram _),
     "evt_retention_cohort" -> (evtRetentionCohort _),
     "evt_bitmap_distinct" -> (evtBitmapDistinct _),
@@ -553,6 +622,8 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_anomaly" -> evtAnomalySql,
+    "evt_top_paths" -> evtTopPathsSql,
     "evt_histogram" -> evtHistogramSql,
     "evt_retention_cohort" -> evtRetentionCohortSql,
     "evt_bitmap_distinct" -> evtBitmapDistinctSql,
