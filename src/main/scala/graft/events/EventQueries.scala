@@ -595,7 +595,39 @@ object EventQueries {
       |SELECT path, COUNT(*) AS n_paths FROM p WHERE e2 IS NOT NULL
       |GROUP BY path ORDER BY n_paths DESC, path ASC LIMIT 20""".stripMargin
 
+  /** OHLC downsampling bars per (event_type, hour) — the classic tsdb
+    * resample (the reference serves time/block-ordered event scans;
+    * indexer_impl.rs orders by block time). One shuffle: a single groupBy
+    * with min_by/max_by picks open/close on the total order
+    * (ts, event_id) while min/max/count/sum fold map-side — no window
+    * sort, no second pass. min/max of doubles and the decimal volume sum
+    * are order-independent, so the bars are hash-exact. */
+  def evtOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val ord = struct(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+      .agg(
+        min_by(col("value"), ord).as("open"),
+        max_by(col("value"), ord).as("close"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast("double").as("volume"))
+  }
+
+  // ts is unique in the testdata, so ordering by ts alone matches the
+  // Spark side's (ts, event_id) total order; DuckDB's arg_min cannot
+  // take a composite key.
+  val evtOhlcSql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+      |  arg_min(value, ts) AS open, arg_max(value, ts) AS close,
+      |  max(value) AS high, min(value) AS low,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_ohlc" -> (evtOhlc _),
     "evt_anomaly" -> (evtAnomaly _),
     "evt_top_paths" -> (evtTopPaths _),
     "evt_histogram" -> (evtHistogram _),
@@ -622,6 +654,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_ohlc" -> evtOhlcSql,
     "evt_anomaly" -> evtAnomalySql,
     "evt_top_paths" -> evtTopPathsSql,
     "evt_histogram" -> evtHistogramSql,

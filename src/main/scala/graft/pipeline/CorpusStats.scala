@@ -87,13 +87,54 @@ object CorpusStats {
       |  quantile_cont(value, 0.99) AS p99
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Per-dimension embedding moments — the normalization pass every
+    * embedding pipeline runs before clustering/ANN (mean-centering,
+    * variance scaling, clipping bounds). posexplode fans each vector
+    * into (dim, value) rows, but partial aggregation folds them map-side
+    * to 64 rows per task BEFORE the exchange — the shuffle carries
+    * O(dims × partitions), never O(n × dims). Determinism: values are
+    * rounded to 6dp once and summed as DECIMAL (exact in any order);
+    * mean/variance are then one fixed IEEE chain, rounded to 6dp. */
+  def embDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val n = count(lit(1))
+    val meanRaw = sum(col("rv")).cast("double") / n
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim"), col("v").cast("double").as("dv"))
+      .withColumn("rv", round(col("dv"), 6).cast(d6))
+      .groupBy(col("dim"))
+      .agg(n.as("n"),
+        round(meanRaw, 6).as("mean"),
+        round(sum(col("rv") * col("rv")).cast("double") / n - meanRaw * meanRaw, 6)
+          .as("variance"),
+        min(col("dv")).as("min_v"),
+        max(col("dv")).as("max_v"))
+  }
+
+  val embDimStatsSql: String =
+    """WITH x AS (
+      |  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+      |         unnest(embedding) AS v
+      |  FROM embeddings),
+      |y AS (SELECT dim, CAST(v AS DOUBLE) AS dv,
+      |        CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6)) AS rv FROM x)
+      |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(rv) AS DOUBLE) / count(*), 6) AS mean,
+      |  round(CAST(sum(rv * rv) AS DOUBLE) / count(*)
+      |    - (CAST(sum(rv) AS DOUBLE) / count(*)) * (CAST(sum(rv) AS DOUBLE) / count(*)), 6) AS variance,
+      |  min(dv) AS min_v, max(dv) AS max_v
+      |FROM y GROUP BY dim""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_dim_stats" -> (embDimStats _),
     "corpus_stats" -> (corpusStats _),
     "q_range_join" -> (qRangeJoin _),
     "evt_percentiles" -> (evtPercentiles _),
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_dim_stats" -> embDimStatsSql,
     "corpus_stats" -> corpusStatsSql,
     "q_range_join" -> qRangeJoinSql,
     "evt_percentiles" -> evtPercentilesSql,

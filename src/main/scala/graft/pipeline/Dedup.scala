@@ -227,7 +227,53 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("cluster"))
   }
 
+  /** Repeated-substring exposure per document: the fraction of a doc's
+    * k-token windows that also occur verbatim in ANOTHER doc — the
+    * signal behind substring-level train-set dedup (drop or trim docs
+    * dominated by boilerplate spans). Shape: positional k-grams explode
+    * (n·k token copies), cross-doc grams found by one groupBy on the
+    * gram, joined back per occurrence — an inverted-index join, nothing
+    * quadratic. At 100 TB the gram key would be an 8-byte ShingleHashes
+    * rolling hash instead of the string (same plan, 6× narrower
+    * shuffle); the string key is kept here for oracle parity. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+    val grams = toks.select(col("doc_id"),
+      explode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
+        s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("gram"))
+    val shared = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val dup = grams.join(shared, Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_grams"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_fraction",
+        round(col("dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
+  val dedupSubstringSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+      |g0 AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks FROM f),
+      |g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram FROM g0),
+      |shared AS (SELECT gram FROM g GROUP BY gram HAVING count(distinct doc_id) >= 2),
+      |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+      |dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_grams
+      |        FROM g JOIN shared USING (gram) GROUP BY 1)
+      |SELECT p.doc_id, n_grams,
+      |  CAST(COALESCE(dup_grams, 0) AS BIGINT) AS dup_grams,
+      |  round(CAST(COALESCE(dup_grams, 0) AS DOUBLE) / n_grams, 6) AS dup_fraction
+      |FROM per p LEFT JOIN dup USING (doc_id)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> (dedupSubstring _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -238,6 +284,7 @@ object Dedup {
 
   /** dedup_minhash / dedup_simhash / dedup_embedding are rows-only. */
   val oracles: Map[String, String] = Map(
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
   )

@@ -197,7 +197,42 @@ object TextOps {
        |FROM (SELECT doc_id, $inj AS inj FROM documents) t""".stripMargin
   }
 
+  /** Unigram language-model quality score: avg per-token log-probability
+    * under the corpus's own unigram distribution — the cheap tier of the
+    * perplexity-filter ladder (KenLM-style filters are the same plumbing
+    * with a bigger table). Two aggregations: token counts (one shuffle,
+    * map-side combined), then the tiny vocab log-prob table BROADCAST
+    * back onto the token stream — the corpus never shuffles for the
+    * lookup, only for the final per-doc fold. Determinism: each token's
+    * log-prob is rounded to 9dp once and summed as DECIMAL (exact,
+    * order-independent); only the final mean is IEEE, rounded to 6dp. */
+  def textUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val lp = counts.crossJoin(counts.agg(sum(col("n")).as("total")))
+      .select(col("tok"),
+        round(log(col("n").cast("double") / col("total").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lp"))
+    toks.join(broadcast(lp), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  val textUnigramLmSql: String =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+      |lp AS (SELECT tok,
+      |  CAST(round(ln(CAST(n AS DOUBLE) / total), 9) AS DECIMAL(18,9)) AS lp
+      |  FROM c, tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+      |FROM t JOIN lp USING (tok) GROUP BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_lm" -> (textUnigramLm _),
     "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_langid" -> (textLangid _),
@@ -207,6 +242,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_unigram_lm" -> textUnigramLmSql,
     "text_repetition" -> textRepetitionSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangidSql,
