@@ -33,6 +33,16 @@ object GraftFunctions {
   def hyperplane_buckets(v: Column, bits: Int, tables: Int): Column =
     column(HyperplaneBuckets(expression(v), Literal(bits), Literal(tables)))
 
+  def pq_encode(v: Column, codebook: Column, m: Int, ksub: Int): Column =
+    column(PqEncode(expression(v), expression(codebook), m, ksub))
+  def pq_lut(v: Column, codebook: Column, m: Int, ksub: Int): Column =
+    column(PqLut(expression(v), expression(codebook), m, ksub))
+  def pq_adc_dist(codes: Column, lut: Column): Column =
+    column(PqAdcDist(expression(codes), expression(lut)))
+  /** One flat float-array literal (a single Literal node). */
+  def float_array_lit(a: Array[Float]): Column =
+    column(Literal.create(a, ArrayType(FloatType, containsNull = false)))
+
   /** splitmix64 finalizer — the shared pseudo-hyperplane/permutation
     * seed mixer. Public so the declarative and expression LSH paths stay
     * bit-identical. */
@@ -420,4 +430,156 @@ case class HyperplaneBuckets(vec: Expression, bitsExpr: Expression,
 
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       th: Expression): Expression = copy(vec = f, bitsExpr = s, tablesExpr = th)
+}
+
+/** Product-quantization encoder: split the (L2-normalized) vector into
+  * `m` contiguous subspaces and emit, per subspace, the index of the
+  * nearest sub-codebook centroid — `m` BYTES per vector (vs 4·dim for
+  * the raw floats; 32× at dim=64/m=8). Normalizing inside the encoder
+  * makes squared-L2 ADC ranking equivalent to cosine ranking.
+  * `codebook` is one flat float-array literal (a single Literal node —
+  * not a lit()-tree — so plan size stays O(1)) laid out
+  * [(subspace·ksub + centroid)·subdim + i]. Index build path: runs once
+  * per corpus row per index build, so interpreted eval is acceptable
+  * (the per-row cost is the m·ksub·subdim distance loop, not dispatch).
+  */
+case class PqEncode(vec: Expression, codebook: Expression, m: Int, ksub: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val c = cb.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val sub = d / m
+    var nrm = 0.0
+    var i = 0
+    while (i < d) { val xi = x.getFloat(i).toDouble; nrm += xi * xi; i += 1 }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val vbase = j * sub
+      var best = 0
+      var bestD = Double.MaxValue
+      var cc = 0
+      while (cc < ksub) {
+        val cbase = (j * ksub + cc) * sub
+        var dist = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = x.getFloat(vbase + t) * inv - c.getFloat(cbase + t)
+          dist += diff * diff
+          t += 1
+        }
+        if (dist < bestD) { bestD = dist; best = cc } // strict <: lowest id wins ties
+        cc += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, codebook = r)
+}
+
+/** Per-query ADC lookup table: squared L2 distance from each subspace of
+  * the (normalized) query to every sub-codebook centroid — m·ksub floats.
+  * Computed once per QUERY row (the tiny broadcast side), so the corpus
+  * scan degenerates to table lookups (PqAdcDist). */
+case class PqLut(vec: Expression, codebook: Expression, m: Int, ksub: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any, cb: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val c = cb.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val sub = d / m
+    var nrm = 0.0
+    var i = 0
+    while (i < d) { val xi = x.getFloat(i).toDouble; nrm += xi * xi; i += 1 }
+    val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+    val out = new Array[Float](m * ksub)
+    var j = 0
+    while (j < m) {
+      val vbase = j * sub
+      var cc = 0
+      while (cc < ksub) {
+        val cbase = (j * ksub + cc) * sub
+        var dist = 0.0
+        var t = 0
+        while (t < sub) {
+          val diff = x.getFloat(vbase + t) * inv - c.getFloat(cbase + t)
+          dist += diff * diff
+          t += 1
+        }
+        out(j * ksub + cc) = dist.toFloat
+        cc += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, codebook = r)
+}
+
+/** ADC (asymmetric distance computation) kernel: approximate squared L2
+  * between a query and a PQ-coded vector = Σ_j lut[j·ksub + codes[j]].
+  * THE hot loop of a PQ scan — m table lookups per corpus vector instead
+  * of a dim-length float loop — so it implements doGenCode and stays
+  * inside whole-stage codegen. */
+case class PqAdcDist(codes: Expression, lut: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(cAny: Any, lAny: Any): Any = {
+    val cs = cAny.asInstanceOf[ArrayData]
+    val lut = lAny.asInstanceOf[ArrayData]
+    val m = cs.numElements()
+    val ksub = if (m == 0) 0 else lut.numElements() / m
+    var sum = 0.0
+    var j = 0
+    while (j < m) {
+      sum += lut.getFloat(j * ksub + (cs.getByte(j) & 0xff))
+      j += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val m = ctx.freshName("m")
+      val ksub = ctx.freshName("ksub")
+      val j = ctx.freshName("j")
+      val sum = ctx.freshName("sum")
+      s"""
+        int $m = $c.numElements();
+        int $ksub = ($m == 0) ? 0 : $l.numElements() / $m;
+        double $sum = 0.0;
+        for (int $j = 0; $j < $m; $j++) {
+          $sum += $l.getFloat($j * $ksub + ($c.getByte($j) & 0xff));
+        }
+        ${ev.value} = $sum;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(codes = l, lut = r)
 }

@@ -190,17 +190,25 @@ object Ann {
     * is distributed — nearestCell above). Driver math also sums each
     * cell in a fixed order, so centroids are bit-deterministic where the
     * old 64-column distributed agg depended on partition order. */
-  private def buildCentroids(e: DataFrame, c: Int): Array[Row] = {
-    val target = math.max(16384L, 256L * c)
+  /** Deterministic size-bounded training sample, collected to the driver
+    * (the FAISS/MLlib quantizer-training pattern: training is a bounded
+    * problem regardless of corpus size; only assignment is distributed).
+    * Keyed by a multiplicative hash of vec_id so it is repartition- and
+    * rerun-stable. */
+  private def samplePoints(e: DataFrame, target: Long): Array[(Long, Array[Float])] = {
     val n = e.count()
     val sampled =
       if (n <= target) e
       else e.filter(pmod(col("vec_id") * 2654435761L, lit(1L << 20)) <
         lit(((1L << 20) * target + n - 1) / n))
-    val pts = sampled.select(col("vec_id"), col("embedding"))
+    sampled.select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+  }
+
+  private def buildCentroids(e: DataFrame, c: Int): Array[Row] = {
+    val pts = samplePoints(e, math.max(16384L, 256L * c))
     def cosine(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
@@ -263,10 +271,129 @@ object Ann {
       .distinct()
   }
 
+  // PQ codebooks are an index artifact like the IVF quantizer: trained
+  // once per (corpus, m, ksub) on a driver-side sample, reused by every
+  // encode/search over the same files.
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Array[Float]]()
+
+  private[pipeline] def pqCodebooks(e: DataFrame, m: Int, ksub: Int): Array[Float] = {
+    val files = e.inputFiles
+    if (files.nonEmpty)
+      pqCache.computeIfAbsent((files.sorted.mkString(","), m, ksub),
+        _ => pqTrain(e, m, ksub))
+    else pqTrain(e, m, ksub)
+  }
+
+  /** Sub-quantizer training: per subspace, ksub seeds (the sample's
+    * lowest vec_ids — deterministic) + 3 Lloyd rounds of squared-L2
+    * k-means over the NORMALIZED sample, all driver math in a fixed
+    * order (bit-deterministic). Output layout:
+    * flat[(subspace·ksub + centroid)·subdim + i]. */
+  private def pqTrain(e: DataFrame, m: Int, ksub: Int): Array[Float] = {
+    val pts = samplePoints(e, math.max(16384L, 256L * ksub)).map(_._2)
+    require(pts.nonEmpty, "pq training needs a non-empty corpus")
+    val dim = pts(0).length
+    val sub = dim / m
+    val normed = pts.map { v =>
+      var nrm = 0.0; var i = 0
+      while (i < dim) { nrm += v(i).toDouble * v(i); i += 1 }
+      val inv = if (nrm == 0.0) 0.0 else 1.0 / math.sqrt(nrm)
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) { out(i) = (v(i) * inv).toFloat; i += 1 }
+      out
+    }
+    val flat = new Array[Float](m * ksub * sub)
+    var j = 0
+    while (j < m) {
+      val base = j * sub
+      var cents = normed.take(ksub).map(v =>
+        java.util.Arrays.copyOfRange(v, base, base + sub))
+      var round = 0
+      while (round < 3) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        for (v <- normed) {
+          var best = 0; var bestD = Double.MaxValue
+          var cc = 0
+          while (cc < cents.length) { // strict <: lowest centroid wins ties
+            var dist = 0.0; var t = 0
+            while (t < sub) {
+              val diff = v(base + t) - cents(cc)(t); dist += diff * diff; t += 1
+            }
+            if (dist < bestD) { bestD = dist; best = cc }
+            cc += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < sub) { sums(best)(t) += v(base + t); t += 1 }
+        }
+        cents = cents.indices.map { ci =>
+          if (counts(ci) == 0) cents(ci) // empty cell keeps its seed
+          else (0 until sub).map(t => (sums(ci)(t) / counts(ci)).toFloat).toArray
+        }.toArray
+        round += 1
+      }
+      var cc = 0
+      while (cc < cents.length) {
+        System.arraycopy(cents(cc), 0, flat, (j * ksub + cc) * sub, sub)
+        cc += 1
+      }
+      j += 1
+    }
+    flat
+  }
+
+  /** Product-quantization ANN — the memory scale path: the scanned index
+    * is m BYTES per vector (m=16 on the fixture → 16× smaller than the
+    * raw floats; a 100 TB embedding corpus becomes a ~6 TB scan), queries
+    * broadcast a per-query ADC lookup table, and the codegen'd PqAdcDist
+    * kernel turns each corpus visit into m table lookups.
+    * Top-`rescoreDepth` ADC candidates (ids only — vectors never ride
+    * the candidate shuffle) are exactly rescored with CosineSim.
+    * Rows-only; recall floor spec-pinned against brute force. m=16
+    * (4-dim subspaces) is tuned for the fixture's weak similarity
+    * structure — same caveat as annLsh: corpora with genuine near-dup
+    * tails sustain m=8 at the same recall. */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    annPqTuned(spark, dir, m = 16, ksub = 16, rescoreDepth = 64)
+
+  def annPqTuned(spark: SparkSession, dir: String,
+      m: Int, ksub: Int, rescoreDepth: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cb = float_array_lit(pqCodebooks(e, m, ksub))
+    val codes = e.select(col("vec_id").as("cand_id"),
+      pq_encode(col("embedding"), cb, m, ksub).as("codes"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        pq_lut(col("embedding"), cb, m, ksub).as("lut"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("cand_id").asc)
+    val cand = broadcast(queries).join(codes, col("query_id") =!= col("cand_id"))
+      .withColumn("adc", pq_adc_dist(col("codes"), col("lut")))
+      .withColumn("arank", row_number().over(wA))
+      .filter(col("arank") <= rescoreDepth)
+      .select(col("query_id"), col("cand_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    cand
+      .join(broadcast(e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("c_v")),
+        Seq("cand_id"))
+      .withColumn("cos", cosine_sim(col("q_v"), col("c_v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_pq" -> (annPq _),
   )
 
   val oracles: Map[String, String] = Map(

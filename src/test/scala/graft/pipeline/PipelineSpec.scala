@@ -126,6 +126,27 @@ class PipelineSpec extends SparkSpec {
     ivf.foreach { case (q, c) => assert(q != c) }
   }
 
+  test("ann PQ recalls >= 0.8 of brute-force neighbors after ADC rescore") {
+    val brute = Ann.annCosineTopk(spark, sf)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pq = Ann.annPq(spark, sf)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(pq.nonEmpty)
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+    // codes really are m bytes per vector
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val cb = float_array_lit(Ann.pqCodebooks(e, 16, 16))
+    val lens = e.limit(20)
+      .select(size(pq_encode(col("embedding"), cb, 16, 16)))
+      .as[Int].collect()
+    assert(lens.forall(_ === 16))
+    // a shallower rescore can only lose recall (ADC ordering is load-bearing)
+    val narrow = Ann.annPqTuned(spark, sf, m = 16, ksub = 16, rescoreDepth = 12)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert((brute & narrow).size <= (brute & pq).size)
+  }
+
   test("embedding near-dup blocker covers the label-blocked ground truth") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     // the previous label-blocked form, as ground truth on the fixture
