@@ -388,6 +388,10 @@ class GraftDB(spark: SparkSession, root: String) {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], rollupManifestSchema)
   }
 
+  /** On-disk size of the live (un-rolled-up) mutation tail — the rollup
+    * executor's trigger metric (rollup_executor.rs periodic size check). */
+  def tailBytes(db: String, coll: String): Long = dirSize(mutPath(db, coll))
+
   /** Persisted GC history (mutation_store.rs scan_gc_records). */
   def scanGcRecords(db: String, coll: String): DataFrame = {
     val dir = s"${manifestPath(db, coll)}/gc"
@@ -617,10 +621,12 @@ object GraftDB {
       f.getName.endsWith(".parquet") || (f.isDirectory && hasParquet(f.getPath)))
   }
 
+  // recursive: mutation tails nest per-block subdirs (appendDocumentsAt)
   private def dirSize(dir: String): Long = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) 0L
-    else d.listFiles().filter(_.isFile).map(_.length()).sum
+    else d.listFiles().map(f =>
+      if (f.isFile) f.length() else dirSize(f.getPath)).sum
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -31,13 +31,16 @@ object Streaming {
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, dur_us: Long)
 
-  def readEventStream(spark: SparkSession, dir: String): Dataset[Ev] = {
+  def readEventStream(spark: SparkSession, dir: String,
+      glob: String = "events.parquet", filesPerTrigger: Int = 0): Dataset[Ev] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source wants a directory; glob-filter to the table
-    spark.readStream.schema(eventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir).as[Ev]
+    val r = spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", glob)
+    val r2 = if (filesPerTrigger > 0)
+      r.option("maxFilesPerTrigger", filesPerTrigger.toString) else r
+    r2.parquet(dir).as[Ev]
   }
 
   /** Watermarked tumbling-window aggregation per event type — the
@@ -134,6 +137,36 @@ object Streaming {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) db.appendDocumentsAt(dbName, coll, blockBase + batchId, batch)
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming rollup executor: the intake above plus the reference's
+    * periodic rollup loop (rollup_executor.rs:256 `process`) folded into
+    * the commit point — after each micro-batch lands, if the live tail
+    * has grown past `maxTailBytes` the log is drained into size-bounded
+    * gzip batches with persisted RollupRecords and a GcRecord
+    * (GraftDB.rollup). foreachBatch is the natural analog of the
+    * executor's tick: it serializes with the writer (the single-writer
+    * sequencing the reference also assumes), so a rollup never races an
+    * append, and a retried micro-batch re-checks the trigger
+    * idempotently. */
+  def ingestWithRollup(spark: SparkSession, dir: String, db: graft.api.GraftDB,
+      dbName: String, coll: String, maxTailBytes: Long,
+      maxBatchBytes: Long = 64L * 1024 * 1024,
+      glob: String = "events.parquet", filesPerTrigger: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    db.createCollection(dbName, coll)
+    val blockBase = db.nextBlockId(dbName, coll)
+    readEventStream(spark, dir, glob, filesPerTrigger).toDF()
+      .select(to_json(struct(col("event_id"), col("user_id"),
+        col("event_type"), col("value"))).as("doc"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) db.appendDocumentsAt(dbName, coll, blockBase + batchId, batch)
+        if (db.tailBytes(dbName, coll) >= maxTailBytes)
+          db.rollup(dbName, coll, maxBatchBytes)
         ()
       }
       .start()

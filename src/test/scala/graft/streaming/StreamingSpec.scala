@@ -85,6 +85,33 @@ class StreamingSpec extends SparkSpec {
       graft.sources.Tables.events(spark, sf).filter(col("event_type") === "purchase").count())
   }
 
+  test("streaming intake triggers size-bounded rollups (the rollup-executor loop)") {
+    val db = new graft.api.GraftDB(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream-rollup").toString)
+    // split the table into 4 files so the stream delivers 4 micro-batches
+    // (4 blocks) — the executor rolls the tail after each one
+    val src = java.nio.file.Files.createTempDirectory("graft-evsplit").toString
+    graft.sources.Tables.eventsRaw(spark, sf).repartition(4)
+      .write.mode("overwrite").parquet(src)
+    val q = Streaming.ingestWithRollup(spark, src, db, "rt", "events",
+      maxTailBytes = 1L, maxBatchBytes = 64L * 1024,
+      glob = "part-*.parquet", filesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    // the tail crossed the threshold → it was drained into >1 size-bounded
+    // batch, each with a persisted RollupRecord, and the GC was recorded
+    val recs = db.scanRollupRecords("rt", "events").collect()
+    assert(recs.length > 1, s"expected multiple rollup batches, got ${recs.length}")
+    assert(db.scanGcRecords("rt", "events").count() >= 1)
+    // the fold over rollups (+ empty tail) is byte-identical: every event
+    // is still queryable through the doc-store surface
+    assert(db.collectionState("rt", "events") ===
+      graft.sources.Tables.events(spark, sf).count())
+    val purchases = db.queryStr("rt", "events", "/[event_type = purchase] | count")
+      .head().getLong(0)
+    assert(purchases === graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count())
+  }
+
   test("subscription push fans one stream out to topic-filtered sinks") {
     import Subscriptions._
     val root = java.nio.file.Files.createTempDirectory("graft-subs").toString
