@@ -626,7 +626,35 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Sliding (hopping) window aggregates: 1-hour windows every 15
+    * minutes — each event lands in 4 overlapping windows. Spark's
+    * `window(ts, dur, slide)` expands rows to their covering windows
+    * BEFORE the partial aggregation, so the exchange carries per-window
+    * partials (4× window count), never 4× the events. The oracle makes
+    * the same expansion explicit with a 4-offset cross join. */
+  def evtSlidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast("double").as("sum_value"))
+      .select(col("event_type"), col("window.start").as("w_start"),
+        col("n"), col("sum_value"))
+  }
+
+  val evtSlidingWindowSql: String =
+    """WITH off AS (SELECT unnest([0, 900, 1800, 2700]) AS o),
+      |e AS (SELECT event_type, value,
+      |        epoch_us(ts) - epoch_us(ts) % 900000000 AS base_us
+      |      FROM events)
+      |SELECT event_type,
+      |  make_timestamp(base_us - CAST(o AS BIGINT) * 1000000) AS w_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM e CROSS JOIN off
+      |GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_sliding_window" -> (evtSlidingWindow _),
     "evt_ohlc" -> (evtOhlc _),
     "evt_anomaly" -> (evtAnomaly _),
     "evt_top_paths" -> (evtTopPaths _),
@@ -654,6 +682,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_sliding_window" -> evtSlidingWindowSql,
     "evt_ohlc" -> evtOhlcSql,
     "evt_anomaly" -> evtAnomalySql,
     "evt_top_paths" -> evtTopPathsSql,

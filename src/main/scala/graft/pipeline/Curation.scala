@@ -212,7 +212,50 @@ object Curation {
       |  FROM documents) t
       |WHERE (doc_id * 3266489917) % 100000 < least(toks, 500) * 200""".stripMargin
 
+  /** Domain mixing: rebalance the corpus so every source contributes the
+    * same token budget (the smallest source's total — "uniform mixing";
+    * a weighted target is the same plumbing with a weights table). Each
+    * source gets an integer keep-threshold ∝ budget/total, and docs are
+    * kept by the same decorrelated multiplicative hash as
+    * pipeline_sample — deterministic, repartition-stable, no RNG. Two
+    * narrow shuffles (per-source totals, final per-source fold); the
+    * 5-row rate table broadcasts. All math is integer until nothing is
+    * left to disagree on. */
+  def pipelineMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    val totals = d.groupBy(col("source"))
+      .agg(sum(col("toks")).as("total_tokens"))
+    val rates = totals
+      .crossJoin(totals.agg(min(col("total_tokens")).as("min_toks")))
+      .select(col("source"), col("total_tokens"),
+        expr("(min_toks * 1048576) div total_tokens").as("threshold"))
+    d.join(broadcast(rates), Seq("source"))
+      .filter(pmod(col("doc_id") * 2654435761L, lit(1L << 20)) < col("threshold"))
+      .groupBy(col("source"), col("total_tokens"), col("threshold"))
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("toks")).as("tokens_kept"))
+  }
+
+  val pipelineMixSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+      |  FROM documents),
+      |t AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS total_tokens FROM d GROUP BY 1),
+      |m AS (SELECT MIN(total_tokens) AS min_toks FROM t),
+      |r AS (SELECT source, total_tokens,
+      |        CAST((min_toks * 1048576) // total_tokens AS BIGINT) AS threshold
+      |      FROM t, m)
+      |SELECT source, total_tokens, threshold,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+      |  CAST(SUM(toks) AS BIGINT) AS tokens_kept
+      |FROM d JOIN r USING (source)
+      |WHERE (doc_id * 2654435761) % 1048576 < threshold
+      |GROUP BY source, total_tokens, threshold""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_mix" -> (pipelineMix _),
     "pipeline_sample_weighted" -> (pipelineSampleWeighted _),
     "text_normalize" -> (textNormalize _),
     "pipeline_keep_list" -> (pipelineKeepList _),
@@ -224,6 +267,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_mix" -> pipelineMixSql,
     "pipeline_sample_weighted" -> pipelineSampleWeightedSql,
     "text_normalize" -> textNormalizeSql,
     "pipeline_keep_list" -> pipelineKeepListSql,
