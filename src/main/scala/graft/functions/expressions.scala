@@ -43,6 +43,13 @@ object GraftFunctions {
   def float_array_lit(a: Array[Float]): Column =
     column(Literal.create(a, ArrayType(FloatType, containsNull = false)))
 
+  def vec_sum(v: Column, dim: Int): Column =
+    column(VecSum(expression(v), dim).toAggregateExpression())
+  def gram_matrix(v: Column, dim: Int): Column =
+    column(GramMatrix(expression(v), dim).toAggregateExpression())
+  def affine_project(v: Column, mat: Column, outDim: Int): Column =
+    column(AffineProject(expression(v), expression(mat), outDim))
+
   /** splitmix64 finalizer — the shared pseudo-hyperplane/permutation
     * seed mixer. Public so the declarative and expression LSH paths stay
     * bit-identical. */
@@ -582,4 +589,148 @@ case class PqAdcDist(codes: Expression, lut: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(codes = l, lut = r)
+}
+
+/** Vector sum aggregate: element-wise sum of float-array rows into a
+  * double[] buffer — the partial-aggregable first moment for centering /
+  * normalization (pairs with GramMatrix for covariance). Buffer is dim
+  * doubles; merge is element-wise add, so the exchange carries one
+  * vector per partition, never the rows. */
+case class VecSum(child: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]]
+    with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = math.min(dim, a.numElements())
+      var i = 0
+      while (i < n) { buf(i) += a.getFloat(i); i += 1 }
+    }
+    buf
+  }
+
+  override def merge(b: Array[Double], o: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < dim) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * dim)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](dim)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Gram-matrix aggregate: Σ x·xᵀ over float-array rows, accumulated in a
+  * flat dim×dim double buffer (row-major). The second moment for
+  * covariance/PCA — the classic "wide partial aggregate" shape: each
+  * partition folds its rows locally (dim² flops/row, zero allocation),
+  * and the exchange carries ONE dim² buffer per partition (32 KB at
+  * dim=64), never n·dim² — the same reason HLL sketches scale. */
+case class GramMatrix(child: Expression, dim: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Double]]
+    with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Array[Double] = new Array[Double](dim * dim)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = math.min(dim, a.numElements())
+      var i = 0
+      while (i < n) {
+        val xi = a.getFloat(i).toDouble
+        val base = i * dim
+        var j = 0
+        while (j < n) { buf(base + j) += xi * a.getFloat(j); j += 1 }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b: Array[Double], o: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < b.length) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(buf: Array[Double]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * buf.length)
+    bb.asDoubleBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asDoubleBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramMatrix =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramMatrix =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Affine projection: out[r] = Σ_i M[r·(dim+1)+i]·x[i] + M[r·(dim+1)+dim]
+  * — a k×(dim+1) row-major matrix (rotation + offset in one) applied to a
+  * float vector. The distributed half of PCA: the basis is a driver
+  * artifact (one flat literal), the projection is a per-row kernel. */
+case class AffineProject(vec: Expression, mat: Expression, outDim: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = mat
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any, m: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val mm = m.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val out = new Array[Float](outDim)
+    var r = 0
+    while (r < outDim) {
+      val base = r * (dim + 1)
+      var acc = mm.getFloat(base + dim).toDouble
+      var i = 0
+      while (i < dim) { acc += mm.getFloat(base + i).toDouble * x.getFloat(i); i += 1 }
+      out(r) = acc.toFloat
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, mat = r)
 }

@@ -147,6 +147,42 @@ class PipelineSpec extends SparkSpec {
     assert((brute & narrow).size <= (brute & pq).size)
   }
 
+  test("emb PCA: descending eigenvalues, orthonormal basis, variance-preserving projection") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val k = 8
+    val m = Pca.model(e, k)
+    val dim = m.dim
+    // eigenvalues descending and non-negative (covariance is PSD)
+    m.evals.sliding(2).foreach { case Array(a, b) => assert(a >= b - 1e-9) }
+    m.evals.foreach(v => assert(v >= -1e-9))
+    // basis rows orthonormal
+    for (r1 <- 0 until k; r2 <- r1 until k) {
+      var dot = 0.0
+      for (d <- 0 until dim)
+        dot += m.affine(r1 * (dim + 1) + d).toDouble * m.affine(r2 * (dim + 1) + d)
+      if (r1 == r2) assert(math.abs(dot - 1.0) < 1e-5, s"row $r1 not unit: $dot")
+      else assert(math.abs(dot) < 1e-5, s"rows $r1,$r2 not orthogonal: $dot")
+    }
+    // per-component variance of the projected corpus == its eigenvalue
+    // (population covariance was fit on exactly this corpus)
+    val proj = Pca.embPca(spark, sf).select(col("proj")).as[Array[Float]].collect()
+    val n = proj.length.toDouble
+    for (r <- 0 until k) {
+      val mean = proj.map(_(r).toDouble).sum / n
+      val varr = proj.map(p => (p(r) - mean) * (p(r) - mean)).sum / n
+      assert(math.abs(varr - m.evals(r)) < 1e-3 * math.max(1.0, m.evals(r)),
+        s"component $r variance $varr != eigenvalue ${m.evals(r)}")
+      // projected components are centered
+      assert(math.abs(mean) < 1e-3)
+    }
+    // PCA optimality: top-k eigenvalues explain at least as much variance
+    // as the k highest-variance RAW dimensions (cross-checked against the
+    // oracle-exact emb_dim_stats)
+    val rawVars = CorpusStats.embDimStats(spark, sf)
+      .select(col("variance")).as[Double].collect().sorted.reverse.take(k)
+    assert(m.evals.sum >= rawVars.sum - 1e-6)
+  }
+
   test("embedding near-dup blocker covers the label-blocked ground truth") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     // the previous label-blocked form, as ground truth on the fixture
