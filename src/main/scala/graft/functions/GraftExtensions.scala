@@ -43,7 +43,31 @@ object GraftExtensions {
       val e = need(3, "graft_hyperplane_buckets")(exprs)
       HyperplaneBuckets(e(0), e(1), e(2))
     },
+    "graft_pq_encode" -> { exprs =>
+      val e = need(4, "graft_pq_encode")(exprs)
+      PqEncode(e(0), e(1), litInt(e(2), "m"), litInt(e(3), "ksub"))
+    },
+    "graft_pq_lut" -> { exprs =>
+      val e = need(4, "graft_pq_lut")(exprs)
+      PqLut(e(0), e(1), litInt(e(2), "m"), litInt(e(3), "ksub"))
+    },
+    "graft_pq_adc_dist" -> { exprs =>
+      val e = need(2, "graft_pq_adc_dist")(exprs); PqAdcDist(e(0), e(1))
+    },
+    "graft_affine_project" -> { exprs =>
+      val e = need(3, "graft_affine_project")(exprs)
+      AffineProject(e(0), e(1), litInt(e(2), "outDim"))
+    },
   )
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
 
   /** Register on a live session (tests / notebooks). */
   def registerAll(spark: SparkSession): Unit =

@@ -51,5 +51,16 @@ class FilterJsonSpec extends SparkSpec {
     assert(sh === sh2)
     assert(spark.sql("SELECT size(graft_shingle_hashes(array('a','b','c','d'), 3))")
       .head().getInt(0) === 2)
+    // PQ surface: encode 4-dim vector with a 2×2-centroid codebook and
+    // score it against its own LUT — ADC distance to itself must be the
+    // minimum over code combinations (here: just non-negative and finite)
+    val adc = spark.sql(
+      """SELECT graft_pq_adc_dist(
+        |  graft_pq_encode(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(1 AS FLOAT)), cb, 2, 2),
+        |  graft_pq_lut(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(1 AS FLOAT)), cb, 2, 2))
+        |FROM (SELECT array(CAST(0.7 AS FLOAT), CAST(0 AS FLOAT), CAST(0 AS FLOAT), CAST(0.7 AS FLOAT),
+        |                   CAST(0 AS FLOAT), CAST(0.7 AS FLOAT), CAST(0.7 AS FLOAT), CAST(0 AS FLOAT)) AS cb)
+        |""".stripMargin).head().getDouble(0)
+    assert(adc >= 0.0 && adc < 0.1, s"adc=$adc") // codes hit the matching centroids
   }
 }
