@@ -27,7 +27,7 @@ object SparkEntry {
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
     graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
     graft.operators.OperatorQueries.all ++ graft.pipeline.CorpusStats.all ++
-    graft.pipeline.Curation.all ++ graft.pipeline.Pca.all
+    graft.pipeline.Curation.all ++ graft.pipeline.Pca.all ++ graft.pipeline.Bpe.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +46,5 @@ object SparkEntry {
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
     graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++
     graft.operators.OperatorQueries.oracles ++ graft.pipeline.CorpusStats.oracles ++
-    graft.pipeline.Curation.oracles ++ graft.pipeline.Pca.oracles
+    graft.pipeline.Curation.oracles ++ graft.pipeline.Pca.oracles ++ graft.pipeline.Bpe.oracles
 }

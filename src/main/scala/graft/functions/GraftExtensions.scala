@@ -58,6 +58,9 @@ object GraftExtensions {
       val e = need(3, "graft_affine_project")(exprs)
       AffineProject(e(0), e(1), litInt(e(2), "outDim"))
     },
+    "graft_bpe_tokens" -> { exprs =>
+      val e = need(2, "graft_bpe_tokens")(exprs); BpeTokens(e(0), e(1))
+    },
   )
 
   private def litInt(e: Expression, what: String): Int = {

@@ -43,6 +43,12 @@ object GraftFunctions {
   def float_array_lit(a: Array[Float]): Column =
     column(Literal.create(a, ArrayType(FloatType, containsNull = false)))
 
+  def bpe_tokens(text: Column, merges: Column): Column =
+    column(BpeTokens(expression(text), expression(merges)))
+  /** One flat string-array literal (a single Literal node). */
+  def string_array_lit(a: Seq[String]): Column =
+    column(Literal.create(a, ArrayType(StringType, containsNull = false)))
+
   def vec_sum(v: Column, dim: Int): Column =
     column(VecSum(expression(v), dim).toAggregateExpression())
   def gram_matrix(v: Column, dim: Int): Column =
@@ -733,4 +739,87 @@ case class AffineProject(vec: Expression, mat: Expression, outDim: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(vec = l, mat = r)
+}
+
+/** BPE tokenize: split `text` on single spaces, apply ranked BPE merges
+  * greedily per word (lowest-rank adjacent pair first — the standard
+  * GPT-2-style apply loop), return the concatenated token array. Merges
+  * arrive as one array<string> literal of "left right" pairs in rank
+  * order (a single Literal node); the rank map and a per-word memo are
+  * built once per expression instance — the literal is constant, so
+  * per-row work is a hash lookup for every repeated word. */
+case class BpeTokens(text: Expression, merges: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = text
+  override def right: Expression = merges
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private var ranks: java.util.HashMap[(String, String), Int] = _
+  @transient private var memo: java.util.HashMap[String, Array[String]] = _
+
+  private def ensureRanks(m: ArrayData): Unit = {
+    if (ranks == null) {
+      ranks = new java.util.HashMap[(String, String), Int]()
+      memo = new java.util.HashMap[String, Array[String]]()
+      var i = 0
+      val n = m.numElements()
+      while (i < n) {
+        val s = m.getUTF8String(i).toString
+        val sp = s.indexOf(' ')
+        ranks.put((s.substring(0, sp), s.substring(sp + 1)), i)
+        i += 1
+      }
+    }
+  }
+
+  private def encodeWord(w: String): Array[String] = {
+    val hit = memo.get(w)
+    if (hit != null) return hit
+    var toks = w.map(_.toString).toArray
+    var done = false
+    while (!done && toks.length > 1) {
+      // find the lowest-rank adjacent pair
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.getOrDefault((toks(i), toks(i + 1)), Int.MaxValue)
+        if (r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) done = true
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 &&
+              ranks.getOrDefault((toks(j), toks(j + 1)), Int.MaxValue) == bestRank) {
+            out += toks(j) + toks(j + 1); j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.toArray
+      }
+    }
+    if (memo.size < 65536) memo.put(w, toks)
+    toks
+  }
+
+  override def nullSafeEval(t: Any, m: Any): Any = {
+    ensureRanks(m.asInstanceOf[ArrayData])
+    val s = t.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var start = 0
+    while (start <= s.length) {
+      val sp = s.indexOf(' ', start)
+      val end = if (sp < 0) s.length else sp
+      if (end > start)
+        encodeWord(s.substring(start, end)).foreach(tk => out += UTF8String.fromString(tk))
+      start = end + 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(text = l, merges = r)
 }

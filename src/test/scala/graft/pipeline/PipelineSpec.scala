@@ -147,6 +147,31 @@ class PipelineSpec extends SparkSpec {
     assert((brute & narrow).size <= (brute & pq).size)
   }
 
+  test("BPE trainer finds the dominant pair first; apply is lossless and monotone") {
+    // hand corpus: "ab" occurs 9 times (5 in abab·2 + 4 in abc), far ahead
+    val counts = Seq(("abab", 5L), ("abc", 4L), ("xy", 1L))
+    val merges = Bpe.trainMerges(counts, 8)
+    assert(merges.head === "a b", s"merges=$merges")
+    // after merging "a b": pair (ab, ab) has count 5 → second merge
+    assert(merges(1) === "ab ab", s"merges=$merges")
+    // apply: lossless (tokens concatenate back) and monotone in merges
+    val df = Seq("abab abc xy zq").toDF("text")
+    def tokens(n: Int): Seq[String] =
+      df.select(bpe_tokens(col("text"), string_array_lit(merges.take(n))))
+        .head().getSeq[String](0)
+    assert(tokens(0) === "abababcxyzq".map(_.toString)) // 0 merges → chars
+    assert(tokens(merges.length).mkString === "abababcxyzq") // lossless concat
+    (0 to merges.length).sliding(2).foreach { case Seq(a, b) =>
+      assert(tokens(b).length <= tokens(a).length)
+    }
+    // corpus query: BPE count is between word count and char count
+    val rows = Bpe.textBpe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1)) // >= whitespace tokens
+    }
+  }
+
   test("emb PCA: descending eigenvalues, orthonormal basis, variance-preserving projection") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     val k = 8
