@@ -334,7 +334,34 @@ object DocQueries {
   val docQstrCountSql: String =
     "SELECT COUNT(*) AS count FROM events WHERE value >= 100.0"
 
+  /** Firestore-style aggregation query: filter + group-by-doc-field +
+    * COUNT/SUM/AVG, computed on the fields the structured query projects
+    * (one `from_json` parse via the fused compiler, then a plain
+    * grouped aggregate — the doc surface and the analytic engine are the
+    * same engine). Money math in decimal; avg is the ratio of the exact
+    * sum over the exact count. */
+  def docGroupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      where = Some(FieldFilter("value", Op.Ge, Dbl(50.0))),
+      select = Seq("event_type", "value"))
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    DocStore.queryFused(coll(spark, dir), q)
+      .select(col("event_type"), col("value").cast(D).as("dv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dv")).cast("double").as("sum_value"),
+        (sum(col("dv")).cast("double") / count(lit(1))).as("avg_value"))
+  }
+
+  val docGroupAggSql: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM events WHERE value >= 50.0
+      |GROUP BY event_type""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_group_agg" -> (docGroupAgg _),
     "doc_array_contains" -> (docArrayContains _),
     "doc_qstr" -> (docQstr _),
     "doc_qstr_count" -> (docQstrCount _),
@@ -359,6 +386,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_group_agg" -> docGroupAggSql,
     "doc_array_contains" -> docArrayContainsSql,
     "doc_qstr" -> docQstrSql,
     "doc_qstr_count" -> docQstrCountSql,
