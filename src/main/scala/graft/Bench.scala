@@ -44,9 +44,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     spark.stop()
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver keeps only a 2000-char tail of stdout — persist the full
+    // line so per-query timings survive for every round
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
     // last line of output, after Spark's shutdown logging
-    System.out.println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.println(line)
     System.out.flush()
   }
 }

@@ -413,19 +413,26 @@ object EventQueries {
     * verify_docs_ownership rejects mutations to docs the sender does not
     * own). Without crypto in scope, the consistency check: a doc key
     * (props.k) is owned by the sender of its earliest mutation; any later
-    * mutation from a different sender counts as a foreign write. One
-    * shuffle on the doc key; the window and the aggregate share it. */
+    * mutation from a different sender counts as a foreign write.
+    *
+    * Skew-immune shape: NO per-key window sort (a hot doc key — one
+    * contract = 10% of the log — cannot be split by AQE inside a window).
+    * Instead two map-side-combinable aggregations: (k, user_id) partials
+    * split a hot k across senders in stage 1; stage 2 works on those tiny
+    * per-sender rows, picks owner = min_by(user_id, earliest touch), and
+    * gets the owner's own write count from the SAME min_by — so
+    * n_foreign = total − owner's count with no join back at all.
+    * (ts, event_id) is unique per event, so min_by is deterministic. */
   def mutationOwnership(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("k"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    Tables.events(spark, dir)
+    val perSender = Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .withColumn("owner", first(col("user_id")).over(w))
-      .groupBy(col("k"))
-      .agg(max(col("owner")).as("owner"),
-        count(lit(1)).as("n_mutations"),
-        sum(when(col("user_id") =!= col("owner"), 1L).otherwise(0L))
-          .as("n_foreign"))
+      .groupBy(col("k"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts"), col("event_id"))).as("first_touch"))
+    perSender.groupBy(col("k"))
+      .agg(min_by(col("user_id"), col("first_touch")).as("owner"),
+        sum(col("n")).as("n_mutations"),
+        (sum(col("n")) - min_by(col("n"), col("first_touch"))).as("n_foreign"))
   }
 
   val mutationOwnershipSql: String =

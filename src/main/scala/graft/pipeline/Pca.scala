@@ -150,14 +150,21 @@ object Pca {
   }
 
   /** PCA projection of every embedding onto the top-k principal
-    * components (k=8). Rows-only: float kernels aren't SQL-expressible;
-    * the spec pins eigen-structure invariants (descending eigenvalues,
-    * orthonormal basis, per-component projected variance == eigenvalue,
-    * and optimality over any raw-dimension subset). */
+    * components (k=8), one scalar row per (vector, component). Rows-only:
+    * float kernels aren't SQL-expressible; the spec pins eigen-structure
+    * invariants (descending eigenvalues, orthonormal basis, per-component
+    * projected variance == eigenvalue, and optimality over any
+    * raw-dimension subset). Scalar rows (not array<float>) so the
+    * driver's canonicalizer can sort the result; values rounded to 4
+    * decimals to absorb float-order jitter. */
   def embPca(spark: SparkSession, dir: String): DataFrame =
-    embPcaK(spark, dir, k = 8)
+    embPcaVectors(spark, dir, k = 8)
+      .select(col("vec_id"), posexplode(col("proj")).as(Seq("component", "value")))
+      .select(col("vec_id"), col("component"),
+        round(col("value").cast("double"), 4).as("value"))
 
-  def embPcaK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+  /** Raw (vec_id, proj: array<float>) form — the spec's entry point. */
+  def embPcaVectors(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val m = model(e, k)
     e.select(col("vec_id"),

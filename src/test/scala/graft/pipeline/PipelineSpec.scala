@@ -190,7 +190,7 @@ class PipelineSpec extends SparkSpec {
     }
     // per-component variance of the projected corpus == its eigenvalue
     // (population covariance was fit on exactly this corpus)
-    val proj = Pca.embPca(spark, sf).select(col("proj")).as[Array[Float]].collect()
+    val proj = Pca.embPcaVectors(spark, sf, k).select(col("proj")).as[Array[Float]].collect()
     val n = proj.length.toDouble
     for (r <- 0 until k) {
       val mean = proj.map(_(r).toDouble).sum / n
