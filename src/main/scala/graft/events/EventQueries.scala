@@ -12,6 +12,15 @@ import graft.sources.Tables
   * (node/src/rollup_executor.rs:256 `process`: drain the mutation log into
   * size-bounded compressed batches, record RollupRecord stats).
   */
+/** Planted key material for the signed-mutation fixture: sender i uses
+  * private scalar i+1, whose addresses are publicly derivable constants.
+  * Computed once per JVM from the curve itself, so the Spark side, the
+  * oracle SQL and the specs can never drift apart. */
+object VerifySigFixture {
+  lazy val plantedAddresses: Seq[String] =
+    (1 to 10).map(i => graft.functions.crypto.Secp256k1.privToAddress(BigInt(i)))
+}
+
 object EventQueries {
 
   private val D = DecimalType(18, 2)
@@ -660,7 +669,66 @@ object EventQueries {
       |FROM e CROSS JOIN off
       |GROUP BY 1, 2""".stripMargin
 
+  /** Signed-mutation verification — the reference's core trust property
+    * (node/src/mutation_utils.rs:75-127 `unwrap_and_light_verify`: every
+    * write is an EIP-712 TypedData payload whose sender is RECOVERED from
+    * the secp256k1 signature, never trusted from a field). Fixture: a
+    * deterministic slice of the event log is wrapped in the SDK's exact
+    * typed-data shape (sdk/src/provider/storage_provider_v2.ts
+    * `wrapTypedRequest`: Message(bytes payload, string nonce), empty
+    * domain) and signed executor-side with planted keys (sender i ↦
+    * private scalar i+1); a deterministic subset is forged with the
+    * wrong key. The query then recovers every sender with the
+    * `recover_signer` kernel and counts valid vs forged per claimed
+    * signer. Signing AND recovery are per-row codegen'd expressions —
+    * no shuffle until the final 8-group aggregate, linear at 100 TB.
+    *
+    * The oracle replays the fixture arithmetic in SQL with the planted
+    * addresses inlined (publicly derivable constants for keys 1..8) —
+    * so a single wrong recovered address breaks the hash compare. */
+  def mutationVerifySig(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.{eip712_sign, recover_signer}
+    val addrs = VerifySigFixture.plantedAddresses // keys 1..10
+    val addrLit = array(addrs.map(lit): _*)
+    val tdPrefix =
+      """{"types":{"EIP712Domain":[],"Message":[{"name":"payload","type":"bytes"},{"name":"nonce","type":"string"}]},"domain":{},"primaryType":"Message","message":{"payload":"0x"""
+    Tables.events(spark, dir)
+      .filter(col("event_id") % 8 === 1)
+      .withColumn("sender_idx", expr("(event_id % 64) div 8"))
+      .withColumn("forged", col("event_id") % 13 === 0)
+      .withColumn("signing_key",
+        when(col("forged"), col("sender_idx") + 2).otherwise(col("sender_idx") + 1))
+      .withColumn("typed_data", concat(
+        lit(tdPrefix),
+        lower(hex(encode(concat_ws("-", col("event_type"), col("event_id")), "UTF-8"))),
+        lit("\",\"nonce\":\""), col("event_id").cast("string"), lit("\"}}")))
+      .withColumn("sig", eip712_sign(col("typed_data"), col("signing_key")))
+      .withColumn("recovered", recover_signer(col("typed_data"), col("sig")))
+      .withColumn("claimed_signer", element_at(addrLit, col("sender_idx").cast("int") + 1))
+      .groupBy(col("claimed_signer"))
+      .agg(count(lit(1)).as("n_mutations"),
+        sum(when(col("recovered") === col("claimed_signer"), 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col("forged"), 1L).otherwise(0L)).as("n_forged"))
+  }
+
+  val mutationVerifySigSql: String = {
+    val values = VerifySigFixture.plantedAddresses.take(8).zipWithIndex
+      .map { case (a, i) => s"($i, '$a')" }.mkString(",\n      |  ")
+    s"""WITH f AS (
+      |  SELECT event_id, (event_id % 64) // 8 AS sender_idx,
+      |    CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS forged
+      |  FROM events WHERE event_id % 8 = 1),
+      |a AS (SELECT * FROM (VALUES
+      |  $values) AS t(sender_idx, claimed_signer))
+      |SELECT a.claimed_signer, COUNT(*) AS n_mutations,
+      |  CAST(SUM(1 - f.forged) AS BIGINT) AS n_valid,
+      |  CAST(SUM(f.forged) AS BIGINT) AS n_forged
+      |FROM f JOIN a ON f.sender_idx = a.sender_idx
+      |GROUP BY a.claimed_signer""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mutation_verify_sig" -> (mutationVerifySig _),
     "evt_sliding_window" -> (evtSlidingWindow _),
     "evt_ohlc" -> (evtOhlc _),
     "evt_anomaly" -> (evtAnomaly _),
@@ -689,6 +757,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "mutation_verify_sig" -> mutationVerifySigSql,
     "evt_sliding_window" -> evtSlidingWindowSql,
     "evt_ohlc" -> evtOhlcSql,
     "evt_anomaly" -> evtAnomalySql,

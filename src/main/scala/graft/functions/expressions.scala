@@ -45,6 +45,11 @@ object GraftFunctions {
 
   def bpe_tokens(text: Column, merges: Column): Column =
     column(BpeTokens(expression(text), expression(merges)))
+
+  def recover_signer(payload: Column, sig: Column): Column =
+    column(graft.functions.crypto.RecoverSigner(expression(payload), expression(sig)))
+  def eip712_sign(payload: Column, key: Column): Column =
+    column(graft.functions.crypto.Eip712Sign(expression(payload), expression(key)))
   /** One flat string-array literal (a single Literal node). */
   def string_array_lit(a: Seq[String]): Column =
     column(Literal.create(a, ArrayType(StringType, containsNull = false)))
