@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Benchmark entrypoint: times every `SparkEntry.queries` entry on
   * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line on stdout
@@ -7,11 +8,20 @@ import org.apache.spark.sql.SparkSession
   * per-query seconds are rounded to ms — and keep it the LAST thing
   * printed, unprefixed (build.sbt sets `run / outputStrategy :=
   * StdoutOutput` so sbt does not wrap it in `[info] `).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_PASSES times (default 3) and the
+  * headline number is the per-query MEDIAN: single-pass timings on a
+  * shared local[32] box whipsawed 10× between same-code runs (r3/r4
+  * verdicts), so one noisy pass must never masquerade as a plan
+  * regression. The full per-pass record is persisted to bench_out.json
+  * next to the repo (stdout keeps only the medians — the driver tails
+  * it to 2000 chars).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -30,13 +40,34 @@ object Bench {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")) {
       try spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
-      catch { case _: Throwable => }
+      catch { case NonFatal(_) => }
     }
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    try SparkEntry.entry(spark).count() catch { case NonFatal(_) => }
+    // pass-major order: query q's pass 2 runs a full suite-length after
+    // its pass 1, so a transient box-load spike cannot poison every pass
+    // of the same query
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val perPass = Array.fill(passes) {
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case NonFatal(e) =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val good = xs.filter(_ >= 0.0).sorted
+      if (good.isEmpty) -1.0
+      else if (good.length % 2 == 1) good(good.length / 2)
+      else (good(good.length / 2 - 1) + good(good.length / 2)) / 2.0
+    }
+    val results = names.map { case (name, _) =>
+      name -> median(perPass.toSeq.map(_(name)))
     }
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -45,12 +76,21 @@ object Bench {
     val total = results.map(_._2).sum
     spark.stop()
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}"""
     // the driver keeps only a 2000-char tail of stdout — persist the full
-    // line so per-query timings survive for every round
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => }
+    // per-pass record so timings survive for every round. Path resolved
+    // against the repo (user.dir), not whatever cwd the forked JVM got.
+    val passesJson = names.map { case (name, _) =>
+      s"\"" + name + "\":" + perPass.map(p => r3(p(name))).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) + s""","per_pass":$passesJson}"""
+    val outPath = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "bench_out.json")
+    try java.nio.file.Files.write(outPath, (fileLine + "\n").getBytes("UTF-8"))
+    catch {
+      case NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outPath: $e")
+    }
     // last line of output, after Spark's shutdown logging
     System.out.println(line)
     System.out.flush()

@@ -102,6 +102,104 @@ class GraftDB(spark: SparkSession, root: String) {
   def nextBlockId(db: String, coll: String): Long =
     currentState(db, coll).lastBlock + 1L
 
+  // ---- per-sender nonce state ----------------------------------------
+  // The reference's replay protection (storage/src/state_store.rs:120,171
+  // get_nonce/incr_nonce; RPC db3_storage.proto GetNonce): the node keeps
+  // one u64 "used nonce" per sender address, GetNonce answers used+1, and
+  // a write is accepted ONLY if its nonce is exactly used+1 — stale or
+  // out-of-order nonces are rejected before anything is applied. The
+  // analog: a node-level JSON cell (address → used nonce), written
+  // atomically like the block-state cell. O(1) per write, no log scan.
+
+  private def noncesPath = s"$root/state/nonces.json"
+  private val nonceLock = new Object
+
+  private def readNonces(): Map[String, Long] = {
+    val p = Paths.get(noncesPath)
+    if (!Files.exists(p)) Map.empty
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      JsonMethods.parse(Files.readString(p)).extract[Map[String, Long]]
+    }
+  }
+
+  private def writeNonces(m: Map[String, Long]): Unit = {
+    import org.json4s.jackson.Serialization
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val p = Paths.get(noncesPath)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling("nonces.json.tmp")
+    Files.writeString(tmp, Serialization.write(m))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** GetNonce RPC semantics: the next nonce `sender` must sign with
+    * (used + 1; 1 for a never-seen sender). */
+  def getNonce(sender: String): Long =
+    nonceLock.synchronized { readNonces().getOrElse(normAddr(sender), 0L) + 1L }
+
+  /** incr_nonce semantics: accept exactly used+1, else reject — called
+    * BEFORE the write is applied, like the reference's send_mutation. */
+  private def checkAndIncrNonce(sender: String, nonce: Long): Unit =
+    nonceLock.synchronized {
+      val key = normAddr(sender)
+      val m = readNonces()
+      val expected = m.getOrElse(key, 0L) + 1L
+      if (nonce != expected)
+        throw new IllegalArgumentException(
+          s"bad nonce for $key: got $nonce, expected $expected")
+      writeNonces(m.updated(key, nonce))
+    }
+
+  private def normAddr(a: String): String = a.trim.toLowerCase
+
+  /** Nonce-guarded AddDocument: rejects a stale/out-of-order nonce before
+    * anything is written, then consumes it. */
+  def addDocuments(db: String, coll: String, docs: Seq[String],
+      sender: String, nonce: Long): Seq[Long] = {
+    checkAndIncrNonce(sender, nonce)
+    addDocuments(db, coll, docs)
+  }
+
+  /** Nonce-guarded partition-parallel bulk append. */
+  def appendDocumentsAt(db: String, coll: String, block: Long,
+      docs: DataFrame, docCol: String, sender: String, nonce: Long): Unit = {
+    checkAndIncrNonce(sender, nonce)
+    appendDocumentsAt(db, coll, block, docs, docCol)
+  }
+
+  /** The reference's full signed write path (node/src/
+    * storage_node_light_impl.rs send_mutation → mutation_utils.rs:93
+    * unwrap_and_light_verify): the request is an EIP-712 TypedData JSON
+    * whose `message.payload` is hex-encoded mutation bytes (here: UTF-8
+    * NDJSON, one document per line) and `message.nonce` the sender's next
+    * nonce; the sender is RECOVERED from the signature — never trusted
+    * from a field — then the nonce is checked-and-consumed and the docs
+    * applied. Returns (recovered sender, assigned doc ids). */
+  def sendMutation(db: String, coll: String,
+      typedDataJson: String, sigHex: String): (String, Seq[Long]) = {
+    import graft.functions.crypto.{Eip712, Keccak256}
+    val recovered = Eip712.recoverAddressOrNull(typedDataJson, sigHex)
+    if (recovered == null)
+      throw new IllegalArgumentException("invalid signature or typed data")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(typedDataJson)
+    val msg = tree.get("message")
+    if (msg == null || msg.get("payload") == null || msg.get("nonce") == null)
+      throw new IllegalArgumentException("bad typed data: missing payload/nonce")
+    val nonce = msg.get("nonce").asText.toLongOption.getOrElse(
+      throw new IllegalArgumentException("bad typed data: non-numeric nonce"))
+    val payload = Keccak256.fromHex(msg.get("payload").asText).getOrElse(
+      throw new IllegalArgumentException("bad typed data: non-hex payload"))
+    val docs = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    val sender = recovered.toString
+    val ids = addDocuments(db, coll, docs, sender, nonce)
+    (sender, ids)
+  }
+
   /** The full mutation log: rolled-up batches + live tail, one schema.
     * Rolled-up batches are located through the persisted RollupRecord
     * manifest (the reference recovers from its rollup records the same
@@ -561,6 +659,23 @@ object GraftDB {
   /** Doc-id stride for block-encoded ids from partition-parallel appends
     * (id = block·2^31 + order, the DocumentEntryId composition). */
   val IdStride: Long = 1L << 31
+
+  /** SDK-side signed-request builder (the wrapTypedRequest +
+    * signTypedData pair of sdk/src/provider/storage_provider_v2.ts):
+    * wraps NDJSON docs + nonce in the mutation TypedData shape
+    * (Message(bytes payload, string nonce), empty domain) and signs with
+    * private scalar `key`. Returns (typedDataJson, signatureHex) — the
+    * exact arguments `sendMutation` verifies. */
+  def signedMutationRequest(docs: Seq[String], nonce: Long, key: Long): (String, String) = {
+    import graft.functions.crypto.{Eip712, Keccak256}
+    val payloadHex = Keccak256.hexLower(
+      docs.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val typedData =
+      s"""{"types":{"EIP712Domain":[],"Message":[{"name":"payload","type":"bytes"},{"name":"nonce","type":"string"}]},"domain":{},"primaryType":"Message","message":{"payload":"0x$payloadHex","nonce":"$nonce"}}"""
+    val sig = Eip712.signOrNull(typedData, key)
+    require(sig != null, "signing failed")
+    (typedData, sig.toString)
+  }
 
   val rollupManifestSchema: StructType = StructType(Seq(
     StructField("start_block", LongType, nullable = false),

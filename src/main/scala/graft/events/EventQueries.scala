@@ -431,7 +431,11 @@ object EventQueries {
     * per-sender rows, picks owner = min_by(user_id, earliest touch), and
     * gets the owner's own write count from the SAME min_by — so
     * n_foreign = total − owner's count with no join back at all.
-    * (ts, event_id) is unique per event, so min_by is deterministic. */
+    * (ts, event_id) is unique per event, so min_by is deterministic.
+    * Assumes user_id is non-null (true of the event log schema): a null
+    * sender would group separately here but count 0 in the oracle's
+    * `user_id <> owner` — coalesce user_id upstream if a source ever
+    * allows null senders. */
   def mutationOwnership(spark: SparkSession, dir: String): DataFrame = {
     val perSender = Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))

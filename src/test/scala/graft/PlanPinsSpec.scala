@@ -1,0 +1,53 @@
+package graft
+
+/** Plan-shape pins: assert the physical plan structure of queries whose
+  * timings have been noisy across rounds, so measurement noise can never
+  * masquerade as a plan regression again (and a real regression — a new
+  * shuffle, a window sneaking back in — fails fast in `sbt test`, not in
+  * a cross-run bench comparison).
+  */
+class PlanPinsSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Shuffle exchanges only (BroadcastExchange moves a dim table, not
+    * the fact stream — counted separately). */
+  private def shuffles(plan: String): Int =
+    plan.linesIterator.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+
+  test("doc_orderby executes as TakeOrderedAndProject (no global sort)") {
+    val p = planOf("doc_orderby")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("doc_index_extract is a pure scan-project: zero exchanges") {
+    val p = planOf("doc_index_extract")
+    assert(shuffles(p) === 0)
+    assert(!p.contains("BroadcastExchange"))
+  }
+
+  test("evt_sessionize shuffles exactly once") {
+    val p = planOf("evt_sessionize")
+    assert(shuffles(p) === 1)
+  }
+
+  test("mutation_ownership has no Window operator (two-stage agg shape)") {
+    val p = planOf("mutation_ownership")
+    assert(!p.contains("Window"))
+    // the two-aggregation shape: partials on (k, user_id), final on k —
+    // still at most two shuffle exchanges
+    assert(shuffles(p) <= 2)
+  }
+
+  test("mutation_verify_sig: crypto runs pre-shuffle, one aggregate exchange") {
+    val p = planOf("mutation_verify_sig")
+    assert(shuffles(p) === 1)
+    assert(!p.contains("Window"))
+  }
+
+  test("doc_group_agg stays a single-shuffle aggregate") {
+    val p = planOf("doc_group_agg")
+    assert(shuffles(p) === 1)
+  }
+}

@@ -339,4 +339,98 @@ class GraftDBSpec extends SparkSpec {
     assert(state.count() === 40)
     assert(state.inputFiles.exists(_.contains("snapshots/block_0")))
   }
+
+  test("nonce state: fresh sender starts at 1, write path rejects stale/out-of-order") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    val alice = "0xAAAA000000000000000000000000000000000001"
+    assert(db.getNonce(alice) === 1L)
+    // exact next nonce accepted
+    val ids = db.addDocuments("d1", "c", Seq("""{"v":1}"""), alice, 1L)
+    assert(ids.nonEmpty)
+    assert(db.getNonce(alice) === 2L)
+    // replay of a consumed nonce rejected, nothing written
+    val before = db.collection("d1", "c").df.count()
+    val e1 = intercept[IllegalArgumentException] {
+      db.addDocuments("d1", "c", Seq("""{"v":2}"""), alice, 1L)
+    }
+    assert(e1.getMessage.contains("bad nonce"))
+    // skipping ahead rejected too (must be exactly used+1)
+    val e2 = intercept[IllegalArgumentException] {
+      db.addDocuments("d1", "c", Seq("""{"v":2}"""), alice, 5L)
+    }
+    assert(e2.getMessage.contains("bad nonce"))
+    assert(db.collection("d1", "c").df.count() === before)
+    // per-sender isolation: bob's stream starts at 1 independently
+    val bob = "0xBBBB000000000000000000000000000000000002"
+    assert(db.getNonce(bob) === 1L)
+    db.addDocuments("d1", "c", Seq("""{"v":9}"""), bob, 1L)
+    assert(db.getNonce(alice) === 2L)
+    // nonce-guarded bulk append shares the same stream
+    import spark.implicits._
+    db.appendDocumentsAt("d1", "c", db.nextBlockId("d1", "c"),
+      Seq("""{"v":3}""").toDF("doc"), "doc", alice, 2L)
+    assert(db.getNonce(alice) === 3L)
+  }
+
+  test("nonce state survives reopen") {
+    val dir = Files.createTempDirectory("graftdb").toString
+    val db1 = new GraftDB(spark, dir)
+    db1.createCollection("d1", "c")
+    val s = "0xCCCC000000000000000000000000000000000003"
+    db1.addDocuments("d1", "c", Seq("""{"v":1}"""), s, 1L)
+    db1.addDocuments("d1", "c", Seq("""{"v":2}"""), s, 2L)
+    val db2 = new GraftDB(spark, dir) // reopen from disk
+    assert(db2.getNonce(s) === 3L)
+    val e = intercept[IllegalArgumentException] {
+      db2.addDocuments("d1", "c", Seq("""{"v":3}"""), s, 2L)
+    }
+    assert(e.getMessage.contains("bad nonce"))
+    db2.addDocuments("d1", "c", Seq("""{"v":3}"""), s, 3L)
+    assert(db2.collection("d1", "c").df.count() === 3L)
+  }
+
+  test("sendMutation recovers the sender from the signature and applies the docs") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    val key = 7L
+    val sender = graft.functions.crypto.Secp256k1.privToAddress(BigInt(key))
+    val docs = Seq("""{"title":"Dune","rate":5}""", """{"title":"Foundation","rate":4}""")
+    val (td, sig) = GraftDB.signedMutationRequest(docs, nonce = 1L, key = key)
+    val (recovered, ids) = db.sendMutation("d1", "c", td, sig)
+    assert(recovered === sender)
+    assert(ids.length === 2)
+    assert(db.collection("d1", "c").df.count() === 2L)
+    assert(db.getNonce(sender) === 2L)
+    // replaying the same signed request is rejected by the nonce check
+    val e = intercept[IllegalArgumentException] { db.sendMutation("d1", "c", td, sig) }
+    assert(e.getMessage.contains("bad nonce"))
+    // a second request signed with the next nonce goes through
+    val (td2, sig2) = GraftDB.signedMutationRequest(Seq("""{"v":2}"""), 2L, key)
+    db.sendMutation("d1", "c", td2, sig2)
+    assert(db.getNonce(sender) === 3L)
+  }
+
+  test("sendMutation rejects tampered payloads and garbage signatures") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    val (td, sig) = GraftDB.signedMutationRequest(Seq("""{"v":1}"""), 1L, 5L)
+    // flip one hex digit inside the signed payload: the signature still
+    // recovers SOME address, but not key 5's — and that unknown sender's
+    // nonce stream expects 1, so the tampered write would land under a
+    // different identity; the reference property is that it can never
+    // land under the original signer. Verify exactly that.
+    val tampered = td.replace("\"nonce\":\"1\"", "\"nonce\":\"2\"")
+    val signer5 = graft.functions.crypto.Secp256k1.privToAddress(BigInt(5))
+    try {
+      val (recovered, _) = db.sendMutation("d1", "c", tampered, sig)
+      assert(recovered !== signer5)
+    } catch { case _: IllegalArgumentException => () } // nonce 2 ≠ expected 1 → also fine
+    assert(db.getNonce(signer5) === 1L) // signer 5's stream untouched
+    // structurally invalid signature → rejected outright
+    val e = intercept[IllegalArgumentException] {
+      db.sendMutation("d1", "c", td, "0x" + "00" * 65)
+    }
+    assert(e.getMessage.contains("invalid signature"))
+  }
 }

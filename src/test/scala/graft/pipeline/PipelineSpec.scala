@@ -208,6 +208,19 @@ class PipelineSpec extends SparkSpec {
     assert(m.evals.sum >= rawVars.sum - 1e-6)
   }
 
+  test("emb_pca registered query emits k scalar rows per vector, rounded") {
+    // the driver-compared shape: (vec_id, component, value) — a schema
+    // regression here crashed the r3 driver compare, so pin it
+    val df = Pca.embPca(spark, sf)
+    assert(df.columns.toSeq === Seq("vec_id", "component", "value"))
+    val k = 8
+    val perVec = df.groupBy(col("vec_id")).count().select(col("count")).distinct().collect()
+    assert(perVec.length === 1 && perVec(0).getLong(0) === k.toLong)
+    // values carry at most 4 decimals (canonicalized for the compare)
+    val bad = df.filter(round(col("value"), 4) =!= col("value")).count()
+    assert(bad === 0L)
+  }
+
   test("embedding near-dup blocker covers the label-blocked ground truth") {
     val e = graft.sources.Tables.embeddings(spark, sf)
     // the previous label-blocked form, as ground truth on the fixture
