@@ -360,7 +360,42 @@ object DocQueries {
       |FROM events WHERE value >= 50.0
       |GROUP BY event_type""".stripMargin
 
+  /** Nested dotted field paths through the FUSED compiler — the reference
+    * allows arbitrary dotted paths into nested docs (bson_util.rs:62
+    * field_filter_from_json_value; db3_database_v2.proto:92 Index.path).
+    * Events re-shaped as nested docs `{"meta":{"k":…,"uid":…},"t":…}`;
+    * the dotted filters and dotted projections run through queryFused's
+    * nested derived schema — one from_json parse, no per-field scans. */
+  def docFilterNested(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val docs = ev.select(ev("event_id").as("_id"),
+      to_json(struct(
+        struct(
+          get_json_object(ev("props"), "$.k").cast("long").as("k"),
+          ev("user_id").as("uid")).as("meta"),
+        ev("event_type").as("t"))).as("doc"))
+    val q = StructuredQuery(
+      where = Some(AndFilter(Seq(
+        FieldFilter("meta.k", Op.Ge, I64(40)),
+        FieldFilter("meta.k", Op.Lt, I64(60)),
+        FieldFilter("t", Op.Eq, Str("click"))))),
+      select = Seq("meta.k", "meta.uid"))
+    DocStore.queryFused(DocCollection("events_nested", docs), q)
+      .select(col("_id"),
+        col("`meta.k`").as("meta_k"), col("`meta.uid`").as("meta_uid"))
+  }
+
+  val docFilterNestedSql: String =
+    """SELECT event_id AS _id,
+      |  CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS meta_k,
+      |  CAST(user_id AS VARCHAR) AS meta_uid
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 40
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 60
+      |  AND event_type = 'click'""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_filter_nested" -> (docFilterNested _),
     "doc_group_agg" -> (docGroupAgg _),
     "doc_array_contains" -> (docArrayContains _),
     "doc_qstr" -> (docQstr _),
@@ -386,6 +421,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_filter_nested" -> docFilterNestedSql,
     "doc_group_agg" -> docGroupAggSql,
     "doc_array_contains" -> docArrayContainsSql,
     "doc_qstr" -> docQstrSql,

@@ -153,23 +153,61 @@ object DocStore {
           if (acc.exists(_._1 == fd._1)) acc else acc :+ fd
         }
     if (wanted.isEmpty) return query(coll, q)
-    val schema = StructType(wanted.map { case (f, t) => StructField(f, t) })
+    // Dotted paths ("a.b") descend into nested JSON objects — arbitrary
+    // field paths exactly as the reference allows (bson_util.rs:62
+    // field_filter_from_json_value; db3_database_v2.proto:92 Index.path).
+    // The derived schema nests accordingly so a single from_json still
+    // parses every referenced field in one pass. A path that is BOTH a
+    // scalar leaf and the prefix of a deeper path ("a" selected while
+    // "a.b" is filtered) keeps the struct in the fused schema; its scalar
+    // uses fall back to the per-field extractor below.
+    val allPaths = wanted.map(_._1)
+    val branchy: Set[String] =
+      allPaths.filter(p => allPaths.exists(_.startsWith(p + "."))).toSet
+    def nest(paths: Seq[(List[String], DataType)]): StructType = {
+      val heads = paths.map(_._1.head).distinct
+      StructType(heads.map { h =>
+        val subs = paths.filter(_._1.head == h)
+        val branches = subs.collect {
+          case (_ :: tail, t) if tail.nonEmpty => (tail, t)
+        }
+        if (branches.isEmpty) StructField(h, subs.head._2)
+        else StructField(h, nest(branches))
+      })
+    }
+    val schema = nest(wanted.collect {
+      case (p, t) if !branchy(p) => (p.split('.').toList, t)
+    })
     var df = coll.df.withColumn("__p", from_json(col("doc"), schema))
+    def ref(path: String, asType: DataType): Column =
+      if (branchy(path)) {
+        // a struct occupies this slot in the fused schema; recover the
+        // scalar/array view of the same path per-field
+        val raw = get_json_object(col("doc"), "$." + path)
+        asType match {
+          case StringType => raw
+          case a: ArrayType => from_json(raw, a)
+          case t => raw.cast(t)
+        }
+      } else
+        path.split('.').foldLeft(col("__p"): Column)(_.getField(_))
     def compile(f: Filter): Column = f match {
       case AndFilter(fs) => fs.map(compile).reduce(_ && _)
       case OrFilter(fs) => fs.map(compile).reduce(_ || _)
+      case FieldFilter(field, Op.ArrayContains, v) =>
+        compileOp(ref(field, ArrayType(StringType)), Op.ArrayContains, v)
       case FieldFilter(field, op, v) =>
-        compileOp(col("__p").getField(field), op, v)
+        compileOp(ref(field, scalarType(v)), op, v)
     }
     q.where.foreach(f => df = df.filter(compile(f)))
     if (needsSort(q))
       df = df.orderBy(sortCols(q,
-        o => col("__p").getField(o.field), col("_id")): _*)
+        o => ref(o.field, keyTypeOf(o.keyType)), col("_id")): _*)
     // projection is string-typed (raw JSON values) even when the same
     // field was parsed typed for a filter
     df = if (q.select.nonEmpty)
       df.select(col("_id") +: q.select.map(f =>
-        col("__p").getField(f).cast("string").as(f)): _*)
+        ref(f, StringType).cast("string").as(f)): _*)
     else df.select("_id", "doc")
     q.offset.foreach(o => df = df.offset(o))
     q.limit.foreach(n => df = df.limit(n))

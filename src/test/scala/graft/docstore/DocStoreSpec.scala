@@ -151,6 +151,45 @@ class DocStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](Op.parse("~="))
   }
 
+  test("nested dotted paths: fused equals per-field on a nested fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """{"meta":{"k":5,"tag":"a"},"t":"x","arr":{"tags":["p","q"]}}"""),
+      (2L, """{"meta":{"k":50,"tag":"b"},"t":"y","arr":{"tags":["q"]}}"""),
+      (3L, """{"meta":{"k":7,"tag":"a"},"t":"x","arr":{"tags":[]}}"""),
+      (4L, """{"t":"x"}"""),
+      (5L, """{"meta":{"k":90},"t":"z","arr":{"tags":["p"]}}""")
+    ).toDF("_id", "doc")
+    val c = DocCollection("nested", docs)
+    val qs = Seq(
+      StructuredQuery(where = Some(FieldFilter("meta.k", Op.Ge, I64(7))),
+        select = Seq("meta.k", "meta.tag")),
+      StructuredQuery(where = Some(OrFilter(Seq(
+        FieldFilter("meta.tag", Op.Eq, Str("a")),
+        FieldFilter("t", Op.Eq, Str("z"))))),
+        orderBy = Seq(Order("meta.k", keyType = I64(0))), limit = Some(3)),
+      StructuredQuery(where = Some(FieldFilter("arr.tags", Op.ArrayContains, Str("p")))),
+      // prefix conflict: "meta" selected whole while "meta.k" is filtered —
+      // the struct wins the fused schema, the whole-object projection
+      // falls back to the per-field extractor
+      StructuredQuery(where = Some(FieldFilter("meta.k", Op.Gt, I64(6))),
+        select = Seq("meta", "meta.k")))
+    qs.foreach { q =>
+      val a = DocStore.query(c, q)
+      val b = DocStore.queryFused(c, q)
+      assert(a.columns.toSeq === b.columns.toSeq, s"cols for $q")
+      assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0, s"$q")
+    }
+    val got = DocStore.queryFused(c,
+      StructuredQuery(where = Some(FieldFilter("meta.k", Op.Ge, I64(7)))))
+      .select("_id").as[Long].collect().toSet
+    assert(got === Set(2L, 3L, 5L))
+    // dotted filters that can never match nested objects return nothing,
+    // not wrong rows
+    assert(DocStore.queryFused(c,
+      StructuredQuery(where = Some(FieldFilter("meta.zzz", Op.Eq, I64(1))))).count() === 0)
+  }
+
   test("latest-wins doc state has one row per key and no tombstones survive") {
     val latest = DocQueries.docStateLatest(spark, sf)
     assert(latest.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
