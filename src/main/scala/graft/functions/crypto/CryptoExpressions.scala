@@ -1,8 +1,8 @@
 package graft.functions.crypto
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `recover_signer(typed_data_json, sig_hex)` → lowercase 0x address of
@@ -15,10 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * linearly with executors.
   */
 case class RecoverSigner(payload: Expression, sig: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def left: Expression = payload
   override def right: Expression = sig
+  // declared so mistyped inputs fail analysis instead of diverging
+  // between codegen (implicit cast) and interpreted eval (ClassCast)
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
@@ -45,10 +48,11 @@ case class RecoverSigner(payload: Expression, sig: Expression)
   * fixture generator for signed-mutation tests, distributed so signing
   * happens executor-side, never in a driver loop. */
 case class Eip712Sign(payload: Expression, key: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def left: Expression = payload
   override def right: Expression = key
+  override def inputTypes: Seq[DataType] = Seq(StringType, LongType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true

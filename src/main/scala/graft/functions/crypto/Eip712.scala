@@ -154,7 +154,13 @@ object Eip712 {
       System.arraycopy(ds, 0, buf, 2, 32)
       System.arraycopy(hs, 0, buf, 34, 32)
       Some(Keccak256.hash(buf))
-    } catch { case _: Malformed | _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just Malformed/IOException: untrusted typed-data
+      // docs can NPE deep in traversal (e.g. a field object missing
+      // "name"/"type"), and the contract is "None, never an exception" —
+      // one crafted row must not kill a whole job.
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** Parse a 65-byte r‖s‖v hex signature (v ∈ {0,1,27,28}). */
   def parseSignature(sig: String): Option[(BigInt, BigInt, Int)] =

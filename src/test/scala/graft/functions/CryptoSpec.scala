@@ -136,5 +136,38 @@ class CryptoSpec extends SparkSpec {
     assert(Eip712.recoverAddressOrNull(td, "0xzz") == null)
     assert(Eip712.recoverAddressOrNull(td, "0x" + "00" * 65) == null) // r=0
     assert(Eip712.signOrNull("not json", 1L) == null)
+    // field objects missing "name"/"type" previously escaped as NPE —
+    // the contract is None/null for ANY crafted row
+    val missingName =
+      """{"types":{"EIP712Domain":[{"type":"string"}],
+        |"M":[{"name":"x","type":"string"}]},
+        |"primaryType":"M","domain":{},"message":{"x":"1"}}""".stripMargin
+    assert(Eip712.digest(missingName).isEmpty)
+    assert(Eip712.recoverAddressOrNull(missingName, "0x" + "11" * 65) == null)
+    val missingType =
+      """{"types":{"EIP712Domain":[],"M":[{"name":"x"}]},
+        |"primaryType":"M","domain":{},"message":{"x":"1"}}""".stripMargin
+    assert(Eip712.digest(missingType).isEmpty)
+    // non-object types node
+    assert(Eip712.digest("""{"types":3,"primaryType":"M","domain":{},"message":{}}""").isEmpty)
+  }
+
+  test("crypto expressions reject mistyped inputs at analysis time") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    import graft.functions.crypto.{Eip712Sign, RecoverSigner}
+    val df = spark.range(1).select(lit(42).as("i"), lit("x").as("s"))
+    // IntegerType where StringType is declared → analysis failure, not a
+    // codegen/interpreted divergence at runtime
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(column(
+        RecoverSigner(expression(col("i")), expression(col("s"))))).collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("type"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(column(
+        Eip712Sign(expression(col("s")), expression(col("s"))))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"))
   }
 }
