@@ -24,9 +24,10 @@ import org.apache.spark.sql.types._
   * tables come out of `decode` (the analog of one collection per event);
   * `decodeLong` is the single-scan union view with per-param rows.
   *
-  * Scale posture: `decodeLong` is one pass over the log — the per-type
-  * `from_json` sits behind a `when(event_type = ...)` branch so each row
-  * is parsed exactly once, by its own schema. `decode`'s per-type frames
+  * Scale posture: `decodeLong` is one pass over the log with ONE
+  * merged-schema `from_json` per row; the per-event dispatch is a pure
+  * `when`/`getField`/`cast` projection that stays inside whole-stage
+  * codegen (plan-pinned in `PlanPinsSpec`). `decode`'s per-type frames
   * filter on the type column, which reaches the parquet scan as a pushed
   * filter (row-group pruning when the log is type-partitioned, as the
   * reference's per-type tables are).
@@ -117,30 +118,62 @@ object AbiDecode {
 
   /** Single-scan long-format decode: one row per (log, param) with the
     * value rendered to its reference JSON string form and the param's
-    * indexed flag. The per-type `from_json` is gated by a `when` branch
-    * on the type column, so every row is parsed exactly once against its
-    * own schema — one pass, no per-type re-scan. Rows of types absent
-    * from the ABI are dropped (the reference skips non-matching
-    * signatures). */
+    * indexed flag. ONE merged-schema `from_json` parses every row (the
+    * only non-codegen expression in the plan — JsonToStructs is
+    * CodegenFallback); the per-event dispatch is a `when`/`getField`/
+    * `cast` projection that stays inside whole-stage codegen. Fields
+    * declared with conflicting Spark types across events widen to
+    * StringType in the merged schema (Jackson renders any token —
+    * number, array, object — as its raw JSON text) and narrow back per
+    * branch. Rows of types absent from the ABI are dropped (the
+    * reference skips non-matching signatures). */
   def decodeLong(events: DataFrame, abi: Seq[AbiEvent],
       idCol: String = "event_id",
       typeCol: String = "event_type", propsCol: String = "props"): DataFrame = {
     require(abi.nonEmpty, "empty ABI")
+    val mergedTypes: Map[String, DataType] = abi.flatMap(_.params)
+      .groupBy(_.name).map { case (n, ps) =>
+        val ts = ps.map(p => sparkType(p.abiType)).distinct
+        n -> (if (ts.size == 1) ts.head else StringType)
+      }
+    val merged = StructType(
+      abi.flatMap(_.params.map(_.name)).distinct
+        .map(n => StructField(n, mergedTypes(n))))
     val branches: Seq[Column] = abi.map { ev =>
-      val d = from_json(col(propsCol), ev.schema)
       val params = ev.params.map { p =>
+        val desired = sparkType(p.abiType)
+        val f = col("__d").getField(p.name)
+        val typed =
+          if (mergedTypes(p.name) == desired) f
+          else desired match {
+            case a: ArrayType => from_json(f, a) // conflicted array field: raw text re-parse
+            case t => f.cast(t)
+          }
         struct(
           lit(p.name).as("param"),
-          renderValue(d.getField(p.name), sparkType(p.abiType)).as("value_str"),
+          renderValue(typed, desired).as("value_str"),
           lit(if (p.indexed) 1L else 0L).as("indexed"))
       }
       when(col(typeCol) === ev.name, array(params: _*))
     }
     events
+      // type-membership filter BEFORE the parse: equivalent to dropping
+      // rows whose decode branch is null, but expressed on the raw column
+      // so it pushes down to the parquet scan (PushedFilters: In) instead
+      // of the optimizer inlining __params — and its from_json — into a
+      // post-projection Filter (10 parses/row in the unpushed shape)
+      .filter(col(typeCol).isin(abi.map(_.name): _*))
+      .withColumn("__d", from_json(col(propsCol), merged))
       .withColumn("__params", coalesce(branches :+ lit(null): _*))
-      .filter(col("__params").isNotNull)
+      // explode_outer, not explode: InferFiltersFromGenerate would infer
+      // `size(__params)>0 AND isnotnull(__params)` from a plain explode
+      // and push the whole decode expression into a pre-projection Filter
+      // (re-parsing every row up to 2× per branch); the outer variant
+      // infers nothing and the post-Generate null filter is a cheap
+      // struct-ref check that cannot sink below the Generate
       .select(col(idCol), col(typeCol).as("decoded_type"),
-        explode(col("__params")).as("p"))
+        explode_outer(col("__params")).as("p"))
+      .filter(col("p").isNotNull)
       .select(col(idCol), col("decoded_type"),
         col("p.param").as("param"), col("p.value_str").as("value_str"),
         col("p.indexed").as("indexed"))

@@ -1,0 +1,12 @@
+package graft.tools
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = graft.SparkEntry.queries(args(0))(spark, args(1))
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

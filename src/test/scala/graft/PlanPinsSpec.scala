@@ -46,6 +46,18 @@ class PlanPinsSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("evt_decode_abi_multi: single scan, zero exchanges, one json parse") {
+    val p = planOf("evt_decode_abi_multi")
+    assert(shuffles(p) === 0)
+    assert(!p.contains("BroadcastExchange"))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1)
+    // the merged-schema decode parses each row exactly once — a second
+    // from_json sneaking in means the per-branch parse came back
+    assert(p.contains("from_json"))
+    assert(p.linesIterator.map(l =>
+      "from_json".r.findAllIn(l).size).sum === 1)
+  }
+
   test("doc_group_agg stays a single-shuffle aggregate") {
     val p = planOf("doc_group_agg")
     assert(shuffles(p) === 1)
