@@ -73,10 +73,16 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a query that failed every pass keeps its -1.0 sentinel in "queries"
+    // but must not SUBTRACT from the headline total; it is reported
+    // explicitly in "failed" so an all-pass-failure is loud in the JSON,
+    // not a silently-smaller total
+    val failed = results.collect { case (k, v) if v < 0.0 => k }
+    val total = results.collect { case (_, v) if v >= 0.0 => v }.sum
     spark.stop()
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes}"""
     // the driver keeps only a 2000-char tail of stdout — persist the full
     // per-pass record so timings survive for every round. Path resolved
     // against the repo (user.dir), not whatever cwd the forked JVM got.
