@@ -233,9 +233,12 @@ object Dedup {
     * dominated by boilerplate spans). Shape: positional k-grams explode
     * (n·k token copies), cross-doc grams found by one groupBy on the
     * gram, joined back per occurrence — an inverted-index join, nothing
-    * quadratic. At 100 TB the gram key would be an 8-byte ShingleHashes
-    * rolling hash instead of the string (same plan, 6× narrower
-    * shuffle); the string key is kept here for oracle parity. */
+    * quadratic. The gram key is the 8-byte xxhash64 of the window — the
+    * string gram exists only transiently inside the pre-shuffle
+    * projection, so every groupBy/join shuffles 8-byte longs instead of
+    * ~50-byte strings (~6× narrower shuffle at 100 TB; a 64-bit
+    * collision merging two real grams is ~1e-6 at billions of distinct
+    * windows). */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val k = 8
     val toks = Tables.documents(spark, dir)
@@ -243,7 +246,7 @@ object Dedup {
       .filter(size(col("toks")) >= k)
     val grams = toks.select(col("doc_id"),
       explode(expr(s"transform(sequence(1, size(toks) - ${k - 1}), " +
-        s"i -> concat_ws(' ', slice(toks, i, $k)))")).as("gram"))
+        s"i -> xxhash64(concat_ws(' ', slice(toks, i, $k))))")).as("gram"))
     val shared = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
