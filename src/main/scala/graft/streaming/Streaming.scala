@@ -43,6 +43,18 @@ object Streaming {
     r2.parquet(dir).as[Ev]
   }
 
+  /** EventDatabase.ttl enforcement at intake — the reference indexer
+    * applies the database TTL as it materializes events
+    * (node/src/indexer_impl.rs), so expired rows never reach state or
+    * sink. Evaluated per row at execution time against `nowNanos`
+    * (injectable for deterministic tests; defaults to the wall clock, so
+    * each micro-batch drops against then-current time, exactly the
+    * indexer's behavior). ttlNanos <= 0 = no TTL configured. */
+  def withTtl(ev: Dataset[Ev], ttlNanos: Long,
+      nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L): Dataset[Ev] =
+    if (ttlNanos <= 0L) ev
+    else ev.filter(e => e.ts >= nowNanos() - ttlNanos)
+
   /** Watermarked tumbling-window aggregation per event type — the
     * streaming twin of EventQueries.evtWindowAgg. */
   def windowAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -59,9 +71,11 @@ object Streaming {
     * doc key with arbitrary stateful logic (flatMapGroupsWithState), the
     * streaming twin of DocQueries.docStateLatest. State is one small
     * record per key — partitioned by key across executors. */
-  def docState(spark: SparkSession, dir: String): Dataset[DocState] = {
+  def docState(spark: SparkSession, dir: String, ttlNanos: Long = 0L,
+      nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L)
+      : Dataset[DocState] = {
     import spark.implicits._
-    readEventStream(spark, dir)
+    withTtl(readEventStream(spark, dir), ttlNanos, nowNanos)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         updateDocState)
@@ -128,10 +142,12 @@ object Streaming {
     * per-block Overwrite write makes a retried micro-batch idempotent.
     * Returns the started query; callers own its lifecycle. */
   def ingestToDb(spark: SparkSession, dir: String, db: graft.api.GraftDB,
-      dbName: String, coll: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      dbName: String, coll: String, ttlNanos: Long = 0L,
+      nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     db.createCollection(dbName, coll)
     val blockBase = db.nextBlockId(dbName, coll)
-    readEventStream(spark, dir).toDF()
+    withTtl(readEventStream(spark, dir), ttlNanos, nowNanos).toDF()
       .select(to_json(struct(col("event_id"), col("user_id"),
         col("event_type"), col("value"))).as("doc"))
       .writeStream
@@ -155,11 +171,13 @@ object Streaming {
   def ingestWithRollup(spark: SparkSession, dir: String, db: graft.api.GraftDB,
       dbName: String, coll: String, maxTailBytes: Long,
       maxBatchBytes: Long = 64L * 1024 * 1024,
-      glob: String = "events.parquet", filesPerTrigger: Int = 0)
+      glob: String = "events.parquet", filesPerTrigger: Int = 0,
+      ttlNanos: Long = 0L,
+      nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     db.createCollection(dbName, coll)
     val blockBase = db.nextBlockId(dbName, coll)
-    readEventStream(spark, dir, glob, filesPerTrigger).toDF()
+    withTtl(readEventStream(spark, dir, glob, filesPerTrigger), ttlNanos, nowNanos).toDF()
       .select(to_json(struct(col("event_id"), col("user_id"),
         col("event_type"), col("value"))).as("doc"))
       .writeStream

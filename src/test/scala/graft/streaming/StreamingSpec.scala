@@ -137,6 +137,49 @@ class StreamingSpec extends SparkSpec {
     assert(bobMuts.select("block", "order").distinct().count() === 15)
   }
 
+  test("TTL at intake drops expired events before state and sink") {
+    import org.apache.spark.sql.functions._
+    // nanos head of the fixture stream; TTL = trailing 3 days from it
+    val maxTs = graft.sources.Tables.eventsRaw(spark, sf)
+      .agg(max(col("ts"))).collect()(0).getLong(0)
+    val ttl = 3L * 24 * 3600 * 1000000000L
+    val cutoff = maxTs - ttl
+    // docState with TTL equals the batch latest-wins fold over ONLY the
+    // unexpired rows
+    val q = Streaming.docState(spark, sf, ttlNanos = ttl, nowNanos = () => maxTs)
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("doc_state_ttl").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("doc_state_ttl")
+      assert(got.filter(col("last_ts") < cutoff).count() === 0)
+      val wantKeys = graft.sources.Tables.eventsRaw(spark, sf)
+        .filter(col("ts") >= cutoff).select("user_id").distinct().count()
+      assert(got.count() === wantKeys && wantKeys > 0)
+      // and the TTL really excluded something
+      assert(wantKeys < graft.sources.Tables.eventsRaw(spark, sf)
+        .select("user_id").distinct().count() ||
+        graft.sources.Tables.eventsRaw(spark, sf)
+          .filter(col("ts") < cutoff).count() > 0)
+    } finally q.stop()
+    // the GraftDB intake path enforces the same TTL: no expired event_id
+    // lands in the collection
+    val db = new graft.api.GraftDB(spark,
+      java.nio.file.Files.createTempDirectory("ttl_ingest").toString)
+    val q2 = Streaming.ingestToDb(spark, sf, db, "rt", "events_ttl",
+      ttlNanos = ttl, nowNanos = () => maxTs)
+    try q2.processAllAvailable() finally q2.stop()
+    val landed = db.collection("rt", "events_ttl").df
+      .select(get_json_object(col("doc"), "$.event_id").cast("long").as("event_id"))
+    val expired = graft.sources.Tables.eventsRaw(spark, sf)
+      .filter(col("ts") < cutoff).select("event_id")
+    assert(landed.join(expired, Seq("event_id"), "left_semi").count() === 0)
+    val unexpired = graft.sources.Tables.eventsRaw(spark, sf)
+      .filter(col("ts") >= cutoff).count()
+    assert(landed.count() === unexpired)
+  }
+
   test("doc state counts every mutation per key") {
     val q = Streaming.docState(spark, sf).toDF()
       .writeStream.outputMode("append")
