@@ -112,7 +112,28 @@ class GraftDB(spark: SparkSession, root: String) {
   // atomically like the block-state cell. O(1) per write, no log scan.
 
   private def noncesPath = s"$root/state/nonces.json"
-  private val nonceLock = new Object
+
+  /** Serialize a nonce-cell read-modify-write against BOTH same-JVM
+    * instances (shared monitor keyed by the cell path) and other
+    * processes on the same filesystem (an exclusive FileChannel lock on
+    * a sibling lock file) — two writers on the same root can otherwise
+    * interleave read→write and both accept the same nonce, which is
+    * exactly the replay the cell exists to reject. */
+  private def withNonceLock[T](body: => T): T = {
+    val monitor = GraftDB.nonceMonitors.computeIfAbsent(
+      Paths.get(noncesPath).toAbsolutePath.normalize.toString, _ => new Object)
+    monitor.synchronized {
+      val lockPath = Paths.get(s"$root/state/nonces.lock")
+      Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
 
   private def readNonces(): Map[String, Long] = {
     val p = Paths.get(noncesPath)
@@ -139,12 +160,12 @@ class GraftDB(spark: SparkSession, root: String) {
   /** GetNonce RPC semantics: the next nonce `sender` must sign with
     * (used + 1; 1 for a never-seen sender). */
   def getNonce(sender: String): Long =
-    nonceLock.synchronized { readNonces().getOrElse(normAddr(sender), 0L) + 1L }
+    withNonceLock { readNonces().getOrElse(normAddr(sender), 0L) + 1L }
 
   /** incr_nonce semantics: accept exactly used+1, else reject — called
     * BEFORE the write is applied, like the reference's send_mutation. */
   private def checkAndIncrNonce(sender: String, nonce: Long): Unit =
-    nonceLock.synchronized {
+    withNonceLock {
       val key = normAddr(sender)
       val m = readNonces()
       val expected = m.getOrElse(key, 0L) + 1L
@@ -359,7 +380,19 @@ class GraftDB(spark: SparkSession, root: String) {
   def collectionAt(db: String, coll: String, block: Long): DocCollection =
     DocCollection(coll, foldLog(db, coll, block))
 
-  private def foldLog(db: String, coll: String, block: Long): DataFrame = {
+  /** Point-lookup fold: replay ONLY the given doc ids. The id filter is
+    * applied to the raw mutation-log scan — ids are In-pushed into the
+    * parquet reader, and because each block file's id range is disjoint
+    * (ids encode (block, order)), row-group min/max stats skip every
+    * block that cannot contain the ids. A selective index lookup thus
+    * reads O(matching blocks) and shuffles only the matching mutations
+    * instead of folding the whole log — the B-tree fetch analog of the
+    * reference's `doc_store.rs get_doc`. */
+  def collectionForIds(db: String, coll: String, ids: Seq[Long]): DocCollection =
+    DocCollection(coll, foldLog(db, coll, Long.MaxValue, Some(ids)))
+
+  private def foldLog(db: String, coll: String, block: Long,
+      onlyIds: Option[Seq[Long]] = None): DataFrame = {
     import spark.implicits._
     val source = latestSnapshotAt(db, coll, block) match {
       case Some((snapBlock, path)) =>
@@ -377,7 +410,11 @@ class GraftDB(spark: SparkSession, root: String) {
       case None =>
         mutationLog(db, coll).filter(col("block") <= block)
     }
-    source
+    val filtered = onlyIds match {
+      case Some(ids) => source.filter(col("id").isin(ids: _*))
+      case None => source
+    }
+    filtered
       .as[MutationRow]
       .groupByKey(_.id)
       .mapGroups { (id, muts) =>
@@ -564,10 +601,13 @@ class GraftDB(spark: SparkSession, root: String) {
   /** Index-aware execution: when the query's leading field filter has a
     * materialized index, evaluate the predicate against the index scan
     * (sorted parquet — min/max row-group pruning on idx_key, tiny
-    * ReadSchema) and left-semi join the surviving `_id`s back into the
-    * collection; remaining filters/projection run as usual. Falls back to
-    * the plain fused compiler when no index applies — the reference's
-    * planner does exactly this over its EJDB index set
+    * ReadSchema), then fetch the surviving `_id`s: a selective lookup
+    * In-pushes the id set into the log scan (block skip via row-group
+    * stats, O(matching blocks) read — `collectionForIds`), an
+    * unselective one left-semi joins distributed; remaining
+    * filters/projection run as usual. Falls back to the plain fused
+    * compiler when no index applies — the reference's planner does
+    * exactly this over its EJDB index set
     * (doc_store.rs add_index / execute_query). */
   def queryWithIndex(db: String, coll: String, q: StructuredQuery): DataFrame = {
     import graft.docstore._
@@ -614,11 +654,26 @@ class GraftDB(spark: SparkSession, root: String) {
           case Op.ArrayContains | Op.In | Op.NotIn => lit(true)
         }
         val ids = index(db, coll, f).filter(pred).select(col("_id"))
-        val narrowed = collection(db, coll).df
-          .join(ids, Seq("_id"), "left_semi")
+        // Selective lookups (the indexed-Eq hot path) collect the small
+        // surviving id set and PUSH it into the log scan via
+        // collectionForIds — the parquet reader then skips every block
+        // whose id range excludes the set, so the lookup reads
+        // O(matching blocks), not the whole log. Unselective predicates
+        // keep the distributed left-semi join (never a big driver
+        // collect).
+        val probe = ids.limit(MaxPushedIds + 1).collect()
+        val narrowed =
+          if (probe.length <= MaxPushedIds)
+            collectionForIds(db, coll, probe.map(_.getLong(0)).toSeq).df
+          else collection(db, coll).df
+            .join(ids, Seq("_id"), "left_semi")
         DocStore.queryFused(DocCollection(coll, narrowed), q.copy(where = rest))
     }
   }
+
+  /** Max index-lookup ids pushed as an In filter into the log scan;
+    * beyond this the distributed semi-join path takes over. */
+  private val MaxPushedIds = 1024
 
   /** Metadata listings (db_store_v2.rs get_database_of_owner /
     * get_collection_of_database). */
@@ -638,6 +693,14 @@ class GraftDB(spark: SparkSession, root: String) {
 }
 
 object GraftDB {
+  /** JVM-wide monitor per nonce cell path: OS file locks are held on
+    * behalf of the whole JVM, so same-JVM GraftDB instances must
+    * serialize BEFORE taking the cross-process FileChannel lock (a
+    * second same-JVM lock() would throw OverlappingFileLockException,
+    * not block). */
+  private[api] val nonceMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   val ActionAdd = 2 // MutationAction.AddDocument
   val ActionDelete = 3 // MutationAction.DeleteDocument
   val ActionUpdate = 4 // MutationAction.UpdateDocument

@@ -116,12 +116,85 @@ class GraftDBSpec extends SparkSpec {
     assert(viaIdx.exceptAll(plain).count() === 0)
     assert(plain.exceptAll(viaIdx).count() === 0)
     assert(viaIdx.count() > 0)
-    // the index path pushes the key predicate into the index scan
+    // the index resolved the id set, which is In-pushed into the log scan
     val plan = viaIdx.queryExecution.executedPlan.toString
-    assert(plan.contains("idx_key"))
+    assert(plan.contains("In(id"))
     // unindexed field falls back to the fused compiler
     val q2 = StructuredQuery(where = Some(FieldFilter("tag", Op.Eq, Str("t2"))))
     assert(db.queryWithIndex("d1", "c", q2).count() === db.query("d1", "c", q2).count())
+  }
+
+  test("indexed Eq lookup prunes the log scan via a pushed id filter") {
+    import graft.docstore._
+    import graft.docstore.FieldValue._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    // five appends → five mutation-log files with disjoint id ranges
+    (0 until 5).foreach { b =>
+      db.addDocuments("d1", "c",
+        (0 until 200).map(i => s"""{"rate":${b * 200 + i},"blk":$b}"""))
+    }
+    db.addIndex("d1", "c", "rate", "Int64Key")
+    val q = StructuredQuery(where = Some(FieldFilter("rate", Op.Eq, I64(777))))
+    val viaIdx = db.queryWithIndex("d1", "c", q)
+    assert(viaIdx.collect().length === 1)
+    assert(db.query("d1", "c", q).count() === 1)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    // a single surviving id gets rewritten In → EqualTo by OptimizeIn
+    val logScans = scans(viaIdx.queryExecution.executedPlan)
+      .filter(_.metadata.get("PushedFilters").exists(m =>
+        m.contains("In(id") || m.contains("EqualTo(id")))
+    // the id set reached the parquet reader as a pushed filter...
+    assert(logScans.nonEmpty, "no log scan with a pushed In(id) filter")
+    // ...and row-group stats skipped every block that cannot contain the
+    // id: the executed scan produced strictly fewer rows than the
+    // 1000-mutation log (one 200-row block survives)
+    val rowsRead = logScans.map(_.metrics("numOutputRows").value).sum
+    assert(rowsRead > 0 && rowsRead <= 200, s"log scan read $rowsRead rows")
+  }
+
+  test("nonce cell serializes across GraftDB instances (file-locked cell)") {
+    import graft.api.GraftDB
+    val root = java.nio.file.Files.createTempDirectory("noncelock").toString
+    val db1 = new GraftDB(spark, root)
+    val db2 = new GraftDB(spark, root)
+    db1.createCollection("d", "c")
+    // two instances share the persisted cell
+    assert(db1.getNonce("0xAB") === 1L)
+    db1.addDocuments("d", "c", Seq("{}"), "0xAB", 1L)
+    assert(db2.getNonce("0xAB") === 2L)
+    db2.addDocuments("d", "c", Seq("{}"), "0xAB", 2L)
+    assert(db1.getNonce("0xAB") === 3L)
+    // concurrent racers across both instances, ALL presenting the same
+    // nonce: the check-and-consume must accept exactly one (a second
+    // acceptance = the replay the cell exists to reject). Losers fail
+    // BEFORE any write — the single-sequencer write contract holds.
+    val nonce = db1.getNonce("0xAB") // 3
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val successes = new java.util.concurrent.atomic.AtomicInteger
+    (0 until 40).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val db = if (i % 2 == 0) db1 else db2
+          try {
+            db.addDocuments("d", "c", Seq("{}"), "0xAB", nonce)
+            successes.incrementAndGet()
+          } catch { case _: IllegalArgumentException => () } // replay rejected
+          ()
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+    assert(successes.get() === 1)
+    assert(db1.getNonce("0xAB") === nonce + 1L)
   }
 
   test("metadata listings mirror db/collection layout") {
