@@ -731,7 +731,41 @@ object EventQueries {
       |GROUP BY a.claimed_signer""".stripMargin
   }
 
+  /** Nonce-replay detection as a query (the relational twin of the API's
+    * nonce cell): the reference storage node accepts a mutation only if
+    * its nonce strictly exceeds the sender's stored nonce
+    * (storage/src/state_store.rs `get_nonce`/`incr_nonce`;
+    * db3_storage.proto GetNonce) — anything at-or-below the running max
+    * is a replay and is rejected. Replayed over the log: per sender in
+    * (ts, event_id) order, a mutation whose nonce (props.k) is <= the
+    * max nonce seen before it would have been rejected. One window
+    * shuffle on the sender key, then a map-side-combinable aggregate. */
+  def mutationNonceReplay(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("nonce", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("prev_max", max(col("nonce")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_mutations"),
+        sum(when(col("prev_max").isNotNull && col("nonce") <= col("prev_max"), 1L)
+          .otherwise(0L)).as("n_rejected"))
+  }
+
+  val mutationNonceReplaySql: String =
+    """SELECT user_id, COUNT(*) AS n_mutations,
+      |  CAST(SUM(CASE WHEN prev_max IS NOT NULL AND nonce <= prev_max THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected
+      |FROM (
+      |  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS nonce,
+      |    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER (
+      |      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM events) t
+      |GROUP BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mutation_nonce_replay" -> (mutationNonceReplay _),
     "mutation_verify_sig" -> (mutationVerifySig _),
     "evt_sliding_window" -> (evtSlidingWindow _),
     "evt_ohlc" -> (evtOhlc _),
@@ -761,6 +795,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "mutation_nonce_replay" -> mutationNonceReplaySql,
     "mutation_verify_sig" -> mutationVerifySigSql,
     "evt_sliding_window" -> evtSlidingWindowSql,
     "evt_ohlc" -> evtOhlcSql,
