@@ -160,6 +160,29 @@ class GraftDBSpec extends SparkSpec {
     assert(rowsRead > 0 && rowsRead <= 200, s"log scan read $rowsRead rows")
   }
 
+  test("nested dotted paths work end-to-end: queryStr, addIndex, queryWithIndex") {
+    import graft.docstore._
+    import graft.docstore.FieldValue._
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", (0 until 50).map(i =>
+      s"""{"meta":{"k":$i,"tag":"t${i % 3}"},"flat":$i}"""))
+    // dotted path through the SDK query-string surface (fused compiler)
+    val viaStr = db.queryStr("d1", "c", "/[meta.k >= 40] and [meta.tag = t1] | {meta.k}")
+    val strRows = viaStr.collect()
+    val want = (40 until 50).filter(i => i % 3 == 1)
+    assert(strRows.map(_.getString(1).toLong).sorted.toSeq === want.map(_.toLong))
+    // nested Index.path (db3_database_v2.proto:92): typed key extraction
+    // via the same dotted traversal
+    db.addIndex("d1", "c", "meta.k", "Int64Key")
+    val idx = db.index("d1", "c", "meta.k")
+    assert(idx.count() === 50)
+    val q = StructuredQuery(where = Some(FieldFilter("meta.k", Op.Eq, I64(7))))
+    val viaIdx = db.queryWithIndex("d1", "c", q)
+    assert(viaIdx.count() === 1)
+    assert(db.query("d1", "c", q).count() === 1)
+  }
+
   test("nonce cell serializes across GraftDB instances (file-locked cell)") {
     import graft.api.GraftDB
     val root = java.nio.file.Files.createTempDirectory("noncelock").toString
