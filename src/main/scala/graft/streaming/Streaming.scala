@@ -25,6 +25,8 @@ object Streaming {
 
   case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
       value: Double, props: String)
+  case class EvT(event_id: Long, ts: Long, user_id: Long, event_type: String,
+      value: Double, props: String, ets: java.sql.Timestamp)
   case class DocState(user_id: Long, last_type: String, last_value: Double,
       last_ts: Long, last_event_id: Long, n_mutations: Long)
   case class SessState(lastTsUs: Long, startUs: Long, n: Long, sessionId: Long)
@@ -99,14 +101,74 @@ object Streaming {
     * micro-batch invocation (micro-batch granularity is the streaming
     * contract); a session CLOSES when a later event opens a new one, and
     * closed sessions are emitted append-mode. The open session rides in
-    * state across batches — a production job would add an event-time
-    * timeout to flush idle sessions; the bounded fixture never needs it. */
+    * state across batches; `sessionizeWithTimeout` adds the event-time
+    * idle flush a production job needs. */
   def sessionize(spark: SparkSession, dir: String): Dataset[SessionOut] = {
     import spark.implicits._
     readEventStream(spark, dir)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         updateSessions)
+  }
+
+  /** Sessionization with an EVENT-TIME idle timeout: identical session
+    * semantics to `sessionize`, plus the production behavior the plain
+    * variant documents as missing — an idle open session FLUSHES once
+    * the watermark passes its last event + gap
+    * (GroupStateTimeout.EventTimeTimeout), so state stays bounded on an
+    * unbounded stream instead of accumulating one open session per
+    * ever-seen key. */
+  def sessionizeWithTimeout(spark: SparkSession, dir: String,
+      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+    import spark.implicits._
+    readEventStream(spark, dir).toDF()
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", watermarkDelay)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateSessionsWithTimeout)
+  }
+
+  private[streaming] def updateSessionsWithTimeout(
+      userId: Long, events: Iterator[EvT],
+      state: GroupState[SessState]): Iterator[SessionOut] = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    def flush(st: SessState): SessionOut =
+      SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastTsUs - st.startUs)
+    if (!events.hasNext && state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      return Iterator.single(flush(st))
+    }
+    val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
+    var st = state.getOption.orNull
+    val closed = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      val tsUs = e.ts / 1000L
+      if (st == null) {
+        st = SessState(tsUs, tsUs, 1L, 1L)
+      } else if (tsUs - st.lastTsUs > gapUs) {
+        closed += flush(st)
+        st = SessState(tsUs, tsUs, 1L, st.sessionId + 1)
+      } else {
+        st = st.copy(lastTsUs = tsUs, n = st.n + 1)
+      }
+    }
+    if (st != null) {
+      val timeoutMs = st.lastTsUs / 1000L + gapUs / 1000L
+      if (state.getCurrentWatermarkMs() >= timeoutMs) {
+        // the open session is already idle past the watermark (late
+        // data) — flush now; setTimeoutTimestamp would reject a
+        // timestamp at or before the watermark
+        closed += flush(st)
+        if (state.exists) state.remove()
+      } else {
+        state.update(st)
+        state.setTimeoutTimestamp(timeoutMs)
+      }
+    }
+    closed.result().iterator
   }
 
   private[streaming] def updateSessions(

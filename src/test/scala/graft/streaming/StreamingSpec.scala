@@ -71,6 +71,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize with event-time timeout also flushes idle open sessions") {
+    import org.apache.spark.sql.expressions.Window
+    val q = Streaming.sessionizeWithTimeout(spark, sf).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_ttl").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions_ttl")
+      val gapUs = 1800L * 1000000
+      // final watermark = max event time - 1h delay
+      val wmUs = graft.sources.Tables.eventsRaw(spark, sf)
+        .agg(max(col("ts"))).collect()(0).getLong(0) / 1000L - 3600L * 1000000
+      val w = Window.partitionBy(col("user_id"))
+      // expected: every closed batch session, PLUS each user's open last
+      // session once it idled past the watermark — i.e. everything except
+      // last sessions still inside the idle horizon
+      val want = graft.events.EventQueries.evtSessionize(spark, sf)
+        .withColumn("max_sid", max(col("session_id")).over(w))
+        .withColumn("end_us", col("start_us") + col("dur_us"))
+        .filter(!(col("session_id") === col("max_sid") &&
+          col("end_us") + gapUs >= wmUs))
+        .drop("max_sid", "end_us")
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+      // strictly more than the closed-by-successor-only variant: idle
+      // sessions really flushed via the timeout
+      val closedOnly = graft.events.EventQueries.evtSessionize(spark, sf)
+        .withColumn("max_sid", max(col("session_id")).over(w))
+        .filter(col("session_id") < col("max_sid")).count()
+      assert(got.count() > closedOnly)
+    } finally q.stop()
+  }
+
   test("foreachBatch ingestion lands the stream in a GraftDB collection") {
     val db = new graft.api.GraftDB(spark,
       java.nio.file.Files.createTempDirectory("graft-ingest").toString)
