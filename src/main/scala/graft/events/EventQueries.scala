@@ -48,9 +48,13 @@ object EventQueries {
   def evtDecodeAbi(spark: SparkSession, dir: String): DataFrame = {
     val abiSchema = StructType(Seq(StructField("k", LongType)))
     Tables.events(spark, dir)
+      // presence check on the raw JSON path, BEFORE the parse: filtering
+      // on decoded.k would be alias-inlined into the pushed Filter by
+      // PushDownPredicates and the struct parse would run twice per row;
+      // this is also exactly the oracle's json_extract_string IS NOT NULL
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
       .withColumn("decoded", from_json(col("props"), abiSchema))
       .select(col("event_id"), col("event_type"), col("decoded.k").as("k"))
-      .filter(col("k").isNotNull)
   }
 
   val evtDecodeAbiSql: String =

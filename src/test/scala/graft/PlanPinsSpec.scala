@@ -46,6 +46,13 @@ class PlanPinsSpec extends SparkSpec {
     assert(!p.contains("Window"))
   }
 
+  test("evt_decode_abi: single scan, zero exchanges, one json parse") {
+    val p = planOf("evt_decode_abi")
+    assert(shuffles(p) === 0)
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1)
+    assert(p.linesIterator.map(l => "from_json".r.findAllIn(l).size).sum === 1)
+  }
+
   test("evt_decode_abi_multi: single scan, zero exchanges, one json parse") {
     val p = planOf("evt_decode_abi_multi")
     assert(shuffles(p) === 0)
