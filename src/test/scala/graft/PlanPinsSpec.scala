@@ -65,6 +65,14 @@ class PlanPinsSpec extends SparkSpec {
       "from_json".r.findAllIn(l).size).sum === 1)
   }
 
+  test("fused doc compiler parses each row exactly once (parse fence)") {
+    Seq("doc_filter_eq", "doc_qstr", "doc_filter_nested").foreach { q =>
+      val p = planOf(q)
+      assert(p.linesIterator.map(l =>
+        "from_json".r.findAllIn(l).size).sum === 1, s"extra parse in $q")
+    }
+  }
+
   test("doc_group_agg stays a single-shuffle aggregate") {
     val p = planOf("doc_group_agg")
     assert(shuffles(p) === 1)
