@@ -178,16 +178,18 @@ object DocStore {
     val schema = nest(wanted.collect {
       case (p, t) if !branchy(p) => (p.split('.').toList, t)
     })
-    // The parse rides inside a single-element explode_outer: filters
-    // cannot push below a Generate's output attribute, so the predicate
+    // The parse rides inside a single-element explode: filters cannot
+    // push below a Generate's output attribute, so the predicate
     // evaluates the ALREADY-PARSED __p instead of PushDownPredicates
     // alias-inlining the from_json into the Filter and parsing every row
-    // twice (once to test, once to project). explode_outer rather than
-    // explode so InferFiltersFromGenerate does not re-add an inlined
-    // size/isnotnull filter. Net: exactly one JSON parse per row — the
+    // twice (once to test, once to project). Plain explode (not
+    // explode_outer, which disables GenerateExec codegen): the child is
+    // a literal CreateArray, so InferFiltersFromGenerate's size/isnull
+    // inference constant-folds away instead of re-adding a parse. Net:
+    // exactly one JSON parse per row, inside whole-stage codegen — the
     // property this compiler exists to provide on multi-KB docs.
     var df = coll.df.withColumn("__p",
-      explode_outer(array(from_json(col("doc"), schema))))
+      explode(array(from_json(col("doc"), schema))))
     def ref(path: String, asType: DataType): Column =
       if (branchy(path)) {
         // a struct occupies this slot in the fused schema; recover the
