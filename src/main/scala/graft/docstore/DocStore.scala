@@ -178,18 +178,21 @@ object DocStore {
     val schema = nest(wanted.collect {
       case (p, t) if !branchy(p) => (p.split('.').toList, t)
     })
-    // The parse rides inside a single-element explode: filters cannot
-    // push below a Generate's output attribute, so the predicate
-    // evaluates the ALREADY-PARSED __p instead of PushDownPredicates
-    // alias-inlining the from_json into the Filter and parsing every row
-    // twice (once to test, once to project). Plain explode (not
-    // explode_outer, which disables GenerateExec codegen): the child is
-    // a literal CreateArray, so InferFiltersFromGenerate's size/isnull
-    // inference constant-folds away instead of re-adding a parse. Net:
-    // exactly one JSON parse per row, inside whole-stage codegen — the
-    // property this compiler exists to provide on multi-KB docs.
+    // When the query FILTERS, the parse rides inside a single-element
+    // explode: filters cannot push below a Generate's output attribute,
+    // so the predicate evaluates the ALREADY-PARSED __p instead of
+    // PushDownPredicates alias-inlining the from_json into the Filter
+    // and parsing every row twice (once to test, once to project).
+    // Plain explode (not explode_outer, which disables GenerateExec
+    // codegen): the child is a literal CreateArray, so
+    // InferFiltersFromGenerate's size/isnull inference constant-folds
+    // away instead of re-adding a parse. Net: exactly one JSON parse
+    // per row — the property this compiler exists to provide on
+    // multi-KB docs. Filterless queries (sort/project/page only) have
+    // no inlining hazard and skip the Generate entirely.
+    val parsed = from_json(col("doc"), schema)
     var df = coll.df.withColumn("__p",
-      explode(array(from_json(col("doc"), schema))))
+      if (q.where.nonEmpty) explode(array(parsed)) else parsed)
     def ref(path: String, asType: DataType): Column =
       if (branchy(path)) {
         // a struct occupies this slot in the fused schema; recover the
