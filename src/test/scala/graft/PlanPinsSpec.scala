@@ -77,4 +77,13 @@ class PlanPinsSpec extends SparkSpec {
     val p = planOf("doc_group_agg")
     assert(shuffles(p) === 1)
   }
+
+  test("emb_pca is a zero-exchange single-scan partial aggregate") {
+    // r5/r6 timing jitter on unchanged code — pin the shape so noise can
+    // never be mistaken for a plan regression
+    val p = planOf("emb_pca")
+    assert(shuffles(p) === 0)
+    assert(!p.contains("BroadcastExchange"))
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 1)
+  }
 }
