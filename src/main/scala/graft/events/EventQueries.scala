@@ -735,6 +735,21 @@ object EventQueries {
       |GROUP BY a.claimed_signer""".stripMargin
   }
 
+  /** One decoded per-event-type table from `AbiDecode.decode` — the
+    * analog of reading the collection the reference indexer writes per
+    * event (indexer_impl.rs:197). Driver-checks the per-type typed-table
+    * surface (decodeLong's long view is checked separately): the `view`
+    * event decodes its uint256 param to the reference's decimal-string
+    * form. */
+  def evtDecodeTypedTable(spark: SparkSession, dir: String): DataFrame =
+    AbiDecode.decode(Tables.events(spark, dir),
+      AbiDecode.parseAbi(testdataAbi), targetEvents = Set("view"))("view")
+      .select(col("event_id"), col("k"))
+
+  val evtDecodeTypedTableSql: String =
+    """SELECT event_id, json_extract_string(props, '$.k') AS k
+      |FROM events WHERE event_type = 'view'""".stripMargin
+
   /** Nonce-replay detection as a query (the relational twin of the API's
     * nonce cell): the reference storage node accepts a mutation only if
     * its nonce strictly exceeds the sender's stored nonce
@@ -769,6 +784,7 @@ object EventQueries {
       |GROUP BY user_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_decode_typed_table" -> (evtDecodeTypedTable _),
     "mutation_nonce_replay" -> (mutationNonceReplay _),
     "mutation_verify_sig" -> (mutationVerifySig _),
     "evt_sliding_window" -> (evtSlidingWindow _),
@@ -799,6 +815,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_decode_typed_table" -> evtDecodeTypedTableSql,
     "mutation_nonce_replay" -> mutationNonceReplaySql,
     "mutation_verify_sig" -> mutationVerifySigSql,
     "evt_sliding_window" -> evtSlidingWindowSql,
