@@ -538,6 +538,82 @@ class GraftDB(spark: SparkSession, root: String) {
     * is identical because the log schema and ordering keys are preserved. */
   def recover(db: String, coll: String): DocCollection = collection(db, coll)
 
+  // ---- mutation-log inspection (the storage node's log RPCs) ----------
+  // db3_storage.proto:191-202: GetMutationHeader / GetMutationBody are
+  // point reads by mutation id, ScanMutationHeader pages the log, GetBlock
+  // returns one block's mutations, GetMutationState aggregates the
+  // MutationStateView counters. All are pushed-filter scans over the log
+  // (the block predicate prunes row groups) or manifest reads — nothing
+  // folds state.
+
+  /** GetMutationHeader analog: one mutation's header plus its rollup
+    * status (the proto's MutationRollupStatus: rolled-up vs live tail). */
+  def getMutationHeader(db: String, coll: String, block: Long, order: Int)
+      : Option[MutationHeaderView] = {
+    val rolledTo = scanRollupRecords(db, coll)
+      .agg(max(col("end_block"))).head() match {
+        case r if r.isNullAt(0) => Long.MinValue
+        case r => r.getLong(0)
+      }
+    mutationLog(db, coll)
+      .filter(col("block") === block && col("order") === order)
+      .select("block", "order", "action", "id").head(1).headOption
+      .map(r => MutationHeaderView(r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), rolledUp = block <= rolledTo))
+  }
+
+  /** GetMutationBody analog: one mutation's payload (doc + mask). */
+  def getMutationBody(db: String, coll: String, block: Long, order: Int)
+      : Option[(String, Option[String])] =
+    mutationLog(db, coll)
+      .filter(col("block") === block && col("order") === order)
+      .select("doc", "mask").head(1).headOption
+      .map(r => (r.getString(0), Option(r.getString(1))))
+
+  /** ScanMutationHeader analog: a (start, limit) page of headers in
+    * (block, order) log order — sort+limit fuses to TakeOrderedAndProject
+    * when start is 0. */
+  def scanMutationHeaders(db: String, coll: String, start: Int, limit: Int): DataFrame = {
+    val page = mutationLog(db, coll)
+      .select("block", "order", "action", "id")
+      .orderBy(col("block").asc, col("order").asc)
+    (if (start > 0) page.offset(start) else page).limit(limit)
+  }
+
+  /** GetBlock analog: every mutation stamped in one block, in order. */
+  def getBlock(db: String, coll: String, block: Long): DataFrame =
+    mutationLog(db, coll).filter(col("block") === block)
+      .orderBy(col("order").asc)
+
+  /** GetMutationState analog: the MutationStateView counters
+    * (db3_storage.proto:169-182) from one log aggregate + the rollup/gc
+    * manifests. */
+  def mutationState(db: String, coll: String): MutationStateView = {
+    val logAgg = mutationLog(db, coll).agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(coalesce(length(col("doc")).cast("long"), lit(0L)) +
+        coalesce(length(col("mask")).cast("long"), lit(0L))), lit(0L)).as("bytes"),
+      coalesce(max(col("block")), lit(-1L)).as("last_block")).head()
+    val roll = scanRollupRecords(db, coll).agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("compressed_bytes")), lit(0L)),
+      coalesce(sum(col("raw_bytes")), lit(0L)),
+      coalesce(sum(col("mutation_count")), lit(0L))).head()
+    val gc = scanGcRecords(db, coll).agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(col("mutation_count")), lit(0L))).head()
+    MutationStateView(
+      mutationCount = logAgg.getLong(0),
+      totalMutationBytes = logAgg.getLong(1),
+      lastBlock = logAgg.getLong(2),
+      rollupCount = roll.getLong(0),
+      totalRollupBytes = roll.getLong(1),
+      totalRollupRawBytes = roll.getLong(2),
+      totalRollupMutationCount = roll.getLong(3),
+      gcCount = gc.getLong(0),
+      totalGcMutationCount = gc.getLong(1))
+  }
+
   /** Bulk-ingest documents from newline-delimited JSON files (the
     * reference SDK's addDoc over an external dump): each line becomes one
     * AddDocument mutation. Fully distributed — the lines never visit the
@@ -718,6 +794,17 @@ object GraftDB {
   /** The per-collection block-state cell (mutation_store.rs:444):
     * last stamped block + next dense doc id. */
   case class CollState(lastBlock: Long, nextId: Long)
+
+  /** GetMutationHeader view: header fields + rollup status. */
+  case class MutationHeaderView(block: Long, order: Int, action: Int,
+      id: Long, rolledUp: Boolean)
+
+  /** GetMutationState view (db3_storage.proto:169-182 MutationStateView;
+    * the Arweave/EVM cost fields have no Spark analog and are omitted). */
+  case class MutationStateView(mutationCount: Long, totalMutationBytes: Long,
+      lastBlock: Long, rollupCount: Long, totalRollupBytes: Long,
+      totalRollupRawBytes: Long, totalRollupMutationCount: Long,
+      gcCount: Long, totalGcMutationCount: Long)
 
   /** Doc-id stride for block-encoded ids from partition-parallel appends
     * (id = block·2^31 + order, the DocumentEntryId composition). */

@@ -220,6 +220,37 @@ class GraftDBSpec extends SparkSpec {
     assert(db1.getNonce("0xAB") === nonce + 1L)
   }
 
+  test("log-inspection RPCs: header/body point reads, paging, block, state view") {
+    import graft.api.GraftDB
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", Seq("""{"a":1}""", """{"a":2}""")) // block 0
+    db.addDocuments("d1", "c", Seq("""{"a":3}"""))                // block 1
+    // point reads by (block, order)
+    val h = db.getMutationHeader("d1", "c", 0L, 1)
+    assert(h.exists(v => v.action === GraftDB.ActionAdd && v.id === 1L && !v.rolledUp))
+    assert(db.getMutationBody("d1", "c", 1L, 0) === Some(("""{"a":3}""", None)))
+    assert(db.getMutationHeader("d1", "c", 9L, 0).isEmpty)
+    // paging in (block, order) order
+    val page = db.scanMutationHeaders("d1", "c", start = 1, limit = 2).collect()
+    assert(page.map(r => (r.getLong(0), r.getInt(1))).toSeq === Seq((0L, 1), (1L, 0)))
+    // one block's mutations
+    assert(db.getBlock("d1", "c", 0L).count() === 2)
+    // state view before and after a rollup
+    val st0 = db.mutationState("d1", "c")
+    assert(st0.mutationCount === 3 && st0.lastBlock === 1 &&
+      st0.rollupCount === 0 && st0.gcCount === 0 && st0.totalMutationBytes > 0)
+    val recs = db.rollup("d1", "c")
+    assert(recs.nonEmpty)
+    val st1 = db.mutationState("d1", "c")
+    assert(st1.mutationCount === 3) // rollups preserve the log
+    assert(st1.rollupCount > 0 && st1.totalRollupMutationCount === 3 &&
+      st1.gcCount > 0 && st1.totalGcMutationCount === 3 &&
+      st1.totalRollupBytes > 0 && st1.totalRollupRawBytes > 0)
+    // headers now report rolled-up status
+    assert(db.getMutationHeader("d1", "c", 0L, 1).exists(_.rolledUp))
+  }
+
   test("metadata listings mirror db/collection layout") {
     val db = freshDb()
     db.createCollection("d1", "books")
