@@ -538,6 +538,75 @@ class GraftDB(spark: SparkSession, root: String) {
     * is identical because the log schema and ordering keys are preserved. */
   def recover(db: String, coll: String): DocCollection = collection(db, coll)
 
+  // ---- node setup & status (db3_system.proto Setup / GetSystemStatus) -
+  // The reference's admin surface: Setup is a SIGNED config write
+  // (SystemConfig's rollup-policy knobs) whose sender becomes — and must
+  // remain — the node admin; GetSystemStatus reads it back. The chain /
+  // Arweave / EVM account fields have no Spark analog and are omitted;
+  // the signed-write requirement and the admin pinning are kept.
+
+  private def configPath = s"$root/state/config.json"
+
+  /** Setup analog: `typedDataJson.message.payload` hex-encodes a JSON
+    * object with any of minRollupSizeBytes / rollupIntervalMs /
+    * minGcOffset / networkId; the sender is RECOVERED from the signature
+    * (db3_system.proto:23 SetupRequest{signature, payload}). The first
+    * successful setup pins the admin address; later setups from any
+    * other sender are rejected, like the reference's admin_addr check.
+    * Returns the admin address. */
+  def setup(typedDataJson: String, sigHex: String): String = {
+    import graft.functions.crypto.{Eip712, Keccak256}
+    val recovered = Eip712.recoverAddressOrNull(typedDataJson, sigHex)
+    if (recovered == null)
+      throw new IllegalArgumentException("invalid signature or typed data")
+    val sender = recovered.toString
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(typedDataJson)
+    val msg = tree.get("message")
+    if (msg == null || msg.get("payload") == null)
+      throw new IllegalArgumentException("bad typed data: missing payload")
+    val payload = Keccak256.fromHex(msg.get("payload").asText).getOrElse(
+      throw new IllegalArgumentException("bad typed data: non-hex payload"))
+    val req = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+    def knob(name: String, dflt: Long): Long =
+      Option(req.get(name)).map(_.asLong(dflt)).getOrElse(dflt)
+    withNonceLock { // same cell-serialization discipline as the nonce cell
+      systemStatus().adminAddr.foreach { admin =>
+        if (admin != sender)
+          throw new IllegalArgumentException(s"setup rejected: $sender is not the admin")
+      }
+      val prev = systemStatus().config
+      val cfg = NodeConfig(
+        minRollupSizeBytes = knob("minRollupSizeBytes", prev.minRollupSizeBytes),
+        rollupIntervalMs = knob("rollupIntervalMs", prev.rollupIntervalMs),
+        minGcOffset = knob("minGcOffset", prev.minGcOffset),
+        networkId = knob("networkId", prev.networkId))
+      val p = Paths.get(configPath)
+      Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling("config.json.tmp")
+      import org.json4s.jackson.Serialization
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Files.writeString(tmp, Serialization.write(StoredConfig(sender, cfg)))
+      Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    sender
+  }
+
+  /** GetSystemStatus analog: admin, init flag and the config cell
+    * (defaults before any setup). */
+  def systemStatus(): SystemStatus = {
+    val p = Paths.get(configPath)
+    if (!Files.exists(p)) SystemStatus(hasInited = false, None, NodeConfig())
+    else {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val st = JsonMethods.parse(Files.readString(p)).extract[StoredConfig]
+      SystemStatus(hasInited = true, Some(st.admin), st.config)
+    }
+  }
+
   // ---- mutation-log inspection (the storage node's log RPCs) ----------
   // db3_storage.proto:191-202: GetMutationHeader / GetMutationBody are
   // point reads by mutation id, ScanMutationHeader pages the log, GetBlock
@@ -805,6 +874,18 @@ object GraftDB {
       lastBlock: Long, rollupCount: Long, totalRollupBytes: Long,
       totalRollupRawBytes: Long, totalRollupMutationCount: Long,
       gcCount: Long, totalGcMutationCount: Long)
+
+  /** SystemConfig's rollup-policy knobs (db3_base.proto:22-33; chain and
+    * node-url fields omitted — no Spark analog). */
+  case class NodeConfig(minRollupSizeBytes: Long = 64L * 1024 * 1024,
+      rollupIntervalMs: Long = 60000L, minGcOffset: Long = 0L,
+      networkId: Long = 0L)
+
+  private[api] case class StoredConfig(admin: String, config: NodeConfig)
+
+  /** GetSystemStatus view (db3_base.proto:41 SystemStatus). */
+  case class SystemStatus(hasInited: Boolean, adminAddr: Option[String],
+      config: NodeConfig, versionLabel: String = "graft-spark")
 
   /** Doc-id stride for block-encoded ids from partition-parallel appends
     * (id = block·2^31 + order, the DocumentEntryId composition). */

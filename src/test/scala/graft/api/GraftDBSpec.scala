@@ -251,6 +251,37 @@ class GraftDBSpec extends SparkSpec {
     assert(db.getMutationHeader("d1", "c", 0L, 1).exists(_.rolledUp))
   }
 
+  test("setup pins the admin and persists the config cell (signed write)") {
+    import graft.api.GraftDB
+    import graft.functions.crypto.Keccak256
+    val db = freshDb()
+    assert(!db.systemStatus().hasInited)
+    assert(db.systemStatus().config.minRollupSizeBytes === 64L * 1024 * 1024)
+    def setupReq(cfgJson: String, key: Long): (String, String) = {
+      val hex = Keccak256.hexLower(cfgJson.getBytes("UTF-8"))
+      val td = s"""{"types":{"EIP712Domain":[],"Message":[{"name":"payload","type":"bytes"},{"name":"nonce","type":"string"}]},"domain":{},"primaryType":"Message","message":{"payload":"0x$hex","nonce":"0"}}"""
+      val sig = graft.functions.crypto.Eip712.signOrNull(td, key)
+      (td, sig.toString)
+    }
+    val (td1, sig1) = setupReq("""{"minRollupSizeBytes":1024,"networkId":7}""", 1L)
+    val admin = db.setup(td1, sig1)
+    val st = db.systemStatus()
+    assert(st.hasInited && st.adminAddr === Some(admin))
+    assert(st.config.minRollupSizeBytes === 1024L && st.config.networkId === 7L)
+    assert(st.config.rollupIntervalMs === 60000L) // absent knob keeps default
+    // a different signer cannot re-setup
+    val (td2, sig2) = setupReq("""{"networkId":9}""", 2L)
+    intercept[IllegalArgumentException](db.setup(td2, sig2))
+    assert(db.systemStatus().config.networkId === 7L)
+    // the admin can update; untouched knobs persist
+    val (td3, sig3) = setupReq("""{"networkId":9}""", 1L)
+    db.setup(td3, sig3)
+    val st3 = db.systemStatus()
+    assert(st3.config.networkId === 9L && st3.config.minRollupSizeBytes === 1024L)
+    // tampered signature rejected
+    intercept[IllegalArgumentException](db.setup(td3, "0x" + "00" * 65))
+  }
+
   test("metadata listings mirror db/collection layout") {
     val db = freshDb()
     db.createCollection("d1", "books")
