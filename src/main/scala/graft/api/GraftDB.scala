@@ -821,10 +821,21 @@ class GraftDB(spark: SparkSession, root: String) {
   private val MaxPushedIds = 1024
 
   /** Metadata listings (db_store_v2.rs get_database_of_owner /
-    * get_collection_of_database). */
-  def listDatabases(): Seq[String] = listDirs(root)
+    * get_collection_of_database). The node-level `state/` dir (nonce +
+    * config cells) is reserved, not a database. */
+  def listDatabases(): Seq[String] = listDirs(root).filterNot(_ == "state")
 
   def listCollections(db: String): Seq[String] = listDirs(s"$root/$db")
+
+  /** GetContractSyncStatus analog (db3_indexer.proto:43
+    * ContractSyncStatus{addr, block_number, event_number}): the
+    * indexer's per-contract sync progress maps to per-collection ingest
+    * progress — last stamped block and mutation count. State-cell +
+    * manifest reads; the count is one aggregate over the log. */
+  def syncStatus(): Seq[SyncStatusView] =
+    for (db <- listDatabases(); coll <- listCollections(db)) yield
+      SyncStatusView(db, coll, currentState(db, coll).lastBlock,
+        mutationLog(db, coll).count())
 
   /** CollectionState.total_doc_count analog. */
   def collectionState(db: String, coll: String): Long =
@@ -886,6 +897,10 @@ object GraftDB {
   /** GetSystemStatus view (db3_base.proto:41 SystemStatus). */
   case class SystemStatus(hasInited: Boolean, adminAddr: Option[String],
       config: NodeConfig, versionLabel: String = "graft-spark")
+
+  /** GetContractSyncStatus view (db3_indexer.proto:43). */
+  case class SyncStatusView(db: String, collection: String,
+      lastBlock: Long, mutationCount: Long)
 
   /** Doc-id stride for block-encoded ids from partition-parallel appends
     * (id = block·2^31 + order, the DocumentEntryId composition). */

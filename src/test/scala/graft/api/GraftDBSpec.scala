@@ -292,6 +292,14 @@ class GraftDBSpec extends SparkSpec {
     db.addDocuments("d1", "books", Seq("""{"x":1}""", """{"x":2}"""))
     assert(db.collectionState("d1", "books") === 2)
     assert(db.collectionState("d1", "authors") === 0)
+    // the node-level state dir (nonce/config cells) is NOT a database
+    db.addDocuments("d2", "events", Seq("""{"y":1}"""), "0xAB", db.getNonce("0xAB"))
+    assert(db.listDatabases() === Seq("d1", "d2"))
+    // per-collection sync progress (GetContractSyncStatus analog)
+    val sync = db.syncStatus()
+    assert(sync.map(s => (s.db, s.collection, s.mutationCount)).toSet ===
+      Set(("d1", "books", 2L), ("d1", "authors", 0L), ("d2", "events", 1L)))
+    assert(sync.find(_.collection == "events").exists(_.lastBlock >= 0L))
   }
 
   test("rollup compacts the tail, GCs it, and state survives recovery") {
