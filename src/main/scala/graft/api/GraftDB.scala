@@ -593,6 +593,15 @@ class GraftDB(spark: SparkSession, root: String) {
     sender
   }
 
+  /** The rollup executor's tick under the Setup'd policy
+    * (rollup_executor.rs reads min_rollup_size from the admin config):
+    * compact the tail only once it has outgrown the configured minimum.
+    * Returns the records written, empty when not yet due. */
+  def rollupIfDue(db: String, coll: String): Seq[RollupRecord] =
+    if (tailBytes(db, coll) >= systemStatus().config.minRollupSizeBytes)
+      rollup(db, coll)
+    else Seq.empty
+
   /** GetSystemStatus analog: admin, init flag and the config cell
     * (defaults before any setup). */
   def systemStatus(): SystemStatus = {

@@ -280,6 +280,17 @@ class GraftDBSpec extends SparkSpec {
     assert(st3.config.networkId === 9L && st3.config.minRollupSizeBytes === 1024L)
     // tampered signature rejected
     intercept[IllegalArgumentException](db.setup(td3, "0x" + "00" * 65))
+    // the Setup'd policy drives the rollup tick (rollup_executor.rs
+    // reads min_rollup_size from the admin config)
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", (1 to 20).map(i => s"""{"n":$i}"""))
+    val (tdHi, sigHi) = setupReq("""{"minRollupSizeBytes":1073741824}""", 1L)
+    db.setup(tdHi, sigHi)
+    assert(db.rollupIfDue("d1", "c").isEmpty) // 1 GiB floor: not due
+    val (tdLo, sigLo) = setupReq("""{"minRollupSizeBytes":1}""", 1L)
+    db.setup(tdLo, sigLo)
+    assert(db.rollupIfDue("d1", "c").nonEmpty) // floor lowered: compacts
+    assert(db.rollupIfDue("d1", "c").isEmpty) // tail drained: idempotent
   }
 
   test("metadata listings mirror db/collection layout") {
