@@ -719,7 +719,7 @@ class GraftDB(spark: SparkSession, root: String) {
   }
 
   /** Export live state (sink): parquet or ndjson of (_id, doc). */
-  def export(db: String, coll: String, outPath: String, format: String = "parquet"): Unit = {
+  def `export`(db: String, coll: String, outPath: String, format: String = "parquet"): Unit = {
     val df = collection(db, coll).df
     format match {
       case "json" => df.write.mode(SaveMode.Overwrite).json(outPath)

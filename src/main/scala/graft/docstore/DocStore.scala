@@ -142,6 +142,7 @@ object DocStore {
       case FieldValue.Dbl(_) => DoubleType
       case FieldValue.Bool(_) => BooleanType
       case FieldValue.Str(_) => StringType
+      case FieldValue.Arr(vs) => keyTypeOf(vs.head) // sort key can't be an array; element type witness
     }
     // order fields first: their typed parse must win the dedup so numeric
     // sort keys aren't compared lexicographically (the string projection

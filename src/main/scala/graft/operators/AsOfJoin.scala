@@ -42,6 +42,6 @@ object AsOfJoin {
       .filter(col(s"__m_${rightCols.head}").isNotNull)
     val out = left.columns.map(col) ++
       rightCols.map(c => col(s"__m_$c").as(c))
-    matched.select(out: _*)
+    matched.select(out.toIndexedSeq: _*)
   }
 }

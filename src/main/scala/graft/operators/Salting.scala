@@ -46,7 +46,7 @@ object Salting {
     // defeat replay debugging); hot keys still spread because their
     // non-key columns vary
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts)))
     val phase1 = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(specs.head.phase1("__p0"),

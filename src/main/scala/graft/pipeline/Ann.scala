@@ -143,7 +143,7 @@ object Ann {
       val others = points.columns.filterNot(_ == "vec_id")
       scored.groupBy(col("vec_id"))
         .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
-          others.map(c => any_value(col(c)).as(c)): _*)
+          others.toIndexedSeq.map(c => any_value(col(c)).as(c)): _*)
         .select((Seq("vec_id") ++ others :+ "cid").map(col): _*)
     } else {
       val w = Window.partitionBy(col("vec_id"))
