@@ -391,6 +391,13 @@ class GraftDB(spark: SparkSession, root: String) {
   def collectionForIds(db: String, coll: String, ids: Seq[Long]): DocCollection =
     DocCollection(coll, foldLog(db, coll, Long.MaxValue, Some(ids)))
 
+  /** GetDoc RPC analog (db3_indexer.proto:64; doc_store.rs:240 get_doc):
+    * one doc's live JSON by id, or None if absent/tombstoned. Reads
+    * through the pruned point-lookup fold above — O(matching blocks). */
+  def getDoc(db: String, coll: String, id: Long): Option[String] =
+    collectionForIds(db, coll, Seq(id)).df
+      .select("doc").head(1).headOption.map(_.getString(0))
+
   private def foldLog(db: String, coll: String, block: Long,
       onlyIds: Option[Seq[Long]] = None): DataFrame = {
     import spark.implicits._

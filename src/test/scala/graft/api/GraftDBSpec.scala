@@ -76,6 +76,18 @@ class GraftDBSpec extends SparkSpec {
     assert(docAt(2).isEmpty)
   }
 
+  test("getDoc point-reads the live doc, None when absent or tombstoned") {
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    val ids = db.addDocuments("d1", "c", Seq("""{"v":1}""", """{"v":2}"""))
+    db.updateDocuments("d1", "c", Seq(ids.head), Seq("""{"v":9}"""), Seq(Nil))
+    assert(db.getDoc("d1", "c", ids.head) === Some("""{"v":9}"""))
+    assert(db.getDoc("d1", "c", ids(1)) === Some("""{"v":2}"""))
+    assert(db.getDoc("d1", "c", 999L).isEmpty)
+    db.deleteDocuments("d1", "c", Seq(ids(1)))
+    assert(db.getDoc("d1", "c", ids(1)).isEmpty)
+  }
+
   test("json ingestion and export round trip") {
     val db = freshDb()
     db.createCollection("d1", "c")
