@@ -195,6 +195,26 @@ class GraftDBSpec extends SparkSpec {
     assert(db.query("d1", "c", q).count() === 1)
   }
 
+  test("unselective index lookups keep the distributed semi-join path") {
+    import graft.docstore._
+    import graft.docstore.FieldValue._
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", (0 until 1200).map(i =>
+      s"""{"rate":${i % 2},"n":$i}"""))
+    db.addIndex("d1", "c", "rate", "Int64Key")
+    // rate=0 matches 600 docs (pushed path); rate>=0 matches all 1200 —
+    // past the push cap, so the semi-join fallback must produce the same
+    // answer as the plain fused query
+    val qWide = StructuredQuery(where = Some(FieldFilter("rate", Op.Ge, I64(0))))
+    val viaIdx = db.queryWithIndex("d1", "c", qWide)
+    assert(viaIdx.count() === 1200)
+    assert(db.query("d1", "c", qWide).count() === 1200)
+    // fallback really joined (no pushed id set in the plan)
+    val plan = viaIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") || plan.toLowerCase.contains("left_semi"))
+  }
+
   test("nonce cell serializes across GraftDB instances (file-locked cell)") {
     import graft.api.GraftDB
     val root = java.nio.file.Files.createTempDirectory("noncelock").toString
