@@ -367,20 +367,13 @@ object DocQueries {
     * the dotted filters and dotted projections run through queryFused's
     * nested derived schema — one from_json parse, no per-field scans. */
   def docFilterNested(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val docs = ev.select(ev("event_id").as("_id"),
-      to_json(struct(
-        struct(
-          get_json_object(ev("props"), "$.k").cast("long").as("k"),
-          ev("user_id").as("uid")).as("meta"),
-        ev("event_type").as("t"))).as("doc"))
     val q = StructuredQuery(
       where = Some(AndFilter(Seq(
         FieldFilter("meta.k", Op.Ge, I64(40)),
         FieldFilter("meta.k", Op.Lt, I64(60)),
         FieldFilter("t", Op.Eq, Str("click"))))),
       select = Seq("meta.k", "meta.uid"))
-    DocStore.queryFused(DocCollection("events_nested", docs), q)
+    DocStore.queryFused(DocStore.eventsNestedCollection(spark, dir), q)
       .select(col("_id"),
         col("`meta.k`").as("meta_k"), col("`meta.uid`").as("meta_uid"))
   }

@@ -255,4 +255,23 @@ object DocStore {
         ev.select(ev("event_id").as("_id"), doc.as("doc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
+
+  private val nestedCollCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DocCollection]()
+
+  /** Events re-shaped as NESTED docs `{"meta":{"k":…,"uid":…},"t":…}` —
+    * the dotted-path fixture, materialized once per (session, table)
+    * exactly like `eventsCollection` above. */
+  def eventsNestedCollection(spark: SparkSession, dir: String): DocCollection =
+    nestedCollCache.computeIfAbsent((spark, dir), _ => {
+      val ev = Tables.events(spark, dir)
+      val doc = to_json(struct(
+        struct(
+          get_json_object(ev("props"), "$.k").cast("long").as("k"),
+          ev("user_id").as("uid")).as("meta"),
+        ev("event_type").as("t")))
+      DocCollection("events_nested",
+        ev.select(ev("event_id").as("_id"), doc.as("doc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
 }
