@@ -33,7 +33,13 @@ import java.nio.file.{Files, Paths}
   * are safe concurrently; concurrent writers would need an external
   * sequencer for block assignment.
   */
-class GraftDB(spark: SparkSession, root: String) {
+/** @param pinnedAdmin fix the node admin at construction (the reference
+  *   pins `admin_addr` at node boot — system_impl.rs:50): when set, ONLY
+  *   this address can ever `setup`, including the first time. When None,
+  *   the first successful signed setup pins the admin
+  *   (trust-on-first-use). */
+class GraftDB(spark: SparkSession, root: String,
+    pinnedAdmin: Option[String] = None) {
   import GraftDB._
 
   private def collPath(db: String, coll: String) = s"$root/$db/$coll"
@@ -382,12 +388,16 @@ class GraftDB(spark: SparkSession, root: String) {
 
   /** Point-lookup fold: replay ONLY the given doc ids. The id filter is
     * applied to the raw mutation-log scan — ids are In-pushed into the
-    * parquet reader, and because each block file's id range is disjoint
-    * (ids encode (block, order)), row-group min/max stats skip every
-    * block that cannot contain the ids. A selective index lookup thus
-    * reads O(matching blocks) and shuffles only the matching mutations
-    * instead of folding the whole log — the B-tree fetch analog of the
-    * reference's `doc_store.rs get_doc`. */
+    * parquet reader. ADD mutations are id-disjoint per block file (ids
+    * encode (block, order)), so row-group min/max stats skip every block
+    * whose adds cannot contain the ids; UPDATE/DELETE mutations carry the
+    * ORIGINAL doc id into later blocks, widening those blocks' id ranges
+    * and reducing (never breaking — the In filter still matches all of a
+    * doc's mutations) the skip rate on update-heavy logs. A selective
+    * lookup on an append-mostly log thus reads O(matching blocks) and
+    * shuffles only the matching mutations instead of folding the whole
+    * log — the B-tree fetch analog of the reference's `doc_store.rs
+    * get_doc`. */
   def collectionForIds(db: String, coll: String, ids: Seq[Long]): DocCollection =
     DocCollection(coll, foldLog(db, coll, Long.MaxValue, Some(ids)))
 
@@ -556,11 +566,14 @@ class GraftDB(spark: SparkSession, root: String) {
 
   /** Setup analog: `typedDataJson.message.payload` hex-encodes a JSON
     * object with any of minRollupSizeBytes / rollupIntervalMs /
-    * minGcOffset / networkId; the sender is RECOVERED from the signature
-    * (db3_system.proto:23 SetupRequest{signature, payload}). The first
-    * successful setup pins the admin address; later setups from any
-    * other sender are rejected, like the reference's admin_addr check.
-    * Returns the admin address. */
+    * minGcOffset / networkId, and `message.nonce` the sender's next
+    * nonce; the sender is RECOVERED from the signature
+    * (db3_system.proto:23 SetupRequest{signature, payload}). Admin
+    * check: the constructor-pinned admin when set, else the stored admin
+    * from the first successful setup (TOFU). The nonce rides the same
+    * per-sender replay cell as `sendMutation` and is consumed ONLY by an
+    * accepted setup — a captured admin-signed Setup cannot be replayed
+    * later to revert the policy. Returns the admin address. */
   def setup(typedDataJson: String, sigHex: String): String = {
     import graft.functions.crypto.{Eip712, Keccak256}
     val recovered = Eip712.recoverAddressOrNull(typedDataJson, sigHex)
@@ -569,8 +582,10 @@ class GraftDB(spark: SparkSession, root: String) {
     val sender = recovered.toString
     val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(typedDataJson)
     val msg = tree.get("message")
-    if (msg == null || msg.get("payload") == null)
-      throw new IllegalArgumentException("bad typed data: missing payload")
+    if (msg == null || msg.get("payload") == null || msg.get("nonce") == null)
+      throw new IllegalArgumentException("bad typed data: missing payload/nonce")
+    val nonce = msg.get("nonce").asText.toLongOption.getOrElse(
+      throw new IllegalArgumentException("bad typed data: non-numeric nonce"))
     val payload = Keccak256.fromHex(msg.get("payload").asText).getOrElse(
       throw new IllegalArgumentException("bad typed data: non-hex payload"))
     val req = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -579,9 +594,21 @@ class GraftDB(spark: SparkSession, root: String) {
       Option(req.get(name)).map(_.asLong(dflt)).getOrElse(dflt)
     withNonceLock { // same cell-serialization discipline as the nonce cell
       systemStatus().adminAddr.foreach { admin =>
-        if (admin != sender)
+        if (normAddr(admin) != normAddr(sender))
           throw new IllegalArgumentException(s"setup rejected: $sender is not the admin")
       }
+      // nonce check-and-consume AFTER the admin gate (a rejected
+      // non-admin attempt burns nothing) and inside the SAME lock hold —
+      // inlined because withNonceLock does not nest (the OS file lock is
+      // JVM-scoped). Rejecting a stale nonce here is what makes a
+      // replayed Setup dead on arrival.
+      val key = normAddr(sender)
+      val nonces = readNonces()
+      val expected = nonces.getOrElse(key, 0L) + 1L
+      if (nonce != expected)
+        throw new IllegalArgumentException(
+          s"bad setup nonce for $key: got $nonce, expected $expected")
+      writeNonces(nonces.updated(key, nonce))
       val prev = systemStatus().config
       val cfg = NodeConfig(
         minRollupSizeBytes = knob("minRollupSizeBytes", prev.minRollupSizeBytes),
@@ -610,16 +637,19 @@ class GraftDB(spark: SparkSession, root: String) {
     else Seq.empty
 
   /** GetSystemStatus analog: admin, init flag and the config cell
-    * (defaults before any setup). */
+    * (defaults before any setup). A constructor-pinned admin is reported
+    * even before the first setup — it is fixed at boot, not learned. */
   def systemStatus(): SystemStatus = {
     val p = Paths.get(configPath)
-    if (!Files.exists(p)) SystemStatus(hasInited = false, None, NodeConfig())
+    if (!Files.exists(p)) SystemStatus(hasInited = false, pinnedAdmin, NodeConfig())
     else {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       implicit val fmts: Formats = DefaultFormats
       val st = JsonMethods.parse(Files.readString(p)).extract[StoredConfig]
-      SystemStatus(hasInited = true, Some(st.admin), st.config)
+      // a boot-time pin outranks the stored admin (the stored value only
+      // matters on TOFU nodes)
+      SystemStatus(hasInited = true, pinnedAdmin.orElse(Some(st.admin)), st.config)
     }
   }
 

@@ -28,7 +28,12 @@ object DocStore {
       case FieldValue.Dbl(_) => raw.cast("double")
       case FieldValue.Bool(_) => raw.cast("boolean")
       case FieldValue.Str(_) => raw
-      case FieldValue.Arr(vs) => fieldCol(doc, field, vs.head)
+      case FieldValue.Arr(vs) =>
+        // empty In/NotIn operands short-circuit in the filter compilers and
+        // never reach here; any other empty array has no type witness
+        if (vs.isEmpty) throw new IllegalArgumentException(
+          s"empty array operand for field '$field': no element type to derive")
+        else fieldCol(doc, field, vs.head)
     }
   }
 
@@ -61,10 +66,22 @@ object DocStore {
       v match { case FieldValue.Str(s) => s; case other => other.toString })
   }
 
+  /** Empty In = membership in the empty set (always false); empty NotIn
+    * excludes nothing (always true). Guarded explicitly so an `Arr(Nil)`
+    * operand is a defined result, not a NoSuchElementException at plan
+    * time from the element-type derivation. */
+  private def emptyArrShortCircuit(f: FieldFilter): Option[Column] = f match {
+    case FieldFilter(_, Op.In, FieldValue.Arr(Nil)) => Some(lit(false))
+    case FieldFilter(_, Op.NotIn, FieldValue.Arr(Nil)) => Some(lit(true))
+    case _ => None
+  }
+
   /** Compile a Filter tree to one Spark predicate Column. */
   def compileFilter(doc: Column, f: Filter): Column = f match {
     case AndFilter(fs) => fs.map(compileFilter(doc, _)).reduce(_ && _)
     case OrFilter(fs) => fs.map(compileFilter(doc, _)).reduce(_ || _)
+    case ff: FieldFilter if emptyArrShortCircuit(ff).isDefined =>
+      emptyArrShortCircuit(ff).get
     case FieldFilter(field, Op.ArrayContains, v) =>
       // JSON array field: parse as array<string> and probe membership.
       compileOp(
@@ -116,23 +133,53 @@ object DocStore {
     df
   }
 
-  /** Single-parse variant of `query`: derives the narrow struct schema of
-    * every field the query touches and runs ONE `from_json` per row
-    * instead of one JSON scan per referenced field. Same semantics; the
-    * winning shape when filters touch several fields of multi-KB docs
-    * (the 100 TB hot path — JSON parsing dominates such scans). */
-  def queryFused(coll: DocCollection, q: StructuredQuery): DataFrame = {
+  /** How many JSON-path extractions the PER-FIELD compiler would run for
+    * this query: one per filter leaf (empty-In/NotIn leaves compile to
+    * literals, zero extractions), plus one per selected/ordered field. */
+  private def perFieldExtractions(q: StructuredQuery): Int = {
+    def leaves(f: Filter): Int = f match {
+      case AndFilter(fs) => fs.map(leaves).sum
+      case OrFilter(fs) => fs.map(leaves).sum
+      case ff: FieldFilter => if (emptyArrShortCircuit(ff).isDefined) 0 else 1
+    }
+    q.where.map(leaves).getOrElse(0) + q.select.size + q.orderBy.size
+  }
+
+  /** Single-parse variant of `query` with a NARROW-QUERY fast path: a
+    * query whose per-field compilation would run at most 3 JSON-path
+    * extractions executes per-field (independent `get_json_object`s —
+    * each a streaming path probe, no struct materialization and no parse
+    * fence), because the fence's Generate overhead buys nothing when
+    * there is no multi-field parse to fuse. Wider queries derive the
+    * narrow struct schema of every referenced field and run ONE
+    * `from_json` per row behind the fence — the winning shape when
+    * filters touch several fields of multi-KB docs (the 100 TB hot
+    * path — JSON parsing dominates such scans; ParseBench: 3.4× on
+    * 24-field docs). Both paths have identical semantics (asserted
+    * row-for-row by the QueryFuzzSpec property tests). */
+  def queryFused(coll: DocCollection, q: StructuredQuery): DataFrame =
+    if (perFieldExtractions(q) <= 3) query(coll, q)
+    else queryFusedAlways(coll, q)
+
+  /** The fused compiler proper — no fast-path dispatch (exposed within
+    * the package so equivalence tests can force this path). */
+  private[docstore] def queryFusedAlways(coll: DocCollection, q: StructuredQuery): DataFrame = {
     import org.apache.spark.sql.types._
     def scalarType(v: FieldValue): DataType = v match {
       case FieldValue.I64(_) => LongType
       case FieldValue.Dbl(_) => DoubleType
       case FieldValue.Bool(_) => BooleanType
       case FieldValue.Str(_) => StringType
-      case FieldValue.Arr(vs) => scalarType(vs.head)
+      case FieldValue.Arr(vs) =>
+        if (vs.isEmpty) throw new IllegalArgumentException(
+          "empty array operand: no element type to derive")
+        else scalarType(vs.head)
     }
     def filterFields(f: Filter): Seq[(String, DataType)] = f match {
       case AndFilter(fs) => fs.flatMap(filterFields)
       case OrFilter(fs) => fs.flatMap(filterFields)
+      // empty In/NotIn compile to literal predicates — no field reference
+      case ff: FieldFilter if emptyArrShortCircuit(ff).isDefined => Seq.empty
       case FieldFilter(field, Op.ArrayContains, _) =>
         Seq(field -> ArrayType(StringType))
       case FieldFilter(field, _, v) => Seq(field -> scalarType(v))
@@ -142,7 +189,10 @@ object DocStore {
       case FieldValue.Dbl(_) => DoubleType
       case FieldValue.Bool(_) => BooleanType
       case FieldValue.Str(_) => StringType
-      case FieldValue.Arr(vs) => keyTypeOf(vs.head) // sort key can't be an array; element type witness
+      case FieldValue.Arr(vs) => // sort key can't be an array; element type witness
+        if (vs.isEmpty) throw new IllegalArgumentException(
+          "empty array sort-key witness: no element type to derive")
+        else keyTypeOf(vs.head)
     }
     // order fields first: their typed parse must win the dedup so numeric
     // sort keys aren't compared lexicographically (the string projection
@@ -209,6 +259,8 @@ object DocStore {
     def compile(f: Filter): Column = f match {
       case AndFilter(fs) => fs.map(compile).reduce(_ && _)
       case OrFilter(fs) => fs.map(compile).reduce(_ || _)
+      case ff: FieldFilter if emptyArrShortCircuit(ff).isDefined =>
+        emptyArrShortCircuit(ff).get
       case FieldFilter(field, Op.ArrayContains, v) =>
         compileOp(ref(field, ArrayType(StringType)), Op.ArrayContains, v)
       case FieldFilter(field, op, v) =>

@@ -40,11 +40,15 @@ object Dedup {
     * verified with exact set intersection/union. Deterministic double
     * division of exact integers. */
   // A real curation pipeline materializes the near-dup pair table ONCE
-  // per corpus and every downstream stage (keep-list, clustering, audits)
+  // per corpus and every DOWNSTREAM stage (keep-list, clustering, audits)
   // reads the artifact — recomputing the inverted-index join per consumer
   // is a harness artifact, the same way DocStore.eventsCollection notes
   // for the events→docs mapping. The pair set is tiny (pairs above the
   // 0.5 threshold), so the persist holds results, not intermediates.
+  // IMPORTANT: the driver-visible `dedup_ngram_jaccard` query runs the
+  // UNCACHED plan (below) so the benchmark times the join itself — a
+  // result cache must never masquerade as query speed; only downstream
+  // consumers (Curation.keepList) read the cached artifact.
   private val jaccardCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -53,7 +57,7 @@ object Dedup {
       dedupNgramJaccardPlan(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  private def dedupNgramJaccardPlan(spark: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def dedupNgramJaccardPlan(spark: SparkSession, dir: String): DataFrame = {
     // Exact set-similarity join via inverted index: explode distinct
     // shingles, join on (lang, shingle) so only pairs sharing content ever
     // materialize, |∩| = co-occurrence count, |∪| = |a|+|b|-|∩|. Same
@@ -293,7 +297,8 @@ object Dedup {
     "dedup_substring" -> (dedupSubstring _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    // the uncached plan: Verify gets the same rows, Bench times the join
+    "dedup_ngram_jaccard" -> (dedupNgramJaccardPlan _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),

@@ -45,17 +45,33 @@ object Streaming {
     r2.parquet(dir).as[Ev]
   }
 
+  /** Sentinel default clock for `withTtl` and the intake entry points:
+    * when a caller leaves the clock at this value, the TTL cutoff is a
+    * `current_timestamp()`-derived Column — in a streaming plan that
+    * resolves to the MICRO-BATCH timestamp, so each batch drops against
+    * then-current time exactly like the indexer. Tests inject a fixed
+    * clock instead and get a deterministic literal cutoff. */
+  val WallClockNanos: () => Long = () => System.currentTimeMillis() * 1000000L
+
   /** EventDatabase.ttl enforcement at intake — the reference indexer
     * applies the database TTL as it materializes events
     * (node/src/indexer_impl.rs), so expired rows never reach state or
-    * sink. Evaluated per row at execution time against `nowNanos`
-    * (injectable for deterministic tests; defaults to the wall clock, so
-    * each micro-batch drops against then-current time, exactly the
-    * indexer's behavior). ttlNanos <= 0 = no TTL configured. */
+    * sink. The predicate is a COLUMN comparison on the raw nanos, not a
+    * typed lambda: it stays inside whole-stage codegen (no
+    * DeserializeToObject per row) and is pushdown-eligible.
+    * ttlNanos <= 0 = no TTL configured. */
   def withTtl(ev: Dataset[Ev], ttlNanos: Long,
-      nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L): Dataset[Ev] =
+      nowNanos: () => Long = WallClockNanos): Dataset[Ev] =
     if (ttlNanos <= 0L) ev
-    else ev.filter(e => e.ts >= nowNanos() - ttlNanos)
+    else {
+      val cutoff =
+        if (nowNanos eq WallClockNanos)
+          // per-micro-batch: current_timestamp() is the batch timestamp
+          // in a streaming query
+          unix_micros(current_timestamp()) * lit(1000L) - lit(ttlNanos)
+        else lit(nowNanos() - ttlNanos) // injected test clock: fixed cutoff
+      ev.filter(col("ts") >= cutoff)
+    }
 
   /** Watermarked tumbling-window aggregation per event type — the
     * streaming twin of EventQueries.evtWindowAgg. */
@@ -74,7 +90,7 @@ object Streaming {
     * streaming twin of DocQueries.docStateLatest. State is one small
     * record per key — partitioned by key across executors. */
   def docState(spark: SparkSession, dir: String, ttlNanos: Long = 0L,
-      nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L)
+      nowNanos: () => Long = WallClockNanos)
       : Dataset[DocState] = {
     import spark.implicits._
     withTtl(readEventStream(spark, dir), ttlNanos, nowNanos)
@@ -130,15 +146,35 @@ object Streaming {
         GroupStateTimeout.EventTimeTimeout)(updateSessionsWithTimeout)
   }
 
+  /** How long a flushed key retains its session COUNTER (a closed
+    * marker: n = 0, sessionId = last emitted). Without it an idle flush
+    * would restart numbering at 1 and a late-returning user would REUSE
+    * (user_id, session_id) pairs of already-emitted sessions; with it,
+    * numbering stays monotone for any user returning within the horizon.
+    * State stays bounded: keys idle past gap+retention drop entirely. */
+  private val counterRetentionUs = 24L * 3600 * 1000 * 1000
+
   private[streaming] def updateSessionsWithTimeout(
       userId: Long, events: Iterator[EvT],
       state: GroupState[SessState]): Iterator[SessionOut] = {
     val gapUs = 30L * 60 * 1000 * 1000
     def flush(st: SessState): SessionOut =
       SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastTsUs - st.startUs)
+    // closed marker: keeps only (lastTsUs, sessionId) for later numbering
+    def marker(st: SessState): SessState =
+      SessState(st.lastTsUs, st.lastTsUs, 0L, st.sessionId)
+    // shrink open state to a marker + retention timeout; drop it when the
+    // watermark already passed retention (setTimeoutTimestamp rejects
+    // timestamps at or before the watermark)
+    def retireToMarker(st: SessState): Unit = {
+      val retainMs = st.lastTsUs / 1000L + counterRetentionUs / 1000L
+      if (state.getCurrentWatermarkMs() >= retainMs) { if (state.exists) state.remove() }
+      else { state.update(marker(st)); state.setTimeoutTimestamp(retainMs) }
+    }
     if (!events.hasNext && state.hasTimedOut) {
       val st = state.get
-      state.remove()
+      if (st.n == 0L) { state.remove(); return Iterator.empty } // counter retention expired
+      retireToMarker(st)
       return Iterator.single(flush(st))
     }
     val sorted = events.toSeq.sortBy(e => (e.ts, e.event_id))
@@ -148,6 +184,9 @@ object Streaming {
       val tsUs = e.ts / 1000L
       if (st == null) {
         st = SessState(tsUs, tsUs, 1L, 1L)
+      } else if (st.n == 0L) {
+        // returning after an idle flush: the marker's counter continues
+        st = SessState(tsUs, tsUs, 1L, st.sessionId + 1)
       } else if (tsUs - st.lastTsUs > gapUs) {
         closed += flush(st)
         st = SessState(tsUs, tsUs, 1L, st.sessionId + 1)
@@ -156,16 +195,20 @@ object Streaming {
       }
     }
     if (st != null) {
-      val timeoutMs = st.lastTsUs / 1000L + gapUs / 1000L
-      if (state.getCurrentWatermarkMs() >= timeoutMs) {
-        // the open session is already idle past the watermark (late
-        // data) — flush now; setTimeoutTimestamp would reject a
-        // timestamp at or before the watermark
-        closed += flush(st)
-        if (state.exists) state.remove()
+      if (st.n == 0L) {
+        // marker passed through untouched (no events this call)
+        retireToMarker(st)
       } else {
-        state.update(st)
-        state.setTimeoutTimestamp(timeoutMs)
+        val timeoutMs = st.lastTsUs / 1000L + gapUs / 1000L
+        if (state.getCurrentWatermarkMs() >= timeoutMs) {
+          // the open session is already idle past the watermark (late
+          // data) — flush now, retaining the counter marker
+          closed += flush(st)
+          retireToMarker(st)
+        } else {
+          state.update(st)
+          state.setTimeoutTimestamp(timeoutMs)
+        }
       }
     }
     closed.result().iterator
@@ -205,7 +248,7 @@ object Streaming {
     * Returns the started query; callers own its lifecycle. */
   def ingestToDb(spark: SparkSession, dir: String, db: graft.api.GraftDB,
       dbName: String, coll: String, ttlNanos: Long = 0L,
-      nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L)
+      nowNanos: () => Long = WallClockNanos)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     db.createCollection(dbName, coll)
     val blockBase = db.nextBlockId(dbName, coll)
@@ -235,7 +278,7 @@ object Streaming {
       maxBatchBytes: Long = 64L * 1024 * 1024,
       glob: String = "events.parquet", filesPerTrigger: Int = 0,
       ttlNanos: Long = 0L,
-      nowNanos: () => Long = () => System.currentTimeMillis() * 1000000L)
+      nowNanos: () => Long = WallClockNanos)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     db.createCollection(dbName, coll)
     val blockBase = db.nextBlockId(dbName, coll)

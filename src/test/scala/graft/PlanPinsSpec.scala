@@ -66,10 +66,24 @@ class PlanPinsSpec extends SparkSpec {
   }
 
   test("fused doc compiler parses each row exactly once (parse fence)") {
-    Seq("doc_filter_eq", "doc_qstr", "doc_filter_nested").foreach { q =>
+    // wide queries (≥4 per-field extractions) run the fused single-parse
+    // compiler behind the explode fence: exactly ONE from_json in plan
+    Seq("doc_filter_nested", "doc_filter_or").foreach { q =>
       val p = planOf(q)
       assert(p.linesIterator.map(l =>
         "from_json".r.findAllIn(l).size).sum === 1, s"extra parse in $q")
+    }
+  }
+
+  test("narrow doc queries take the per-field fast path (no fence)") {
+    // ≤3 extractions: independent get_json_object probes, no struct
+    // parse and no Generate — the fence overhead buys nothing here
+    Seq("doc_filter_eq", "doc_qstr", "doc_filter_range", "doc_projection",
+        "doc_filter_not_in", "doc_orderby").foreach { q =>
+      val p = planOf(q)
+      assert(p.linesIterator.map(l =>
+        "from_json".r.findAllIn(l).size).sum === 0, s"struct parse in $q")
+      assert(!p.contains("Generate"), s"parse fence in narrow query $q")
     }
   }
 

@@ -283,46 +283,69 @@ class GraftDBSpec extends SparkSpec {
     assert(db.getMutationHeader("d1", "c", 0L, 1).exists(_.rolledUp))
   }
 
-  test("setup pins the admin and persists the config cell (signed write)") {
-    import graft.api.GraftDB
+  private def setupReq(cfgJson: String, key: Long, nonce: Long): (String, String) = {
     import graft.functions.crypto.Keccak256
+    val hex = Keccak256.hexLower(cfgJson.getBytes("UTF-8"))
+    val td = s"""{"types":{"EIP712Domain":[],"Message":[{"name":"payload","type":"bytes"},{"name":"nonce","type":"string"}]},"domain":{},"primaryType":"Message","message":{"payload":"0x$hex","nonce":"$nonce"}}"""
+    val sig = graft.functions.crypto.Eip712.signOrNull(td, key)
+    (td, sig.toString)
+  }
+
+  test("setup pins the admin and persists the config cell (signed write)") {
     val db = freshDb()
     assert(!db.systemStatus().hasInited)
     assert(db.systemStatus().config.minRollupSizeBytes === 64L * 1024 * 1024)
-    def setupReq(cfgJson: String, key: Long): (String, String) = {
-      val hex = Keccak256.hexLower(cfgJson.getBytes("UTF-8"))
-      val td = s"""{"types":{"EIP712Domain":[],"Message":[{"name":"payload","type":"bytes"},{"name":"nonce","type":"string"}]},"domain":{},"primaryType":"Message","message":{"payload":"0x$hex","nonce":"0"}}"""
-      val sig = graft.functions.crypto.Eip712.signOrNull(td, key)
-      (td, sig.toString)
-    }
-    val (td1, sig1) = setupReq("""{"minRollupSizeBytes":1024,"networkId":7}""", 1L)
+    val (td1, sig1) = setupReq("""{"minRollupSizeBytes":1024,"networkId":7}""", 1L, nonce = 1L)
     val admin = db.setup(td1, sig1)
     val st = db.systemStatus()
     assert(st.hasInited && st.adminAddr === Some(admin))
     assert(st.config.minRollupSizeBytes === 1024L && st.config.networkId === 7L)
     assert(st.config.rollupIntervalMs === 60000L) // absent knob keeps default
-    // a different signer cannot re-setup
-    val (td2, sig2) = setupReq("""{"networkId":9}""", 2L)
+    // a different signer cannot re-setup (rejected at the admin gate, so
+    // the outsider's nonce is NOT consumed)
+    val (td2, sig2) = setupReq("""{"networkId":9}""", 2L, nonce = 1L)
     intercept[IllegalArgumentException](db.setup(td2, sig2))
     assert(db.systemStatus().config.networkId === 7L)
     // the admin can update; untouched knobs persist
-    val (td3, sig3) = setupReq("""{"networkId":9}""", 1L)
+    val (td3, sig3) = setupReq("""{"networkId":9}""", 1L, nonce = 2L)
     db.setup(td3, sig3)
     val st3 = db.systemStatus()
     assert(st3.config.networkId === 9L && st3.config.minRollupSizeBytes === 1024L)
+    // REPLAYING the first accepted setup is dead on arrival: its nonce is
+    // spent, so a captured admin-signed request cannot revert the policy
+    intercept[IllegalArgumentException](db.setup(td1, sig1))
+    assert(db.systemStatus().config.networkId === 9L)
     // tampered signature rejected
     intercept[IllegalArgumentException](db.setup(td3, "0x" + "00" * 65))
     // the Setup'd policy drives the rollup tick (rollup_executor.rs
     // reads min_rollup_size from the admin config)
     db.createCollection("d1", "c")
     db.addDocuments("d1", "c", (1 to 20).map(i => s"""{"n":$i}"""))
-    val (tdHi, sigHi) = setupReq("""{"minRollupSizeBytes":1073741824}""", 1L)
+    val (tdHi, sigHi) = setupReq("""{"minRollupSizeBytes":1073741824}""", 1L, nonce = 3L)
     db.setup(tdHi, sigHi)
     assert(db.rollupIfDue("d1", "c").isEmpty) // 1 GiB floor: not due
-    val (tdLo, sigLo) = setupReq("""{"minRollupSizeBytes":1}""", 1L)
+    val (tdLo, sigLo) = setupReq("""{"minRollupSizeBytes":1}""", 1L, nonce = 4L)
     db.setup(tdLo, sigLo)
     assert(db.rollupIfDue("d1", "c").nonEmpty) // floor lowered: compacts
     assert(db.rollupIfDue("d1", "c").isEmpty) // tail drained: idempotent
+  }
+
+  test("a constructor-pinned admin closes the trust-on-first-use window") {
+    // the reference fixes admin_addr at node boot (system_impl.rs:50) —
+    // with a pin, even the FIRST setup from another signer is rejected
+    val dir = Files.createTempDirectory("graftdb-pin").toString
+    val (tdOutsider, sigOutsider) = setupReq("""{"networkId":5}""", 2L, nonce = 1L)
+    // learn key 1's address from a TOFU instance, then pin it on a fresh root
+    val probe = new GraftDB(spark, Files.createTempDirectory("graftdb-probe").toString)
+    val (tdProbe, sigProbe) = setupReq("""{}""", 1L, nonce = 1L)
+    val adminAddr = probe.setup(tdProbe, sigProbe)
+    val db = new GraftDB(spark, dir, pinnedAdmin = Some(adminAddr))
+    assert(db.systemStatus().adminAddr === Some(adminAddr)) // fixed at boot
+    intercept[IllegalArgumentException](db.setup(tdOutsider, sigOutsider))
+    assert(!db.systemStatus().hasInited) // the outsider initialized nothing
+    val (tdAdmin, sigAdmin) = setupReq("""{"networkId":3}""", 1L, nonce = 1L)
+    assert(db.setup(tdAdmin, sigAdmin) === adminAddr)
+    assert(db.systemStatus().config.networkId === 3L)
   }
 
   test("metadata listings mirror db/collection layout") {

@@ -213,6 +213,61 @@ class StreamingSpec extends SparkSpec {
     assert(landed.count() === unexpired)
   }
 
+  test("TTL intake filter is a Column predicate (stays in Tungsten)") {
+    // both clock modes must plan a relational Filter on the raw nanos —
+    // a typed lambda would show up as TypedFilter and force per-row
+    // object deserialization in every streaming intake
+    val injected = Streaming.withTtl(
+      Streaming.readEventStream(spark, sf), 1000L, () => 42L)
+      .queryExecution.analyzed.toString
+    val wallClock = Streaming.withTtl(
+      Streaming.readEventStream(spark, sf), 1000L)
+      .queryExecution.analyzed.toString
+    for (p <- Seq(injected, wallClock)) {
+      assert(p.contains("Filter"))
+      assert(!p.contains("TypedFilter"), "TTL compiled to a typed lambda")
+      assert(!p.contains("DeserializeToObject"))
+    }
+    // the wall-clock cutoff derives from the batch timestamp
+    assert(wallClock.contains("current_timestamp"))
+  }
+
+  test("idle-flushed sessions keep numbering monotone when the user returns") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import Streaming.{EvT, SessState}
+    def ev(tsNanos: Long, id: Long) = EvT(id, tsNanos, 7L, "click", 1.0, "{}",
+      new java.sql.Timestamp(tsNanos / 1000000L))
+    def st(prev: Option[SessState], wmMs: Long, timedOut: Boolean) =
+      TestGroupState.create[SessState](
+        prev.map(Optional.of[SessState]).getOrElse(Optional.empty[SessState]()),
+        GroupStateTimeout.EventTimeTimeout, 0L, Optional.of(wmMs), timedOut)
+    // batch 1: two events inside the gap → one open session, nothing out
+    val s1 = st(None, 0L, timedOut = false)
+    val out1 = Streaming.updateSessionsWithTimeout(7L,
+      Iterator(ev(0L, 1L), ev(60L * 1000000000L, 2L)), s1).toSeq
+    assert(out1.isEmpty && s1.get.sessionId === 1L && s1.get.n === 2L)
+    // idle timeout fires: session 1 flushes, the COUNTER survives as a
+    // closed marker (the pre-r8 code removed state here and the next
+    // session re-used (user_id, session_id) = (7, 1))
+    val s2 = st(Some(s1.get), wmMs = 60000L + 1800000L + 1L, timedOut = true)
+    val out2 = Streaming.updateSessionsWithTimeout(7L, Iterator.empty, s2).toSeq
+    assert(out2.map(_.session_id) === Seq(1L))
+    assert(s2.exists && s2.get.n === 0L && s2.get.sessionId === 1L)
+    // the user returns hours later: numbering CONTINUES at 2
+    val s3 = st(Some(s2.get), wmMs = 60000L + 1800000L + 1L, timedOut = false)
+    val out3 = Streaming.updateSessionsWithTimeout(7L,
+      Iterator(ev(7200L * 1000000000L, 3L)), s3).toSeq
+    assert(out3.isEmpty && s3.get.sessionId === 2L && s3.get.n === 1L)
+    val s4 = st(Some(s3.get), wmMs = 7200000L + 1800000L + 1L, timedOut = true)
+    val out4 = Streaming.updateSessionsWithTimeout(7L, Iterator.empty, s4).toSeq
+    assert(out4.map(_.session_id) === Seq(2L)) // no (7, 1) reuse, monotone
+    // counter retention expires → the marker drops, state stays bounded
+    val s5 = st(Some(s4.get), wmMs = 7200000L + 24L * 3600000L + 1L, timedOut = true)
+    val out5 = Streaming.updateSessionsWithTimeout(7L, Iterator.empty, s5).toSeq
+    assert(out5.isEmpty && !s5.exists)
+  }
+
   test("doc state counts every mutation per key") {
     val q = Streaming.docState(spark, sf).toDF()
       .writeStream.outputMode("append")
