@@ -770,9 +770,12 @@ class GraftDB(spark: SparkSession, root: String,
     * reference's EJDB2 B-tree (row-group pruning on the sorted key). */
   def addIndex(db: String, coll: String, path: String, indexType: String): Unit = {
     val idxDir = s"${collPath(db, coll)}/indexes/$path"
+    // try_cast: an index build over schemaless docs must skip mismatched
+    // values (they fall out via the isNotNull below), not abort the scan
+    // under ANSI mode
     val keyCol = indexType match {
-      case "Int64Key" => get_json_object(col("doc"), "$." + path).cast("long")
-      case "DoubleKey" => get_json_object(col("doc"), "$." + path).cast("double")
+      case "Int64Key" => get_json_object(col("doc"), "$." + path).try_cast("long")
+      case "DoubleKey" => get_json_object(col("doc"), "$." + path).try_cast("double")
       case _ => get_json_object(col("doc"), "$." + path)
     }
     collection(db, coll).df

@@ -20,13 +20,23 @@ object DocStore {
 
   /** Extract a typed field from the JSON doc column — the analog of the
     * reference's typed index keys (db3_database_v2.proto IndexType:
-    * UniqueKey|StringKey|Int64Key|DoubleKey). */
+    * UniqueKey|StringKey|Int64Key|DoubleKey).
+    *
+    * Docs are SCHEMALESS: a field whose value doesn't coerce to the
+    * filter's type must evaluate to null (the doc simply doesn't match),
+    * never throw — so the numeric casts are `try_cast`, not `cast`
+    * (under Spark 4's default ANSI mode a plain cast aborts the whole
+    * scan on the first mismatched doc). Booleans are matched strictly
+    * (`true`/`false` literals only): string→boolean cast coercions like
+    * "1"/"yes" would accept values the typed `from_json` path — and the
+    * reference's typed BSON comparison — reject. */
   def fieldCol(doc: Column, field: String, value: FieldValue): Column = {
     val raw = get_json_object(doc, "$." + field)
     value match {
-      case FieldValue.I64(_) => raw.cast("long")
-      case FieldValue.Dbl(_) => raw.cast("double")
-      case FieldValue.Bool(_) => raw.cast("boolean")
+      case FieldValue.I64(_) => raw.try_cast("long")
+      case FieldValue.Dbl(_) => raw.try_cast("double")
+      case FieldValue.Bool(_) =>
+        when(raw === "true", lit(true)).when(raw === "false", lit(false))
       case FieldValue.Str(_) => raw
       case FieldValue.Arr(vs) =>
         // empty In/NotIn operands short-circuit in the filter compilers and
@@ -247,12 +257,15 @@ object DocStore {
     def ref(path: String, asType: DataType): Column =
       if (branchy(path)) {
         // a struct occupies this slot in the fused schema; recover the
-        // scalar/array view of the same path per-field
+        // scalar/array view of the same path per-field (try_cast: a
+        // mismatched doc is a non-match, not a scan abort — see fieldCol)
         val raw = get_json_object(col("doc"), "$." + path)
         asType match {
           case StringType => raw
           case a: ArrayType => from_json(raw, a)
-          case t => raw.cast(t)
+          case BooleanType =>
+            when(raw === "true", lit(true)).when(raw === "false", lit(false))
+          case t => raw.try_cast(t)
         }
       } else
         path.split('.').foldLeft(col("__p"): Column)(_.getField(_))
@@ -270,11 +283,21 @@ object DocStore {
     if (needsSort(q))
       df = df.orderBy(sortCols(q,
         o => ref(o.field, keyTypeOf(o.keyType)), col("_id")): _*)
-    // projection is string-typed (raw JSON values) even when the same
-    // field was parsed typed for a filter
+    // Projection is string-typed (the RAW JSON text, like the reference
+    // returns raw values). The parsed struct can serve it ONLY where the
+    // fused slot is itself a string: a slot typed for a filter/order key
+    // NULLS mismatched values and stringifies arrays in Scala format —
+    // re-casting it would silently rewrite the projected value (found by
+    // QueryFuzzSpec), so every other slot re-probes the raw text.
+    val fusedTypeOf = wanted.toMap
     df = if (q.select.nonEmpty)
-      df.select(col("_id") +: q.select.map(f =>
-        ref(f, StringType).cast("string").as(f)): _*)
+      df.select(col("_id") +: q.select.map { f =>
+        val c =
+          if (!branchy(f) && fusedTypeOf.get(f).contains(StringType))
+            ref(f, StringType)
+          else get_json_object(col("doc"), "$." + f)
+        c.cast("string").as(f)
+      }: _*)
     else df.select("_id", "doc")
     q.offset.foreach(o => df = df.offset(o))
     q.limit.foreach(n => df = df.limit(n))
