@@ -764,11 +764,45 @@ class GraftDB(spark: SparkSession, root: String,
     }
   }
 
-  /** AddIndexMutation analog: record an index declaration and materialize
-    * the typed key extraction as a sorted parquet index table — on a
-    * cluster this is the bucketed/sorted projection that replaces the
-    * reference's EJDB2 B-tree (row-group pruning on the sorted key). */
+  /** Record one LIFECYCLE mutation in the log (CreateEventDB /
+    * DeleteEventDB / Mint* / AddCollection / CreateDocumentDB /
+    * AddIndex — db3_mutation_v2.proto:103-114): a bookkeeping row with
+    * id = -1 that pages through `scanMutationHeaders`, counts in
+    * `mutationState`, and rolls up with everything else, but NEVER
+    * touches document state (the fold interprets only `DocActions`).
+    * The Mint* actions are on-chain NFT ownership transfers in the
+    * reference — here pure metadata, recorded for log completeness.
+    * Returns the stamped block. */
+  def recordLifecycleMutation(db: String, coll: String, action: Int,
+      payload: String = null): Long = {
+    require(!DocActions.contains(action),
+      s"action $action is a document mutation; use add/update/deleteDocuments")
+    val st = currentState(db, coll)
+    val block = st.lastBlock + 1
+    append(db, coll, Seq(Row(block, 0, action, -1L, payload, null)))
+    writeState(db, coll, st.copy(lastBlock = block))
+    block
+  }
+
+  /** CreateEventDB lifecycle record (db3_mutation_v2.proto:109): the
+    * event-DB CAPABILITY (ABI decode, typed tables, TTL) lives in
+    * graft.events; this records the lifecycle act in the collection's
+    * log like the reference's mutation stream does. */
+  def createEventDb(db: String, coll: String, configJson: String = null): Long =
+    recordLifecycleMutation(db, coll, ActionCreateEventDB, configJson)
+
+  /** DeleteEventDB lifecycle record (db3_mutation_v2.proto:114). */
+  def deleteEventDb(db: String, coll: String): Long =
+    recordLifecycleMutation(db, coll, ActionDeleteEventDB)
+
+  /** AddIndexMutation analog: RECORD the index declaration in the
+    * mutation log (AddIndex = 8) and materialize the typed key
+    * extraction as a sorted parquet index table — on a cluster this is
+    * the bucketed/sorted projection that replaces the reference's EJDB2
+    * B-tree (row-group pruning on the sorted key). */
   def addIndex(db: String, coll: String, path: String, indexType: String): Unit = {
+    recordLifecycleMutation(db, coll, ActionAddIndex,
+      s"""{"path":"$path","type":"$indexType"}""")
     val idxDir = s"${collPath(db, coll)}/indexes/$path"
     // try_cast: an index build over schemaless docs must skip mismatched
     // values (they fall out via the isNotNull below), not abort the scan
@@ -906,9 +940,21 @@ object GraftDB {
   private[api] val nonceMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  // the FULL MutationAction enum (db3_mutation_v2.proto:103-114)
+  val ActionCreateDocumentDB = 0
+  val ActionAddCollection = 1
   val ActionAdd = 2 // MutationAction.AddDocument
   val ActionDelete = 3 // MutationAction.DeleteDocument
   val ActionUpdate = 4 // MutationAction.UpdateDocument
+  val ActionCreateEventDB = 5
+  val ActionMintDocumentDB = 6 // on-chain NFT transfer: metadata-only here
+  val ActionMintCollection = 7 // on-chain NFT transfer: metadata-only here
+  val ActionAddIndex = 8
+  val ActionDeleteEventDB = 9
+
+  /** The three actions the document fold interprets; every other enum
+    * value is lifecycle bookkeeping that rides the log untouched. */
+  val DocActions: Set[Int] = Set(ActionAdd, ActionDelete, ActionUpdate)
 
   case class MutationRow(block: Long, order: Int, action: Int,
       id: Long, doc: String, mask: String)

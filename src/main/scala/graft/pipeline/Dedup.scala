@@ -191,14 +191,41 @@ object Dedup {
     connectedComponents(pairs)
   }
 
-  /** Connected components by min-label propagation run to FIXPOINT: each
-    * round every node takes the min label among itself and its neighbors
-    * (one join + one groupBy, fully distributed); rounds stop when no
-    * label changed (checked with a limit-1 probe, not a count), with
-    * `maxRounds` as a runaway guard — a fixed round count would silently
-    * mislabel any component whose diameter exceeds it. Convergence takes
-    * O(max component diameter) rounds; near-dup components are shallow,
-    * so the loop usually exits in 3-5.
+  /** One large-star step (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): every node connects its strictly-LARGER
+    * neighbors to the minimum of its neighborhood (incl. itself). One
+    * partition-min window over the bidirected edges — no join. */
+  private def largeStarRound(e: DataFrame): DataFrame = {
+    val bi = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    bi.withColumn("m", least(min(col("v")).over(w), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")) // m <= u < v: never a self-loop
+  }
+
+  /** One small-star step: edges oriented large→small; every node batches
+    * its smaller-or-equal neighbors onto its minimum neighbor. The
+    * round-terminal distinct also dedups large-star's output. */
+  private def smallStarRound(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val m = or.withColumn("m", min(col("v")).over(w))
+    m.select(col("v").as("u"), col("m").as("v"))
+      .unionByName(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction run to fixpoint (Kiveris et al.): each round hooks
+    * whole neighborhoods onto their minimum, so components collapse in
+    * O(log n) rounds — min-label propagation (the pre-r8 implementation)
+    * needs O(component diameter) rounds, and on a 100 TB corpus with
+    * long near-dup chains that is the difference between ~4 and ~30
+    * shuffle rounds. Fixpoint = the edge set is unchanged (then it IS
+    * the star set node→component-min); `maxRounds` stays as a runaway
+    * guard that throws rather than mislabeling.
     *
     * Each round's frame is checkpointed to truncate the lineage (else
     * round N replans rounds 1..N-1): into `checkpointDir` when given
@@ -208,41 +235,42 @@ object Dedup {
     * node of the pair graph. */
   def connectedComponents(pairs: DataFrame,
       checkpointDir: Option[String] = None,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, checkpointDir, maxRounds)._1
+
+  /** As `connectedComponents`, also returning the number of contraction
+    * rounds run (the O(log n) bound is spec-pinned on a path graph). */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+      checkpointDir: Option[String] = None,
+      maxRounds: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    // undirected edge list, both directions + self-edges (a node is its
-    // own neighbor so isolated self-labels survive the propagation round)
-    val edges = cut(
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .unionByName(pairs.select(col("a_id").as("src"), col("a_id").as("dst")))
-        .unionByName(pairs.select(col("b_id").as("src"), col("b_id").as("dst")))
-        .distinct())
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")))
-    var converged = false
+    val nodes = cut(pairs.select(col("a_id").as("id"))
+      .unionByName(pairs.select(col("b_id").as("id"))).distinct())
+    var edges = cut(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      // one join+groupBy per round; the node's own previous label rides
-      // along through its self-edge (dst = src), so the convergence probe
-      // needs no second join — labels only ever decrease, so changed ⟺
-      // some new min undercuts the own label
-      val next = cut(edges
-        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("cluster")).as("cluster"),
-          max(when(col("dst") === col("src"), col("cluster"))).as("own")))
-      converged = next.filter(col("cluster") < col("own")).isEmpty
-      labels = next.select(col("id"), col("cluster"))
+      val next = cut(smallStarRound(largeStarRound(edges)))
+      // exact set-equality probe: both sides are distinct, so equal
+      // counts + empty one-sided difference ⟺ unchanged
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
       round += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds")
-    labels.select(col("id").as("doc_id"), col("cluster"))
+    // at fixpoint every non-root points to its component min exactly once;
+    // roots (and isolated nodes) label themselves
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("cluster")), Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("cluster"), col("id"))).as("cluster"))
+    (labels.select(col("id").as("doc_id"), col("cluster")), round)
   }
 
   /** Repeated-substring exposure per document: the fraction of a doc's

@@ -348,6 +348,46 @@ class GraftDBSpec extends SparkSpec {
     assert(db.systemStatus().config.networkId === 3L)
   }
 
+  test("lifecycle mutations ride the log without touching doc state") {
+    import graft.api.GraftDB._
+    val db = freshDb()
+    db.createCollection("d1", "ev")
+    db.addDocuments("d1", "ev", Seq("""{"a":1}""", """{"a":2}"""))
+    val bCreate = db.createEventDb("d1", "ev", """{"ttl":3600}""")
+    db.addDocuments("d1", "ev", Seq("""{"a":3}"""))
+    val bMintDb = db.recordLifecycleMutation("d1", "ev", ActionMintDocumentDB,
+      """{"to":"0xabc"}""")
+    val bMintColl = db.recordLifecycleMutation("d1", "ev", ActionMintCollection)
+    val bDelete = db.deleteEventDb("d1", "ev")
+    // headers report the lifecycle actions at their stamped blocks
+    assert(db.getMutationHeader("d1", "ev", bCreate, 0).map(_.action)
+      === Some(ActionCreateEventDB))
+    assert(db.getMutationHeader("d1", "ev", bMintDb, 0).map(_.action)
+      === Some(ActionMintDocumentDB))
+    assert(db.getMutationHeader("d1", "ev", bDelete, 0).map(_.action)
+      === Some(ActionDeleteEventDB))
+    assert(db.getMutationBody("d1", "ev", bCreate, 0)
+      === Some(("""{"ttl":3600}""", None)))
+    // the full header page shows every action; stats count all 7 rows
+    val actions = db.scanMutationHeaders("d1", "ev", 0, 100)
+      .select("action").collect().map(_.getInt(0)).toSeq
+    assert(actions.count(_ == ActionAdd) === 3)
+    assert(Seq(ActionCreateEventDB, ActionMintDocumentDB, ActionMintCollection,
+      ActionDeleteEventDB).forall(actions.contains))
+    assert(db.mutationState("d1", "ev").mutationCount === 7)
+    assert(bMintColl > bMintDb && bMintDb > bCreate)
+    // document state is untouched by any of them
+    assert(db.collectionState("d1", "ev") === 3)
+    // doc actions are rejected at this door
+    intercept[IllegalArgumentException](
+      db.recordLifecycleMutation("d1", "ev", ActionAdd))
+    // lifecycle rows survive rollup + recovery like any other mutation
+    db.rollup("d1", "ev")
+    assert(db.mutationState("d1", "ev").mutationCount === 7)
+    assert(db.collectionState("d1", "ev") === 3)
+    assert(db.getMutationHeader("d1", "ev", bCreate, 0).exists(_.rolledUp))
+  }
+
   test("metadata listings mirror db/collection layout") {
     val db = freshDb()
     db.createCollection("d1", "books")

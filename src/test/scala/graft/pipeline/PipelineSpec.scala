@@ -243,13 +243,14 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("connected components reach fixpoint on a diameter-8 path graph") {
-    // a fixed 4-round propagation would stop at label distance 4 and
-    // split this component; the fixpoint loop must collapse it to min=0
+    // min-label propagation would need 8+ rounds here (one per hop);
+    // star contraction must collapse the whole path to min=0 in <= 4
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val cc = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (ccDf, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val cc = ccDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size === 9)
     assert(cc.values.toSet === Set(0L))
+    assert(rounds <= 4, s"star contraction took $rounds rounds")
     // reliable-checkpoint variant agrees
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
     val cc2 = Dedup.connectedComponents(pairs, checkpointDir = Some(dir)).collect()
