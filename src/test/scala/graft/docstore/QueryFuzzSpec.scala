@@ -1,7 +1,6 @@
 package graft.docstore
 
 import graft.SparkSpec
-import org.apache.spark.sql.DataFrame
 import scala.util.Random
 
 /** Property-fuzz of the two StructuredQuery compilers against each other:
@@ -14,81 +13,10 @@ import scala.util.Random
   * pins its nested schemas, branchy-prefix fallback and explode fence
   * against the per-field reference implementation, which is itself
   * oracle-anchored by the 23 driver doc queries (DuckDB exact-hash at
-  * sf0.01/sf0.1).
-  *
-  * One representational caveat shapes the generator: `get_json_object`
-  * returns the unquoted text of a JSON value, so the per-field path
-  * cannot distinguish the STRING "12" from the NUMBER 12 (it coerces
-  * both), while the typed `from_json` path is token-strict (a quoted
-  * "12" is not a long). The reference never faces this ambiguity — its
-  * BSON values carry their type. Mismatch fixtures therefore use
-  * NON-NUMERIC strings in typed fields (both paths agree: null), and
-  * numeric-looking strings are excluded from the corpus vocabulary.
+  * sf0.01/sf0.1). Generator + representational caveats: `DocFuzz`.
   */
 class QueryFuzzSpec extends SparkSpec {
-  import FieldValue._
-
-  // ---- corpus generation ------------------------------------------------
-
-  // no numeric-looking strings (see caveat above); "" exercises empties
-  private val vocab = Vector("alpha", "beta", "gamma", "delta", "x7", "")
-
-  private def jstr(s: String): String = "\"" + s + "\""
-
-  // exact quarter decimals: the literal text round-trips bit-exactly
-  // through both string extraction and double parsing
-  private def quarters(r: Random): String =
-    s"${r.nextInt(100)}.${Vector("0", "25", "5", "75")(r.nextInt(4))}"
-
-  /** One random doc: every field independently missing / null /
-    * type-mismatched / well-typed; `m` nests two levels. */
-  private def genDoc(r: Random): String = {
-    val parts = Vector.newBuilder[String]
-    r.nextInt(10) match {
-      case 0 => // "a" missing
-      case 1 => parts += "\"a\":null"
-      case 2 => parts += "\"a\":" + jstr(vocab(r.nextInt(vocab.size))) // mistyped
-      case _ => parts += "\"a\":" + r.nextInt(60)
-    }
-    r.nextInt(10) match {
-      case 0 =>
-      case 1 => parts += "\"b\":null"
-      case 2 => parts += "\"b\":" + jstr(vocab(r.nextInt(vocab.size)))
-      case _ => parts += "\"b\":" + quarters(r)
-    }
-    r.nextInt(8) match {
-      case 0 =>
-      case 1 => parts += "\"s\":null"
-      case 2 => parts += "\"s\":" + r.nextInt(50) // number where string filtered
-      case _ => parts += "\"s\":" + jstr(vocab(r.nextInt(vocab.size)))
-    }
-    r.nextInt(6) match {
-      case 0 =>
-      case 1 => parts += "\"flag\":" + r.nextInt(2) // number, strictly non-bool
-      case _ => parts += "\"flag\":" + r.nextBoolean()
-    }
-    if (r.nextInt(10) != 0) {
-      val m = Vector.newBuilder[String]
-      if (r.nextInt(4) != 0) m += "\"x\":" + r.nextInt(40)
-      if (r.nextInt(4) != 0) m += "\"y\":" + jstr(vocab(r.nextInt(vocab.size)))
-      r.nextInt(4) match {
-        case 0 =>
-        case 1 => m += "\"deep\":" + jstr("flat") // scalar where object expected
-        case _ => m += "\"deep\":{\"z\":" + r.nextInt(25) + "}"
-      }
-      parts += "\"m\":{" + m.result().mkString(",") + "}"
-    } else if (r.nextBoolean()) {
-      parts += "\"m\":" + jstr("notanobject") // scalar at the struct path
-    }
-    if (r.nextInt(4) != 0) {
-      val tags = Vector.fill(r.nextInt(4))(jstr(vocab(r.nextInt(vocab.size - 1))))
-      parts += "\"tags\":[" + tags.mkString(",") + "]"
-    } else if (r.nextInt(3) == 0) {
-      parts += "\"tags\":" + jstr("scalar") // scalar where array expected
-    }
-    if (r.nextBoolean()) parts += "\"junk\":" + r.nextInt(5)
-    "{" + parts.result().mkString(",") + "}"
-  }
+  import DocFuzz._
 
   private def genCorpus(seed: Long, n: Int): DocCollection = {
     val r = new Random(seed)
@@ -98,78 +26,6 @@ class QueryFuzzSpec extends SparkSpec {
     df.count() // materialize once; ~n tiny rows
     DocCollection(s"fuzz_$seed", df)
   }
-
-  // ---- query generation -------------------------------------------------
-
-  private sealed trait Kind
-  private case object KI64 extends Kind
-  private case object KDbl extends Kind
-  private case object KStr extends Kind
-  private case object KBool extends Kind
-
-  private val scalarFields: Vector[(String, Kind)] = Vector(
-    "a" -> KI64, "b" -> KDbl, "s" -> KStr, "flag" -> KBool,
-    "m.x" -> KI64, "m.y" -> KStr, "m.deep.z" -> KI64, "m" -> KStr)
-
-  private def genValue(k: Kind, r: Random): FieldValue = k match {
-    case KI64 => I64(r.nextInt(60).toLong)
-    case KDbl => Dbl(quarters(r).toDouble)
-    case KStr => Str(vocab(r.nextInt(vocab.size)))
-    case KBool => Bool(r.nextBoolean())
-  }
-
-  private def genLeaf(r: Random): Filter = {
-    if (r.nextInt(8) == 0)
-      return FieldFilter("tags", Op.ArrayContains,
-        Str(vocab(r.nextInt(vocab.size - 1))))
-    val (f, k) = scalarFields(r.nextInt(scalarFields.size))
-    val ops = k match {
-      case KBool => Vector(Op.Eq, Op.Neq)
-      case _ => Vector(Op.Eq, Op.Neq, Op.Lt, Op.Le, Op.Gt, Op.Ge, Op.In, Op.NotIn)
-    }
-    val op = ops(r.nextInt(ops.size))
-    val v = op match {
-      case Op.In | Op.NotIn =>
-        if (r.nextInt(5) == 0) genValue(k, r) // degenerate single-value membership
-        else Arr(Vector.fill(1 + r.nextInt(5))(genValue(k, r)))
-      case _ => genValue(k, r)
-    }
-    FieldFilter(f, op, v)
-  }
-
-  private def genFilter(r: Random, depth: Int): Filter =
-    if (depth >= 2 || r.nextInt(10) < 6) genLeaf(r)
-    else {
-      val kids = Vector.fill(2 + r.nextInt(2))(genFilter(r, depth + 1))
-      if (r.nextInt(5) < 3) AndFilter(kids) else OrFilter(kids)
-    }
-
-  private def genQuery(r: Random): StructuredQuery = {
-    val where = if (r.nextInt(10) == 0) None else Some(genFilter(r, 0))
-    val select = r.shuffle(scalarFields.map(_._1) :+ "tags")
-      .take(r.nextInt(4)).toSeq
-    val orderBy = r.shuffle(scalarFields).take(r.nextInt(3)).map {
-      case (f, k) =>
-        val witness = k match {
-          case KI64 => I64(0); case KDbl => Dbl(0); case KStr => Str("")
-          case KBool => Bool(false)
-        }
-        Order(f, desc = r.nextBoolean(), keyType = witness)
-    }.toSeq
-    val offset = if (r.nextInt(4) == 0) Some(r.nextInt(15)) else None
-    val limit = if (r.nextInt(3) == 0) Some(1 + r.nextInt(40)) else None
-    StructuredQuery(where, select, limit, orderBy, offset)
-  }
-
-  // ---- equivalence ------------------------------------------------------
-
-  /** Canonical multiset view: (schema, sorted stringified rows). Row order
-    * is compared as a multiset — wherever order matters (orderBy / offset
-    * / limit) both compilers append the `_id` tiebreak, so the surviving
-    * row SET is already deterministic. */
-  private def canon(df: DataFrame): (Seq[String], Seq[String]) =
-    (df.columns.toSeq,
-      df.collect().toSeq.map(_.toSeq.map(String.valueOf).mkString("")).sorted)
 
   private def checkCase(coll: DocCollection, q: StructuredQuery, tag: String,
       checkDispatch: Boolean): Unit = {
