@@ -48,6 +48,10 @@ object Bench {
     // of the same query
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val perPass = Array.fill(passes) {
+      // result-artifact caches must not leak across passes (each pass
+      // must time the operator, not a prior pass's persisted output);
+      // input-fixture caches (session doc collection) stay warm on purpose
+      graft.pipeline.Dedup.clearResultCaches()
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =

@@ -23,6 +23,9 @@ object SparkEntry {
     "q_window_rank" -> (Analytics.qWindowRank _),
     "q_rollup_agg" -> (Analytics.qRollupAgg _),
     "q_pivot" -> (Analytics.qPivot _),
+    "q17_small_qty" -> (Analytics.q17SmallQty _),
+    "q18_top_buyers" -> (Analytics.q18TopBuyers _),
+    "q22_idle_balance" -> (Analytics.q22IdleBalance _),
   ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
     graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
@@ -42,6 +45,9 @@ object SparkEntry {
     "q_window_rank" -> Analytics.qWindowRankSql,
     "q_rollup_agg" -> Analytics.qRollupAggSql,
     "q_pivot" -> Analytics.qPivotSql,
+    "q17_small_qty" -> Analytics.q17SmallQtySql,
+    "q18_top_buyers" -> Analytics.q18TopBuyersSql,
+    "q22_idle_balance" -> Analytics.q22IdleBalanceSql,
   ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
     graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++

@@ -251,4 +251,103 @@ object Analytics {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS rev_o,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS rev_p
       |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q17-shaped CORRELATED SCALAR SUBQUERY: revenue from lineitems
+    * whose quantity is below 20% of their part's average. Decorrelated by
+    * hand into the plan a 100 TB run wants: the brand predicate broadcast-
+    * semi-filters lineitem FIRST (the correlated aggregate only needs
+    * lineitems of surviving parts), then ONE window over `l_partkey`
+    * carries (sum, count) to every row — no groupBy + self-join, one
+    * shuffle total. The threshold compare is pure integer math
+    * (5·qty·cnt < sum) — quantities are integral, so no float boundary
+    * can flip a row between engines; only the final revenue touches
+    * DECIMAL→DOUBLE. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#23").select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity".cast("long").as("qty"), $"l_extendedprice")
+      .join(broadcast(part), $"l_partkey" === $"p_partkey")
+    val w = Window.partitionBy($"l_partkey")
+    li.withColumn("sum_qty", sum($"qty").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter($"qty" * lit(5L) * $"cnt" < $"sum_qty")
+      .agg((sum($"l_extendedprice".cast(D)).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  val q17SmallQtySql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem l JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND 5 * CAST(l_quantity AS BIGINT)
+      |        * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |      < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  /** TPC-H Q18-shaped GROUP-HAVING SUBQUERY: customers who placed orders
+    * totalling > 300 units. The having-filtered aggregate is a tiny
+    * fraction of orders, so it (not the fact table) is broadcast into
+    * both joins — lineitem and orders are each scanned once, shuffled
+    * once (the quantity rollup), and no fact-fact shuffle join exists in
+    * the plan. Quantity sums are integral longs. */
+  def q18TopBuyers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("sum_qty"))
+      .filter($"sum_qty" > 300)
+    Tables.orders(spark, dir)
+      .join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+      .join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_name")), $"c_custkey" === $"o_custkey")
+      .select($"c_name", $"o_orderkey", $"o_totalprice", $"sum_qty")
+  }
+
+  val q18TopBuyersSql: String =
+    """SELECT c_name, o_orderkey, o_totalprice, CAST(sum_qty AS BIGINT) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING SUM(CAST(l_quantity AS BIGINT)) > 300) t
+      |  ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey""".stripMargin
+
+  /** TPC-H Q22-shaped SCALAR SUBQUERY + ANTI-JOIN: wealth parked with
+    * customers above the positive-balance average who never placed an
+    * urgent order, by market segment. The global average is ONE
+    * broadcast scalar row (never a shuffle); the anti side ships only
+    * distinct urgent custkeys, broadcast into a LeftAnti hash join. The
+    * above-average compare is integer cents × count vs cent sum — exact
+    * on both engines; only the reported balance total is money math
+    * (DECIMAL→DOUBLE). */
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .withColumn("cents", round($"c_acctbal" * 100).cast("long"))
+    val pos = cust.filter($"c_acctbal" > 0)
+      .agg(count(lit(1)).as("cnt"), sum($"cents").as("sc"))
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct()
+    cust.crossJoin(broadcast(pos))
+      .filter($"cents" * $"cnt" > $"sc")
+      .join(broadcast(urgent), $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"c_acctbal".cast(D)).cast("double").as("total_bal"))
+  }
+
+  val q22IdleBalanceSql: String =
+    """WITH pos AS (
+      |  SELECT COUNT(*) AS cnt, SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS sc
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer c, pos
+      |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * cnt > sc
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
 }

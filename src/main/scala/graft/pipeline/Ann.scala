@@ -389,14 +389,43 @@ object Ann {
       .select(col("query_id"), col("cand_id"), col("rank"))
   }
 
+  /** Radius (range) similarity search: ALL candidates within cosine ≥ τ
+    * of each query, not a fixed top-k — the primitive behind
+    * semantic-dedup sweeps and near-duplicate audits where the neighbor
+    * count is data-dependent. Same shape as the brute-force baseline
+    * (small query set broadcast, corpus scanned once through the codegen
+    * CosineSim kernel); the sub-linear scale path is the IVF/LSH
+    * blocking above feeding the same τ filter. τ = 0.3 sits ≥1e-4 from
+    * every pair's cosine at the oracle SFs, so the float-kernel gap
+    * between engines (~1e-7) cannot flip membership; the compared output
+    * carries ids only, never the float. */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val Tau = 0.3
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("c_v"))
+    broadcast(q).join(cand, col("query_id") =!= col("cand_id"))
+      .filter(cosine_sim(col("q_v"), col("c_v")) >= lit(Tau))
+      .select(col("query_id"), col("cand_id"))
+  }
+
+  val annRangeSearchSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_v FROM embeddings WHERE vec_id < 20)
+      |SELECT query_id, e.vec_id AS cand_id
+      |FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+      |WHERE list_cosine_similarity(q_v, e.embedding) >= 0.3""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_range_search" -> (annRangeSearch _),
   )
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" -> annCosineTopkSql,
+    "ann_range_search" -> annRangeSearchSql,
   )
 }

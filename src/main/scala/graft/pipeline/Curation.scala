@@ -254,7 +254,61 @@ object Curation {
       |WHERE (doc_id * 2654435761) % 1048576 < threshold
       |GROUP BY source, total_tokens, threshold""".stripMargin
 
+  /** Gopher-style composite quality gate: each document passes or fails a
+    * fixed rule set, with the failing rules NAMED (curation pipelines
+    * audit *why* documents drop, not just how many — the reasons column
+    * is the audit trail). Rules are Gopher-ish thresholds re-expressed as
+    * pure integer comparisons (5·maxfreq > n, not maxfreq/n > 0.2), so
+    * no float boundary can flip a verdict between engines:
+    *   too_short      n_tokens < 20
+    *   word_len       mean token length outside [2, 12]
+    *   repetitive     most frequent token > 20% of tokens
+    *   low_diversity  distinct tokens < 30% of tokens
+    * Shape: explode → (doc, token) count → per-doc rollup; two map-side-
+    * combinable groupBys sharing the doc_id partitioning prefix. */
+  def pipelineQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val agg = tc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * length(col("tok"))).as("sl"),
+        count(lit(1)).as("dt"),
+        max(col("c")).as("mx"))
+    val reasons = concat_ws(",",
+      when(col("n") < 20, lit("too_short")),
+      when(col("sl") < col("n") * 2 || col("sl") > col("n") * 12, lit("word_len")),
+      when(col("mx") * 5 > col("n"), lit("repetitive")),
+      when(col("dt") * 10 < col("n") * 3, lit("low_diversity")))
+    agg.select(col("doc_id"),
+      when(reasons === "", lit(1L)).otherwise(lit(0L)).as("keep"),
+      reasons.as("reasons"))
+  }
+
+  val pipelineQualityGateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok
+      |       WHERE length(tok) > 0 GROUP BY doc_id, tok),
+      |agg AS (SELECT doc_id, SUM(c) AS n, SUM(c * length(tok)) AS sl,
+      |               COUNT(*) AS dt, MAX(c) AS mx
+      |        FROM tc GROUP BY doc_id),
+      |r AS (SELECT doc_id, concat_ws(',',
+      |        CASE WHEN n < 20 THEN 'too_short' END,
+      |        CASE WHEN sl < n * 2 OR sl > n * 12 THEN 'word_len' END,
+      |        CASE WHEN mx * 5 > n THEN 'repetitive' END,
+      |        CASE WHEN dt * 10 < n * 3 THEN 'low_diversity' END) AS reasons
+      |      FROM agg)
+      |SELECT doc_id,
+      |  CASE WHEN reasons = '' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep,
+      |  reasons
+      |FROM r""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_mix" -> (pipelineMix _),
     "pipeline_sample_weighted" -> (pipelineSampleWeighted _),
     "text_normalize" -> (textNormalize _),
@@ -267,6 +321,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_mix" -> pipelineMixSql,
     "pipeline_sample_weighted" -> pipelineSampleWeightedSql,
     "text_normalize" -> textNormalizeSql,

@@ -57,6 +57,17 @@ object Dedup {
       dedupNgramJaccardPlan(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Drop the memoized jaccard artifacts (and their persisted blocks).
+    * Bench calls this between passes: CacheManager rewrites ANY query
+    * whose plan contains a cached plan's subtree, so even the uncached
+    * `dedupNgramJaccardPlan` is served from the artifact once `keepList`
+    * has populated it — without this, passes 2+ of both
+    * dedup_ngram_jaccard and pipeline_keep_list time a cache read. */
+  private[graft] def clearResultCaches(): Unit = {
+    jaccardCache.forEach((_, df) => df.unpersist())
+    jaccardCache.clear()
+  }
+
   private[pipeline] def dedupNgramJaccardPlan(spark: SparkSession, dir: String): DataFrame = {
     // Exact set-similarity join via inverted index: explode distinct
     // shingles, join on (lang, shingle) so only pairs sharing content ever
@@ -251,13 +262,26 @@ object Dedup {
       .unionByName(pairs.select(col("b_id").as("id"))).distinct())
     var edges = cut(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .filter(col("u") =!= col("v")).distinct())
-    var converged = edges.isEmpty
+    // set-equality probe as one aggregate, not an `except` anti-join (a
+    // full extra shuffle per round — it doubled the round cost at sf0.1):
+    // both sides are DISTINCT sets, so equal counts + equal id sums
+    // (decimal — full-range longs overflow ANSI sum) + equal xor of
+    // 64-bit edge hashes ⟺ unchanged up to a hash-xor collision
+    // (~2^-64 per round; the maxRounds guard still backs it, and a
+    // collision merely ends one round early on an already-contracted
+    // edge set)
+    def sig(df: DataFrame): org.apache.spark.sql.Row =
+      df.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)")),
+        expr("bit_xor(xxhash64(u, v))")).head()
+    var edgesSig = sig(edges)
+    var converged = edgesSig.getLong(0) == 0L
     var round = 0
     while (!converged && round < maxRounds) {
       val next = cut(smallStarRound(largeStarRound(edges)))
-      // exact set-equality probe: both sides are distinct, so equal
-      // counts + empty one-sided difference ⟺ unchanged
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      val nextSig = sig(next)
+      converged = nextSig == edgesSig
+      edgesSig = nextSig
       edges = next
       round += 1
     }

@@ -231,7 +231,48 @@ object TextOps {
       |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
       |FROM t JOIN lp USING (tok) GROUP BY doc_id""".stripMargin
 
+  /** Character-level statistics + Simpson repeat-probability (the
+    * probability two random character draws coincide — a log-free
+    * diversity measure: every compared value is either exact integer
+    * math or ONE IEEE division of exact integers, so engines agree
+    * bit-for-bit; entropy's log2 would differ across libm
+    * implementations at the rounding boundary). Shape: explode chars →
+    * two map-side-combinable groupBys sharing the doc_id hash
+    * partitioning — linear, no per-row quadratic HOF. */
+  def textCharStats(spark: SparkSession, dir: String): DataFrame = {
+    val cc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    cc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        max(col("c")).as("top_char_count"),
+        sum(col("c") * (col("c") - lit(1L))).as("rep2"))
+      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+        col("top_char_count"),
+        when(col("n_chars") > 1,
+          col("rep2").cast("double")
+            / (col("n_chars") * (col("n_chars") - lit(1L))).cast("double"))
+          .otherwise(lit(0.0)).as("simpson"))
+  }
+
+  val textCharStatsSql: String =
+    """WITH ch AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS ch
+      |  FROM documents),
+      |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+      |  COUNT(*) AS distinct_chars, CAST(MAX(c) AS BIGINT) AS top_char_count,
+      |  CASE WHEN SUM(c) > 1
+      |    THEN CAST(SUM(c * (c - 1)) AS DOUBLE) / CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE)
+      |    ELSE 0.0 END AS simpson
+      |FROM cc GROUP BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_stats" -> (textCharStats _),
     "text_unigram_lm" -> (textUnigramLm _),
     "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _),
@@ -242,6 +283,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_char_stats" -> textCharStatsSql,
     "text_unigram_lm" -> textUnigramLmSql,
     "text_repetition" -> textRepetitionSql,
     "text_pii_scrub" -> textPiiScrubSql,

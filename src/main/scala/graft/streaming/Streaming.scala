@@ -85,6 +85,26 @@ object Streaming {
         col("sum_value"))
   }
 
+  /** Stream-static dimension enrichment — the streaming twin of
+    * EventQueries.evtJoinDims: each micro-batch broadcast-joins the
+    * (tiny, batch-side) customer dimension onto the event stream. A
+    * stream-static equi-join with a broadcast static side adds NO state
+    * store and NO shuffle to the streaming plan — the dimension is
+    * re-resolved per micro-batch, so slowly-changing dims pick up
+    * updates for free. Unmatched events pass through with null dims
+    * (left join): an enrichment stream must never drop events because a
+    * dimension row is late. */
+  def joinDims(spark: SparkSession, dir: String): DataFrame = {
+    val dims = org.apache.spark.sql.functions.broadcast(
+      graft.sources.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+    readEventStream(spark, dir).toDF()
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .join(dims, col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("ets"), col("user_id"),
+        col("event_type"), col("value"), col("c_name"), col("c_mktsegment"))
+  }
+
   /** Live document state from the mutation stream: latest-wins fold per
     * doc key with arbitrary stateful logic (flatMapGroupsWithState), the
     * streaming twin of DocQueries.docStateLatest. State is one small

@@ -32,6 +32,24 @@ class PlanPinsSpec extends SparkSpec {
     assert(shuffles(p) === 1)
   }
 
+  test("q17_small_qty: decorrelated to ONE fact shuffle, brand filter broadcast") {
+    val p = planOf("q17_small_qty")
+    // the window over l_partkey is the only shuffle of lineitem; the
+    // final scalar aggregate adds its single-partition exchange
+    assert(shuffles(p) <= 2)
+    assert(p.contains("BroadcastExchange"))
+    // decorrelation by hand: no self-join of lineitem survives
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 2) // lineitem + part
+  }
+
+  test("q18_top_buyers / q22_idle_balance: no fact-fact shuffle join (all broadcasts)") {
+    for (n <- Seq("q18_top_buyers", "q22_idle_balance")) {
+      val p = planOf(n)
+      assert(!p.contains("SortMergeJoin"), s"$n has a sort-merge join")
+      assert(p.contains("BroadcastExchange"), s"$n lost its broadcast")
+    }
+  }
+
   test("mutation_ownership has no Window operator (two-stage agg shape)") {
     val p = planOf("mutation_ownership")
     assert(!p.contains("Window"))

@@ -20,6 +20,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dim join matches the batch join and carries no state store") {
+    val q = Streaming.joinDims(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dim_join").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dim_join")
+      val want = graft.sources.Tables.eventsRaw(spark, sf)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        .join(graft.sources.Tables.customer(spark, sf),
+          col("user_id") === col("c_custkey"), "left")
+        .select(col("event_id"), col("ets"), col("user_id"),
+          col("event_type"), col("value"), col("c_name"), col("c_mktsegment"))
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+      // a broadcast stream-static join is stateless: nothing to evict,
+      // no watermark coupling, no shuffle added to the streaming side
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful doc state matches the batch latest-wins fold") {
     val q = Streaming.docState(spark, sf).toDF()
       .writeStream.outputMode("append")
