@@ -32,6 +32,12 @@ class PlanPinsSpec extends SparkSpec {
     assert(shuffles(p) === 1)
   }
 
+  test("ann_range_search: broadcast queries, zero shuffles, one corpus scan") {
+    val p = planOf("ann_range_search")
+    assert(shuffles(p) === 0)
+    assert(p.contains("BroadcastExchange"))
+  }
+
   test("q17_small_qty: decorrelated to ONE fact shuffle, brand filter broadcast") {
     val p = planOf("q17_small_qty")
     // the window over l_partkey is the only shuffle of lineitem; the
