@@ -345,7 +345,73 @@ object Dedup {
       |  round(CAST(COALESCE(dup_grams, 0) AS DOUBLE) / n_grams, 6) AS dup_fraction
       |FROM per p LEFT JOIN dup USING (doc_id)""".stripMargin
 
+  /** Cross-document duplicate-LINE removal — the CCNet/Dolma line-dedup
+    * pass: lines repeated across many documents are boilerplate
+    * (headers, nav, footers) and get dropped; each doc is rebuilt from
+    * its surviving lines in original order.
+    *
+    * `documents.text` carries no newlines, so the query derives a
+    * deterministic multiline view (per-source header, the unique body,
+    * a ~2-doc "pair" line, a ~25-doc footer) — the planted-instance
+    * oracle pattern `text_pii_scrub` uses: both engines build the same
+    * fixture, so the drop set is real, not vacuous.
+    *
+    * Scale shape: the duplication-degree aggregate shuffles the 8-byte
+    * `xxhash64` of the line, never the line text (same trade as
+    * `dedupSubstring`'s gram key: a 64-bit collision merging two real
+    * lines is ~1e-6 at billions of distinct lines, and only ever drops
+    * a line early); the doc rebuild is one shuffle on `doc_id` with
+    * order restored by the carried line position — no window sort. */
+  def dedupLines(spark: SparkSession, dir: String): DataFrame = {
+    val keepThreshold = 2 // keep lines seen in <= 2 distinct docs
+    val d = Tables.documents(spark, dir)
+    val aug = concat(
+      lit("hdr:"), col("source"), lit("\n"),
+      col("text"), lit("\n"),
+      lit("pair:"), (col("doc_id") % 250).cast("string"), lit("\n"),
+      lit("foot:"), (col("doc_id") % 20).cast("string"))
+    val lines = d.select(col("doc_id"),
+      posexplode(split(aug, "\n", -1)).as(Seq("pos", "line")))
+    val dup = lines
+      .select(xxhash64(col("line")).as("lh"), col("doc_id"))
+      .groupBy("lh").agg(countDistinct(col("doc_id")).as("ndocs"))
+    val keep = col("ndocs") <= keepThreshold
+    lines.withColumn("lh", xxhash64(col("line")))
+      .join(dup, "lh")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!keep, 1L).otherwise(0L)).as("n_dropped"),
+        md5(to_binary(array_join(
+          transform(
+            array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n"), lit("utf-8"))).as("cleaned_md5"))
+      .where(col("n_kept") > 0)
+  }
+
+  val dedupLinesSql: String =
+    """WITH lines AS (
+      |  SELECT doc_id, unnest(list_transform(string_split(
+      |    'hdr:' || source || chr(10) || text || chr(10) ||
+      |    'pair:' || CAST(doc_id % 250 AS VARCHAR) || chr(10) ||
+      |    'foot:' || CAST(doc_id % 20 AS VARCHAR),
+      |    chr(10)), (x, i) -> {'line': x, 'pos': i}), recursive := true)
+      |  FROM documents
+      |), dupness AS (
+      |  SELECT line, count(DISTINCT doc_id) AS ndocs FROM lines GROUP BY line
+      |)
+      |SELECT l.doc_id,
+      |  CAST(count(*) FILTER (WHERE d.ndocs <= 2) AS BIGINT) AS n_kept,
+      |  CAST(count(*) FILTER (WHERE d.ndocs > 2) AS BIGINT) AS n_dropped,
+      |  md5(string_agg(l.line, chr(10) ORDER BY l.pos)
+      |      FILTER (WHERE d.ndocs <= 2)) AS cleaned_md5
+      |FROM lines l JOIN dupness d USING (line)
+      |GROUP BY l.doc_id
+      |HAVING count(*) FILTER (WHERE d.ndocs <= 2) > 0""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> (dedupLines _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
@@ -358,6 +424,7 @@ object Dedup {
 
   /** dedup_minhash / dedup_simhash / dedup_embedding are rows-only. */
   val oracles: Map[String, String] = Map(
+    "dedup_lines" -> dedupLinesSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -268,6 +268,29 @@ class PipelineSpec extends SparkSpec {
     assert(fp.exceptAll(fp2).count() === 0)
   }
 
+  test("dedup_lines matches a driver-side reimplementation incl. order") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def mk(id: Long, text: String, src: String): Seq[String] =
+      Seq(s"hdr:$src", text, s"pair:${id % 250}", s"foot:${id % 20}")
+    val ndocs = docs.flatMap { case (id, t, s) => mk(id, t, s).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val expected = docs.map { case (id, t, s) =>
+      val ls = mk(id, t, s)
+      val kept = ls.filter(l => ndocs(l) <= 2)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (id, kept.size.toLong, (ls.size - kept.size).toLong, md)
+    }.filter(_._2 > 0).toSet
+    val got = Dedup.dedupLines(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === expected)
+    // the planted boilerplate is actually exercised: something was dropped
+    assert(expected.exists(_._3 > 0))
+  }
+
   test("multimodal decode stub preserves row count and schema") {
     val df = Multimodal.mmBinaryMeta(spark, sf)
     assert(df.columns.toSeq ===
