@@ -127,6 +127,34 @@ object EventQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY n_events DESC, user_id ASC LIMIT 10""".stripMargin
 
+  /** Approximate top-k senders per event type through the mergeable
+    * Misra-Gries `HeavyHitters` aggregate: per-partition partial state
+    * is ≤ `capacity` counters per group — independent of stream length
+    * and key cardinality, unlike the exact `evt_topk` whose partial agg
+    * state grows with distinct keys. At 100 TB the exact query's
+    * per-type (type, user) pre-aggregate is itself a full shuffle of
+    * every distinct pair; the sketch answers from one pass of bounded
+    * memory with error ≤ n/(capacity+1). Capacity 4096 exceeds this
+    * corpus's distinct senders, so no decrement fires and the result is
+    * EXACT — the oracle is plain GROUP BY + row_number; the plan is the
+    * one that survives the scale-up. */
+  def evtApproxTopk(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions
+        .heavy_hitters(col("user_id"), 4096, 10).as("hh"))
+      .select(col("event_type"), posexplode(col("hh")).as(Seq("r0", "e")))
+      .select(col("event_type"), (col("r0") + 1).cast("long").as("rank"),
+        col("e.key").as("user_id"), col("e.cnt").as("cnt"))
+
+  val evtApproxTopkSql: String =
+    """SELECT event_type, CAST(rank AS BIGINT) AS rank, user_id, cnt FROM (
+      |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY COUNT(*) DESC, user_id) AS rank
+      |  FROM events GROUP BY event_type, user_id) t
+      |WHERE rank <= 10""".stripMargin
+
   /** Latest event per (key, type) — the per-event-table "current row"
     * view. row_number over one shuffle, never groupBy-max + self-join. */
   def evtLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
@@ -805,6 +833,7 @@ object EventQueries {
     "evt_decode_abi_multi" -> (evtDecodeAbiMulti _),
     "evt_window_agg" -> (evtWindowAgg _),
     "evt_topk" -> (evtTopk _),
+    "evt_approx_topk" -> (evtApproxTopk _),
     "evt_latest_per_key" -> (evtLatestPerKey _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_join_dims" -> (evtJoinDims _),
@@ -835,6 +864,7 @@ object EventQueries {
     "evt_decode_abi_multi" -> evtDecodeAbiMultiSql,
     "evt_window_agg" -> evtWindowAggSql,
     "evt_topk" -> evtTopkSql,
+    "evt_approx_topk" -> evtApproxTopkSql,
     "evt_latest_per_key" -> evtLatestPerKeySql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_join_dims" -> evtJoinDimsSql,

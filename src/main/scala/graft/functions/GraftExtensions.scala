@@ -61,6 +61,15 @@ object GraftExtensions {
     "graft_bpe_tokens" -> { exprs =>
       val e = need(2, "graft_bpe_tokens")(exprs); BpeTokens(e(0), e(1))
     },
+    // aggregates: the analyzer wraps a bare AggregateFunction into its
+    // AggregateExpression, so these work directly in SQL GROUP BY
+    "graft_bitmap_distinct" -> { exprs =>
+      val e = need(1, "graft_bitmap_distinct")(exprs); BitmapDistinct(e(0))
+    },
+    "graft_heavy_hitters" -> { exprs =>
+      val e = need(3, "graft_heavy_hitters")(exprs)
+      HeavyHitters(e(0), litInt(e(1), "capacity"), litInt(e(2), "k"))
+    },
   )
 
   private def litInt(e: Expression, what: String): Int = {

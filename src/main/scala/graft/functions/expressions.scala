@@ -29,6 +29,8 @@ object GraftFunctions {
     column(ShingleHashes(expression(tokens), Literal(n)))
   def bitmap_distinct(c: Column): Column =
     column(BitmapDistinct(expression(c)).toAggregateExpression())
+  def heavy_hitters(c: Column, capacity: Int, k: Int): Column =
+    column(HeavyHitters(expression(c), capacity, k).toAggregateExpression())
 
   def hyperplane_buckets(v: Column, bits: Int, tables: Int): Column =
     column(HyperplaneBuckets(expression(v), Literal(bits), Literal(tables)))
@@ -347,6 +349,120 @@ case class BitmapDistinct(child: Expression,
   override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Mergeable Misra-Gries heavy-hitters summary over a long key — the
+  * frequent-items sketch behind approximate top-k at 100 TB: partial
+  * state is AT MOST `capacity` (key, count) counters per group per
+  * partition, independent of stream length or key cardinality.
+  *
+  * Counts are lower bounds with error ≤ n/(capacity+1) (n = group
+  * size): every key with true frequency above that bound is guaranteed
+  * present. Merge is the Mergeable-Summaries construction (Agarwal et
+  * al., PODS'12): sum counters keyed, then subtract the (capacity+1)-th
+  * largest count and drop non-positive — associative, so Spark's
+  * partial/final aggregation is exactly the sketch's native merge.
+  * When `capacity` exceeds the group's distinct-key count no decrement
+  * ever fires and the summary is EXACT — which is what makes the
+  * driver query oracle-checkable against plain GROUP BY counts at test
+  * scale while the same plan stays memory-bounded at 100 TB.
+  *
+  * eval sorts by (count desc, key asc) and emits the top `k` as
+  * struct(key, cnt) — deterministic under ties. */
+case class HeavyHitters(child: Expression, capacity: Int, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.HashMap[java.lang.Long, java.lang.Long]]
+    with UnaryLike[Expression] {
+  require(capacity > 0 && k > 0 && k <= capacity)
+
+  private type Buf = java.util.HashMap[java.lang.Long, java.lang.Long]
+
+  override def createAggregationBuffer(): Buf = new Buf()
+
+  override def update(buffer: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val key = java.lang.Long.valueOf(v.asInstanceOf[Long])
+      val cur = buffer.get(key)
+      if (cur != null) buffer.put(key, cur + 1L)
+      else if (buffer.size < capacity) buffer.put(key, 1L)
+      else {
+        // classic MG decrement: all counters -1, drop zeros (amortized
+        // O(1) per input — each decrement pays off capacity inputs)
+        val it = buffer.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buffer
+  }
+
+  override def merge(b: Buf, o: Buf): Buf = {
+    val it = o.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = b.get(e.getKey)
+      b.put(e.getKey, if (cur == null) e.getValue else java.lang.Long.valueOf(cur + e.getValue))
+    }
+    if (b.size > capacity) {
+      val counts = new Array[Long](b.size)
+      var i = 0
+      val vs = b.values().iterator()
+      while (vs.hasNext) { counts(i) = vs.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val cut = counts(b.size - capacity - 1) // (capacity+1)-th largest
+      val it2 = b.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        if (e.getValue <= cut) it2.remove() else e.setValue(e.getValue - cut)
+      }
+    }
+    b
+  }
+
+  override def eval(buffer: Buf): Any = {
+    val entries = new Array[(Long, Long)](buffer.size)
+    var i = 0
+    val it = buffer.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); entries(i) = (e.getKey.longValue(), e.getValue.longValue()); i += 1
+    }
+    val top = entries.sortBy { case (key, cnt) => (-cnt, key) }.take(k)
+    new GenericArrayData(top.map { case (key, cnt) =>
+      InternalRow(key, cnt)
+    })
+  }
+
+  override def serialize(buffer: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buffer.size)
+    bb.putInt(buffer.size)
+    val it = buffer.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new Buf(Math.max(16, n * 2))
+    var i = 0
+    while (i < n) { b.put(bb.getLong, bb.getLong); i += 1 }
+    b
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -62,5 +62,13 @@ class FilterJsonSpec extends SparkSpec {
         |                   CAST(0 AS FLOAT), CAST(0.7 AS FLOAT), CAST(0.7 AS FLOAT), CAST(0 AS FLOAT)) AS cb)
         |""".stripMargin).head().getDouble(0)
     assert(adc >= 0.0 && adc < 0.1, s"adc=$adc") // codes hit the matching centroids
+    // aggregate surface: the analyzer wraps the bare AggregateFunction
+    val hh = spark.sql(
+      """SELECT graft_heavy_hitters(v, 16, 2) FROM VALUES (1L),(1L),(1L),(2L),(2L),(3L) AS t(v)""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hh === Seq((1L, 3L), (2L, 2L)))
+    assert(spark.sql("SELECT graft_bitmap_distinct(v) FROM VALUES (1L),(1L),(5L) AS t(v)")
+      .head().getLong(0) === 2L)
   }
 }
