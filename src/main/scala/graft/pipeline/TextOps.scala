@@ -271,7 +271,63 @@ object TextOps {
       |    ELSE 0.0 END AS simpson
       |FROM cc GROUP BY doc_id""".stripMargin
 
+  /** URL extraction + per-host corpus stats — the domain-level view a
+    * web-corpus curation pipeline filters and rebalances on (block-listed
+    * hosts, per-domain caps). `documents.text` carries no URLs, so the
+    * query plants deterministic links (same congruence construction on
+    * both engines — the `text_pii_scrub` planted-instance pattern; one
+    * clause plants the SAME host twice in a doc so n_urls > n_docs is
+    * exercised). Shape: single scan → regexp_extract_all → explode →
+    * one shuffle on host; the regex is class-based (no backtracking
+    * ambiguity), identical under Java regex and DuckDB's RE2. */
+  def textUrlStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val idS = col("doc_id").cast("string")
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), idS)).otherwise(lit("")),
+      when(col("doc_id") % 6 === 0,
+        concat(lit(" again https://site"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com/q/"), idS)).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" ref http://cdn"), (col("doc_id") % 4).cast("string"),
+          lit(".example.net/x"))).otherwise(lit("")))
+    d.select(col("doc_id"),
+        explode(regexp_extract_all(aug,
+          lit("https?://[a-z0-9.-]+[a-z0-9/._-]*"), lit(0))).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "https?://([a-z0-9.-]+)", 1).as("host"))
+      .groupBy(col("host"))
+      .agg(
+        max(regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z0-9-]+)$", 1)).as("domain"),
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  val textUrlStatsSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+      |         || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 6 = 0 THEN ' again https://site' || CAST(doc_id % 7 AS VARCHAR)
+      |         || '.example.com/q/' || CAST(doc_id AS VARCHAR) ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' ref http://cdn' || CAST(doc_id % 4 AS VARCHAR)
+      |         || '.example.net/x' ELSE '' END AS t
+      |  FROM documents
+      |), urls AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[a-z0-9.-]+[a-z0-9/._-]*')) AS url
+      |  FROM aug
+      |), hosts AS (
+      |  SELECT doc_id, regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS host FROM urls
+      |)
+      |SELECT host, regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS domain,
+      |  CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM hosts GROUP BY host""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_url_stats" -> (textUrlStats _),
     "text_char_stats" -> (textCharStats _),
     "text_unigram_lm" -> (textUnigramLm _),
     "text_repetition" -> (textRepetition _),
@@ -283,6 +339,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_url_stats" -> textUrlStatsSql,
     "text_char_stats" -> textCharStatsSql,
     "text_unigram_lm" -> textUnigramLmSql,
     "text_repetition" -> textRepetitionSql,
