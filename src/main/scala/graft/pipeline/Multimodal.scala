@@ -128,11 +128,87 @@ object Multimodal {
       |  CASE WHEN w1 >= h1 THEN (h1 * 224) // w1 ELSE 224 END AS new_h
       |FROM d""".stripMargin
 
+  /** Perceptual-hash (dHash) near-duplicate detection over decoded
+    * images — the image twin of simhash dedup: resized/cropped/
+    * re-encoded copies keep a near-identical gradient hash even though
+    * their bytes (and so `dedup_exact`) differ completely.
+    *
+    * The decode→8×9-grayscale-grid step is the per-partition batched
+    * STUB (no codecs in this container); the dHash construction on top
+    * of the grid — row-wise gradient bits — and everything after it is
+    * the real operator. The stub gives consecutive doc pairs (2k, 2k+1)
+    * the same scrambled pixel grid with the odd doc brightened at one
+    * cell (≤ 2 flipped gradient bits), so genuine near-dups exist and
+    * are LINEAR in corpus size (no quadratic dup classes).
+    *
+    * Scale shape: identical to `dedup_simhash` — 4×16-bit pigeonhole
+    * bands (hamming ≤ 3 pairs must share a band), candidate pairs only
+    * within (band, chunk) buckets, exact hamming verify. Rows-only;
+    * spec re-derives every hash driver-side and checks the planted
+    * pairs are exactly recovered. */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        val decoder = new Object // per-partition codec instantiation point
+        ids.map { d => val _ = decoder; (d, phashStub(d)) }
+      }.toDF("doc_id", "ph")
+    val banded = hashed.select(col("doc_id"), col("ph"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .select(col("doc_id"), col("ph"), col("pos").as("band"), col("col").as("chunk"))
+    val l = banded.select(col("band"), col("chunk"), col("doc_id").as("a_id"), col("ph").as("a_ph"))
+    val r = banded.select(col("band"), col("chunk"), col("doc_id").as("b_id"), col("ph").as("b_ph"))
+    l.join(r, Seq("band", "chunk"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Deterministic stub for decode→resize→grayscale→dHash: the pixel
+    * grid is a per-image-class integer scramble (classes = doc_id/2, so
+    * class hashes are ~independent and planted pairs are linear); the
+    * dHash on top — bit (r,c) = px(r,c) < px(r,c+1) over an 8×9 grid —
+    * is the real construction a codec-backed decoder would feed. */
+  private[pipeline] def phashStub(d: Long): Long = {
+    val cls = d / 2
+    val odd = (d & 1L) == 1L
+    val pr = (d % 8).toInt
+    val pc = (d % 9).toInt
+    // splitmix64 finalizer over the injective (cls, rr, cc) index — the
+    // grid must look like an actual image hash (i.i.d. bits per class),
+    // else unrelated "images" land within the hamming threshold
+    def px(rr: Int, cc: Int): Long = {
+      var z = cls * 72L + rr * 9L + cc + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      val base = (z ^ (z >>> 31)) & 0xffL
+      if (odd && rr == pr && cc == pc) (base + 200L) & 0xffL else base
+    }
+    var h = 0L
+    var bit = 0
+    var r0 = 0
+    while (r0 < 8) {
+      var c0 = 0
+      while (c0 < 8) {
+        if (px(r0, c0) < px(r0, c0 + 1)) h |= (1L << bit)
+        bit += 1
+        c0 += 1
+      }
+      r0 += 1
+    }
+    h
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_feature_stub" -> (mmFeatureStub _),
-    "mm_resize_plan" -> (mmResizePlan _))
+    "mm_resize_plan" -> (mmResizePlan _),
+    "mm_phash_dedup" -> (mmPhashDedup _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,

@@ -291,6 +291,25 @@ class PipelineSpec extends SparkSpec {
     assert(expected.exists(_._3 > 0))
   }
 
+  test("mm phash dedup recovers exactly the planted near-dup image pairs") {
+    val found = Multimodal.mmPhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent driver-side verification of every reported pair
+    found.foreach { case (a, b, h) =>
+      val real = java.lang.Long.bitCount(
+        Multimodal.phashStub(a) ^ Multimodal.phashStub(b)).toLong
+      assert(h === real, s"pair ($a,$b) hamming $h != recomputed $real")
+      assert(h <= 3)
+    }
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val planted = ids.filter(i => i % 2 == 0 && ids.contains(i + 1))
+      .map(i => (i, i + 1))
+    assert(found.map(t => (t._1, t._2)).toSet === planted,
+      "banded candidates + hamming verify must recover exactly the planted pairs")
+    assert(planted.nonEmpty)
+  }
+
   test("multimodal decode stub preserves row count and schema") {
     val df = Multimodal.mmBinaryMeta(spark, sf)
     assert(df.columns.toSeq ===
