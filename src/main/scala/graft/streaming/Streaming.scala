@@ -105,6 +105,37 @@ object Streaming {
         col("event_type"), col("value"), col("c_name"), col("c_mktsegment"))
   }
 
+  /** Watermarked stream-stream INTERVAL join — click→purchase
+    * attribution within 1 hour per user, both sides unbounded streams
+    * (the case `joinDims`'s static broadcast cannot express). The join
+    * needs an equi-key (user) plus the event-time range condition, and a
+    * watermark on BOTH inputs: together they bound the symmetric-hash
+    * join state — a click can only ever match purchases up to 1 h after
+    * it, so once the purchase watermark passes c_ets + 1 h the click is
+    * evicted. Without the range bound (or with an unbounded condition)
+    * state grows with the whole stream; with it, state is
+    * O(events-per-watermark-horizon) per key partition — the shape that
+    * survives an unbounded 100 TB/day stream. Inner join: matches emit
+    * immediately; eviction only needs the watermark. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEventStream(spark, dir).toDF()
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ets").as("c_ets"))
+      .withWatermark("c_ets", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("value").as("p_value"), col("ets").as("p_ets"))
+      .withWatermark("p_ets", "2 hours")
+    clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ets") >= col("c_ets") &&
+          col("p_ets") <= col("c_ets") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ets"), col("p_ets"), col("p_value"))
+  }
+
   /** Live document state from the mutation stream: latest-wins fold per
     * doc key with arbitrary stateful logic (flatMapGroupsWithState), the
     * streaming twin of DocQueries.docStateLatest. State is one small

