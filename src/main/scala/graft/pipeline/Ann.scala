@@ -416,7 +416,47 @@ object Ann {
       |FROM q JOIN embeddings e ON e.vec_id <> q.query_id
       |WHERE list_cosine_similarity(q_v, e.embedding) >= 0.3""".stripMargin
 
+  /** Hybrid (filtered) vector search — top-k cosine restricted to
+    * candidates passing an attribute predicate (here `label % 4 = 1`,
+    * standing in for any metadata filter): the "vector search + WHERE
+    * clause" surface every vector store names first-class.
+    *
+    * Strategy is PRE-filter: the predicate is applied before scoring, so
+    * it reaches the parquet scan as a pushed filter and the kernel only
+    * scores |filtered| vectors — exact recall by construction, and the
+    * right shape whenever the filter is selective. (Post-filtering an
+    * unfiltered ANN result under-returns: the top-k among ALL vectors
+    * may contain < k survivors. For UNselective filters at scale the
+    * same predicate composes inside `annIvf`'s probe instead — the
+    * blocking changes, the filter semantics don't.) */
+  def annFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+    val cand = e.filter(col("label") % 4 === 1)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    broadcast(q).join(cand, col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine_sim(col("q_v"), col("c_v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("cand_id"), col("rank"))
+  }
+
+  val annFilteredTopkSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_v FROM embeddings WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS cand_id,
+       |    list_cosine_similarity(q_v, e.embedding) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id AND e.label % 4 = 1)
+       |SELECT query_id, cand_id, rank FROM (
+       |  SELECT query_id, cand_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
+       |  FROM scored) t WHERE rank <= $K""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_filtered_topk" -> (annFilteredTopk _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -425,6 +465,7 @@ object Ann {
   )
 
   val oracles: Map[String, String] = Map(
+    "ann_filtered_topk" -> annFilteredTopkSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_range_search" -> annRangeSearchSql,
   )

@@ -32,6 +32,14 @@ class PlanPinsSpec extends SparkSpec {
     assert(shuffles(p) === 1)
   }
 
+  test("ann_filtered_topk: attribute predicate pushed to the scan, queries broadcast") {
+    val p = planOf("ann_filtered_topk")
+    // pre-filter reaches the parquet scan: kernel scores |filtered|, not |corpus|
+    assert(p.contains("PushedFilters") && p.contains("label"))
+    assert(p.contains("BroadcastExchange"))
+    assert(shuffles(p) === 1) // the per-query top-k window, nothing else
+  }
+
   test("ann_range_search: broadcast queries, zero shuffles, one corpus scan") {
     val p = planOf("ann_range_search")
     assert(shuffles(p) === 0)
