@@ -26,6 +26,7 @@ object SparkEntry {
     "q17_small_qty" -> (Analytics.q17SmallQty _),
     "q18_top_buyers" -> (Analytics.q18TopBuyers _),
     "q22_idle_balance" -> (Analytics.q22IdleBalance _),
+    "q2_min_cost" -> (Analytics.q2MinCost _),
   ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
     graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
@@ -48,6 +49,7 @@ object SparkEntry {
     "q17_small_qty" -> Analytics.q17SmallQtySql,
     "q18_top_buyers" -> Analytics.q18TopBuyersSql,
     "q22_idle_balance" -> Analytics.q22IdleBalanceSql,
+    "q2_min_cost" -> Analytics.q2MinCostSql,
   ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
     graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++

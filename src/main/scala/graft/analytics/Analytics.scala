@@ -350,4 +350,40 @@ object Analytics {
       |                  WHERE o.o_custkey = c.c_custkey
       |                    AND o.o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment""".stripMargin
+
+  /** TPC-H Q2-shaped CORRELATED MIN ("the supplier achieving the group
+    * minimum"): cheapest line per part brand with its supplier. The
+    * correlated subquery decorrelates to an ARGMIN AGGREGATE —
+    * `min(struct(price, tiebreaks...))` — which is map-side combinable:
+    * the fact table shuffles once on the 25-value brand key carrying one
+    * struct per partition per brand, where the window-row_number
+    * formulation would shuffle and sort EVERY fact row. Price compares
+    * in integer cents (exact); brand/supplier dims broadcast. */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("cents", round($"l_extendedprice" * 100).cast("long"))
+    li.join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_brand")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(min(struct($"cents", $"l_suppkey", $"l_partkey")).as("best"))
+      .select($"p_brand", $"best.cents".as("cents"),
+        $"best.l_suppkey".as("s_key"), $"best.l_partkey".as("best_part"))
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
+        $"s_key" === $"s_suppkey")
+      .select($"p_brand", $"s_name",
+        ($"cents".cast("double") / 100).as("min_price"), $"best_part")
+  }
+
+  val q2MinCostSql: String =
+    """SELECT p_brand, s_name, CAST(cents AS DOUBLE) / 100 AS min_price, best_part
+      |FROM (
+      |  SELECT p_brand, l_suppkey, l_partkey AS best_part, cents,
+      |    row_number() OVER (PARTITION BY p_brand
+      |                       ORDER BY cents, l_suppkey, l_partkey) AS rn
+      |  FROM (SELECT p_brand, l_suppkey, l_partkey,
+      |          CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |        FROM lineitem JOIN part ON l_partkey = p_partkey) s) t
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rn = 1""".stripMargin
 }

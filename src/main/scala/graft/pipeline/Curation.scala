@@ -307,7 +307,48 @@ object Curation {
       |  reasons
       |FROM r""".stripMargin
 
+  /** Curriculum assignment: order each source's docs by a quality score
+    * and cut them into 4 curriculum tiers (quantile buckets) — the
+    * "train on cleanest data first / anneal on best tier last" ordering
+    * step of a training-data pipeline. The score is exact integer math
+    * (tokens·1000 + chars). Buckets are PER-SOURCE `ntile` windows: the
+    * sort is partitioned by source, never a global total order — at
+    * 100 TB each source sorts in parallel (and a degenerate giant source
+    * would switch to threshold-bucketing off approx quantiles; the
+    * per-tier contract is the same). Emits per-(source, tier) stats. */
+  def pipelineCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val score = (size(split(trim(col("text")), "\\s+")).cast("long") * 1000L
+      + length(col("text")).cast("long"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    d.select(col("doc_id"), col("source"), score.as("score"))
+      .withColumn("tier", ntile(4).over(w).cast("long"))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("sum_score"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+  }
+
+  val pipelineCurriculumSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) * 1000
+      |      + CAST(length(text) AS BIGINT) AS score
+      |  FROM documents),
+      |tiered AS (
+      |  SELECT source, score,
+      |    CAST(ntile(4) OVER (PARTITION BY source
+      |                        ORDER BY score DESC, doc_id ASC) AS BIGINT) AS tier
+      |  FROM scored)
+      |SELECT source, tier, COUNT(*) AS n_docs,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score,
+      |  MIN(score) AS min_score, MAX(score) AS max_score
+      |FROM tiered GROUP BY source, tier""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_mix" -> (pipelineMix _),
     "pipeline_sample_weighted" -> (pipelineSampleWeighted _),
@@ -321,6 +362,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_mix" -> pipelineMixSql,
     "pipeline_sample_weighted" -> pipelineSampleWeightedSql,
