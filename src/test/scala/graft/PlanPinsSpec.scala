@@ -32,6 +32,41 @@ class PlanPinsSpec extends SparkSpec {
     assert(shuffles(p) === 1)
   }
 
+  test("evt_approx_topk: ONE shuffle, no window sort (sketch, not row_number)") {
+    val p = planOf("evt_approx_topk")
+    assert(shuffles(p) === 1)
+    assert(!p.contains("Window"))
+  }
+
+  test("q2_min_cost: argmin aggregate = one fact shuffle, both dims broadcast") {
+    val p = planOf("q2_min_cost")
+    assert(shuffles(p) === 1)
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) === 2)
+    assert(!p.contains("Window")) // the row_number formulation is the trap
+  }
+
+  test("pipeline_curriculum: final agg reuses the window's source partitioning") {
+    val p = planOf("pipeline_curriculum")
+    assert(shuffles(p) === 1) // window shuffle only; groupBy(source, tier) rides it
+  }
+
+  test("dedup_lines: hash-keyed dupness, at most three shuffles, no window") {
+    val p = planOf("dedup_lines")
+    assert(shuffles(p) <= 3)
+    assert(!p.contains("Window"))
+    assert(p.contains("xxhash64")) // the narrow 8-byte shuffle key
+  }
+
+  test("text_url_stats: two shuffles (host distinct-count), predicate-free scan ok") {
+    val p = planOf("text_url_stats")
+    assert(shuffles(p) <= 2)
+  }
+
+  test("mm_phash_dedup: banded candidate join, one shuffle") {
+    val p = planOf("mm_phash_dedup")
+    assert(shuffles(p) <= 2) // band join + distinct; broadcast at this SF
+  }
+
   test("ann_filtered_topk: attribute predicate pushed to the scan, queries broadcast") {
     val p = planOf("ann_filtered_topk")
     // pre-filter reaches the parquet scan: kernel scores |filtered|, not |corpus|
