@@ -34,10 +34,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  /** The slowest five bench shapes (r7 verdict) + the core doc-state fold. */
+  /** The slowest five bench shapes (r7 verdict) + the core doc-state fold
+    * + the round-8 multi-shuffle additions (line dedup, phash banding). */
   val Shapes: Seq[String] = Seq(
     "doc_state_latest", "pipeline_keep_list", "dedup_substring",
-    "ann_lsh", "ann_ivf", "dedup_clusters")
+    "ann_lsh", "ann_ivf", "dedup_clusters", "dedup_lines", "mm_phash_dedup")
 
   private val IdShift = 10_000_000L
 

@@ -45,6 +45,31 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("fuzz: 40 random skewed streams × capacities × partitionings obey MG bounds") {
+    val rnd = new scala.util.Random(20260813L)
+    for (i <- 1 to 40) {
+      val n = 200 + rnd.nextInt(2000)
+      // cubing skews toward small keys: genuine heavy hitters + long tail
+      val data = Seq.fill(n)((math.pow(rnd.nextDouble(), 3) * 100).toLong)
+      val cap = 8 + rnd.nextInt(64)
+      val parts = 1 + rnd.nextInt(8)
+      val err = n / (cap + 1)
+      // k = cap: the whole summary is emitted, so presence is testable
+      val got = topMap(data.toDF("k").repartition(parts)
+        .agg(GraftFunctions.heavy_hitters(col("k"), cap, cap)).head())
+      val freq = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      freq.foreach { case (k, f) =>
+        if (f > err) assert(got.contains(k),
+          s"case $i (n=$n cap=$cap parts=$parts): key $k f=$f > err=$err evicted")
+      }
+      got.foreach { case (k, c) =>
+        val f = freq(k)
+        assert(c <= f && c >= f - err,
+          s"case $i (n=$n cap=$cap parts=$parts): key $k count $c outside [${f - err}, $f]")
+      }
+    }
+  }
+
   test("serialization roundtrip preserves the counter set") {
     val hh = HeavyHitters(org.apache.spark.sql.catalyst.expressions.Literal(1L), 8, 8)
     val buf = hh.createAggregationBuffer()
