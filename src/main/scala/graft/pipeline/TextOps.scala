@@ -326,7 +326,49 @@ object TextOps {
       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
       |FROM hosts GROUP BY host""".stripMargin
 
+  /** Ranked keyword search — the retrieval endpoint over the corpus: for
+    * a term set, rank documents by (matched-term count, total term
+    * frequency, id) and return the top 20. Scoring is ALL-INTEGER (a
+    * BM25 deployment would swap the score expression; the
+    * explode→aggregate→TakeOrdered shape is identical), so the oracle is
+    * hash-exact. Shape: token explode with an IN pre-filter (only query
+    * terms survive into the shuffle — the inverted-index access path),
+    * ONE groupBy on doc_id, global top-20 via TakeOrderedAndProject —
+    * no full sort at any scale. */
+  def textSearchRank(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "join", "query")
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tok")).as("n_match"),
+        count(lit(1)).as("total_tf"))
+      .orderBy(col("n_match").desc, col("total_tf").desc, col("doc_id").asc)
+      .limit(20)
+      // rank over the 20 surviving rows only — the global TakeOrdered
+      // already did the heavy lifting distributively
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("n_match").desc, col("total_tf").desc, col("doc_id").asc)).cast("long"))
+  }
+
+  val textSearchRankSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, COUNT(DISTINCT tok) AS n_match,
+      |    CAST(COUNT(*) AS BIGINT) AS total_tf
+      |  FROM toks WHERE tok IN ('table', 'join', 'query') GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_match, total_tf, rank FROM (
+      |  SELECT doc_id, n_match, total_tf,
+      |    CAST(row_number() OVER (ORDER BY n_match DESC, total_tf DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM m) t
+      |WHERE rank <= 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_search_rank" -> (textSearchRank _),
     "text_url_stats" -> (textUrlStats _),
     "text_char_stats" -> (textCharStats _),
     "text_unigram_lm" -> (textUnigramLm _),
@@ -339,6 +381,7 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_search_rank" -> textSearchRankSql,
     "text_url_stats" -> textUrlStatsSql,
     "text_char_stats" -> textCharStatsSql,
     "text_unigram_lm" -> textUnigramLmSql,
