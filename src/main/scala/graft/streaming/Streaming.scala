@@ -105,6 +105,20 @@ object Streaming {
         col("event_type"), col("value"), col("c_name"), col("c_mktsegment"))
   }
 
+  /** Streaming heavy hitters — the same mergeable Misra-Gries sketch as
+    * the batch `evt_approx_topk`, maintained INCREMENTALLY as streaming
+    * aggregation state: each micro-batch's partial sketches merge into
+    * the stored per-type sketch through the aggregate's own
+    * serialize/merge path, so the state per group is the fixed
+    * `capacity` counters — never the key universe — and the answer is
+    * available continuously, not at end-of-stream. Complete output mode;
+    * the sketch array is exploded by the consumer. */
+  def approxTopk(spark: SparkSession, dir: String): DataFrame =
+    readEventStream(spark, dir).toDF()
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions
+        .heavy_hitters(col("user_id"), 4096, 10).as("hh"))
+
   /** Watermarked stream-stream INTERVAL join — click→purchase
     * attribution within 1 hour per user, both sides unbounded streams
     * (the case `joinDims`'s static broadcast cannot express). The join

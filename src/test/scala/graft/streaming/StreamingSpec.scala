@@ -41,6 +41,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitters sketch converges to the batch top-k") {
+    val q = Streaming.approxTopk(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("approx_topk").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("approx_topk")
+        .select(col("event_type"), posexplode(col("hh")).as(Seq("r0", "e")))
+        .select(col("event_type"), (col("r0") + 1).cast("long").as("rank"),
+          col("e.key").as("user_id"), col("e.cnt").as("cnt"))
+      val want = graft.events.EventQueries.evtApproxTopk(spark, sf)
+      assert(want.count() > 0)
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+      // sketch state lives in the streaming aggregation's state store
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join with bounded state") {
     val q = Streaming.streamStreamJoin(spark, sf)
       .writeStream.outputMode("append")
