@@ -347,7 +347,82 @@ object Curation {
       |  MIN(score) AS min_score, MAX(score) AS max_score
       |FROM tiered GROUP BY source, tier""".stripMargin
 
+  /** The END-TO-END curation chain, one declarative plan: exact dedup
+    * (min doc_id per content hash) → Gopher-style quality gate →
+    * benchmark decontamination (n-gram containment vs the doc_id < 20
+    * eval set) → deterministic train/val/test split, reported as
+    * per-(split, source) doc/token counts with an id-sum fingerprint.
+    * Composes the already-verified stage operators via id-set semi/anti
+    * joins — each stage ships only `doc_id`s (8 bytes/row) into the
+    * joins, so at 100 TB the chain moves id sets, not text. Catalyst
+    * sees the whole chain at once: one scan feeds dedup + quality +
+    * split, and the contamination inverted index stays the narrow
+    * (hash, id) shape proven in `pipeline_contamination`. */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val exactKeep = d
+      .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val qualityKeep = pipelineQualityGate(spark, dir)
+      .filter(col("keep") === 1L).select("doc_id")
+    val contaminated = pipelineContamination(spark, dir)
+      .select(col("train_id").as("doc_id")).distinct()
+    val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
+    d.filter(col("doc_id") >= 20)
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(qualityKeep, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+  }
+
+  val pipelineE2eSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok
+      |       WHERE length(tok) > 0 GROUP BY doc_id, tok),
+      |qagg AS (SELECT doc_id, SUM(c) AS n, SUM(c * length(tok)) AS sl,
+      |                COUNT(*) AS dt, MAX(c) AS mx
+      |         FROM tc GROUP BY doc_id),
+      |qual AS (SELECT doc_id FROM qagg
+      |         WHERE NOT (n < 20) AND NOT (sl < n * 2 OR sl > n * 12)
+      |           AND NOT (mx * 5 > n) AND NOT (dt * 10 < n * 3)),
+      |exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |ng AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+      |      i -> string_split(trim(text), ' ')[i] || ' ' || string_split(trim(text), ' ')[i+1] || ' ' || string_split(trim(text), ' ')[i+2])) AS g
+      |  FROM documents),
+      |b AS (SELECT g AS bg, CAST(len(g) AS BIGINT) AS bench_sz FROM ng WHERE doc_id < 20),
+      |contam AS (
+      |  SELECT DISTINCT t.doc_id
+      |  FROM ng t JOIN b ON CAST(len(list_intersect(t.g, b.bg)) AS DOUBLE) / b.bench_sz >= 0.05
+      |  WHERE t.doc_id >= 20),
+      |kept AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+      |         WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+      |  FROM documents
+      |  WHERE doc_id >= 20
+      |    AND doc_id IN (SELECT doc_id FROM exact_keep)
+      |    AND doc_id IN (SELECT doc_id FROM qual)
+      |    AND doc_id NOT IN (SELECT doc_id FROM contam))
+      |SELECT split, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM kept GROUP BY split, source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
     "pipeline_mix" -> (pipelineMix _),
@@ -362,6 +437,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_quality_gate" -> pipelineQualityGateSql,
     "pipeline_mix" -> pipelineMixSql,

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end integration proof for `pipeline_e2e`: the chained plan must
+  * agree with the stages composed independently (with the dedup stage
+  * re-derived by a DIFFERENT algorithm than the chain uses), and the whole
+  * chain must be byte-stable under a repartitioned, reordered copy of the
+  * corpus — the repartition-stability claim every deterministic-curation
+  * operator in SURVEY §2D rests on.
+  */
+class CurationE2eSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("split", "source").collect().toSeq
+
+  test("pipeline_e2e equals its stages composed independently") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    // dedup keepers via a window over raw text (not the chain's md5 groupBy)
+    val keepDedup = d
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"text").orderBy($"doc_id".asc)))
+      .filter($"rn" === 1).select("doc_id")
+    val keepQuality = Curation.pipelineQualityGate(spark, sf)
+      .filter($"keep" === 1L).select("doc_id")
+    val contaminated = Curation.pipelineContamination(spark, sf)
+      .select($"train_id".as("doc_id")).distinct()
+    val bucket = pmod($"doc_id" * 2654435761L, lit(100L))
+    val expected = d.filter($"doc_id" >= 20)
+      .join(keepDedup, Seq("doc_id"), "left_semi")
+      .join(keepQuality, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source",
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("toks"))
+      .groupBy($"split", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"toks").as("n_tokens"),
+        sum($"doc_id").as("id_sum"))
+    val got = Curation.pipelineE2e(spark, sf)
+    assert(got.count() > 0)
+    assert(sortedRows(got) === sortedRows(expected))
+  }
+
+  test("pipeline_e2e is stable under a repartitioned, reordered corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    graft.sources.Tables.documents(spark, sf)
+      .orderBy($"doc_id".desc)   // reversed row order,
+      .repartition(7)            // different partitioning than the source
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val a = sortedRows(Curation.pipelineE2e(spark, sf))
+    val b = sortedRows(Curation.pipelineE2e(spark, tmp))
+    assert(a === b)
+  }
+}
