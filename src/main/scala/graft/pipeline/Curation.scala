@@ -347,6 +347,55 @@ object Curation {
       |  MIN(score) AS min_score, MAX(score) AS max_score
       |FROM tiered GROUP BY source, tier""".stripMargin
 
+  /** Deterministic FIXED-SIZE per-stratum sample ("reservoir" semantics
+    * without RNG state): the k docs with the smallest decorrelated
+    * multiplicative hash per source, tie-broken by doc_id. Two-phase so
+    * the final window never sorts a stratum: a per-source count feeds an
+    * integer over-sampling cutoff (≈4k survivors expected — undershoot
+    * probability is exp(-Ω(k)) by Chernoff, and the survivor invariant
+    * is spec-asserted), the cutoff broadcast-prefilters map-side, and
+    * only ~4k rows per source reach the row_number window. At 100 TB
+    * with a handful of sources, the naive one-window version is a
+    * five-giant-partition sort; this shape sorts ~100 rows per source. */
+  def pipelineReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val k = 25L
+    val m = 1L << 20
+    // Two multiply-mod rounds with an xor-shift between them: a single
+    // multiplicative hash mod 2^20 is LINEAR in doc_id (only the
+    // multiplier's low 20 bits matter), so locally-contiguous ids walk a
+    // small-step Weyl sequence and cluster — the xor-shift breaks the
+    // linearity. Constants stay < 2^32 so no product overflows a long
+    // (DuckDB errors on BIGINT overflow rather than wrapping).
+    val h1 = pmod(col("doc_id") * 2654435761L, lit(m))
+    val hh = pmod(h1.bitwiseXOR(shiftright(h1, 7)) * 2246822519L, lit(m))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), hh.as("h"))
+    val cuts = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("source"),
+        least(lit(m), expr(s"(4 * $k * $m) div n + 1")).as("cut"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    d.join(broadcast(cuts), Seq("source"))
+      .filter(col("h") < col("cut"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("doc_id"), col("lang"), col("h"), col("rn"))
+  }
+
+  val pipelineReservoirSql: String =
+    """WITH d0 AS (
+      |  SELECT doc_id, source, lang, (doc_id * 2654435761) % 1048576 AS h1
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, source, lang,
+      |    (xor(h1, h1 >> 7) * 2246822519) % 1048576 AS h
+      |  FROM d0),
+      |r AS (SELECT source, doc_id, lang, h,
+      |        CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+      |      FROM d)
+      |SELECT source, doc_id, lang, h, rn FROM r WHERE rn <= 25""".stripMargin
+
   /** The END-TO-END curation chain, one declarative plan: exact dedup
     * (min doc_id per content hash) → Gopher-style quality gate →
     * benchmark decontamination (n-gram containment vs the doc_id < 20
@@ -422,6 +471,7 @@ object Curation {
       |FROM kept GROUP BY split, source""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_reservoir" -> (pipelineReservoir _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_quality_gate" -> (pipelineQualityGate _),
@@ -437,6 +487,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_reservoir" -> pipelineReservoirSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_quality_gate" -> pipelineQualityGateSql,

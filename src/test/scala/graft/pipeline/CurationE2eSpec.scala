@@ -45,6 +45,32 @@ class CurationE2eSpec extends SparkSpec {
     assert(sortedRows(got) === sortedRows(expected))
   }
 
+  test("reservoir two-phase prefilter is semantics-preserving and never undershoots") {
+    import org.apache.spark.sql.expressions.Window
+    val m = 1L << 20
+    val h1 = pmod($"doc_id" * 2654435761L, lit(m))
+    val hh = pmod(h1.bitwiseXOR(shiftright(h1, 7)) * 2246822519L, lit(m))
+    // naive single-window bottom-k over the FULL corpus — no prefilter
+    val w = Window.partitionBy($"source").orderBy($"h".asc, $"doc_id".asc)
+    val naive = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"lang", hh.as("h"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 25)
+      .select("source", "doc_id", "lang", "h", "rn")
+    val got = Curation.pipelineReservoir(spark, sf)
+    val key = (r: org.apache.spark.sql.Row) => (r.getString(0), r.getLong(1))
+    assert(got.collect().sortBy(key).toSeq === naive.collect().sortBy(key).toSeq)
+    // exactly min(k, stratum size) rows per source — the prefilter kept
+    // at least the true bottom-k everywhere
+    val per = got.groupBy("source").count()
+    val sizes = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    per.collect().foreach { r =>
+      assert(r.getLong(1) === math.min(25L, sizes(r.getString(0))))
+    }
+  }
+
   test("pipeline_e2e is stable under a repartitioned, reordered corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-e2e").toString
     graft.sources.Tables.documents(spark, sf)
