@@ -410,7 +410,86 @@ object Dedup {
       |GROUP BY l.doc_id
       |HAVING count(*) FILTER (WHERE d.ndocs <= 2) > 0""".stripMargin
 
+  /** INCREMENTAL dedup — the continuous-ingestion surface: a new batch
+    * (a deterministic ~20% hash slice plays the arriving shard) is
+    * deduped against the EXISTING corpus without ever re-deduping the
+    * corpus itself. Per batch doc, three independent audit flags:
+    *   exact_corpus   content hash already present in the corpus
+    *   exact_batch    a smaller-id twin exists within the batch itself
+    *   neardup_corpus n-gram jaccard ≥ 0.5 against any corpus doc
+    * and kept = none of the above. Scale shape: the corpus contributes
+    * only its distinct hash set (16 B/doc) to the exact check and its
+    * (lang, shingle-hash, id, sz) inverted index to the near-dup join —
+    * pairs materialize only on shared content, exactly like
+    * `dedup_ngram_jaccard`; nothing rescans or re-pairs corpus×corpus. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = pmod(col("doc_id") * 2246822519L, lit(100L)) >= 80
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("h"),
+        shingle_hashes(split(trim(col("text")), "\\s+"), 3).as("ng"))
+      .withColumn("sz", size(col("ng")).cast("long"))
+    val corpus = d.filter(!isBatch)
+    val batch = d.filter(isBatch)
+    val exactCorpus = batch
+      .join(corpus.select(col("h")).distinct(), Seq("h"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_corpus", lit(1L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id").asc)
+    val exactBatch = batch.select(col("h"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id")).withColumn("exact_batch", lit(1L))
+    val cx = corpus.select(col("lang"), col("doc_id").as("c_id"),
+      col("sz").as("c_sz"), explode(col("ng")).as("sh"))
+    val bx = batch.select(col("lang"), col("doc_id").as("b_id"),
+      col("sz").as("b_sz"), explode(col("ng")).as("sh"))
+    val nearDup = cx.join(bx, Seq("lang", "sh"))
+      .groupBy(col("b_id"), col("c_id"), col("c_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("c_sz") + col("b_sz") - col("inter")) >= 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("neardup_corpus", lit(1L))
+    batch.select(col("doc_id"))
+      .join(exactCorpus, Seq("doc_id"), "left")
+      .join(exactBatch, Seq("doc_id"), "left")
+      .join(nearDup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("exact_corpus", "exact_batch", "neardup_corpus"))
+      .withColumn("kept",
+        when(col("exact_corpus") + col("exact_batch") + col("neardup_corpus") === 0, 1L)
+          .otherwise(0L))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH doc AS (
+      |  SELECT doc_id, lang, md5(text) AS h,
+      |    (doc_id * 2246822519) % 100 >= 80 AS is_batch,
+      |    list_distinct(list_transform(range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+      |      i -> string_split(trim(text), ' ')[i] || ' ' || string_split(trim(text), ' ')[i+1] || ' ' || string_split(trim(text), ' ')[i+2])) AS ng
+      |  FROM documents),
+      |corpus AS (SELECT * FROM doc WHERE NOT is_batch),
+      |batch AS (SELECT * FROM doc WHERE is_batch),
+      |ec AS (SELECT DISTINCT doc_id FROM batch WHERE h IN (SELECT h FROM corpus)),
+      |eb AS (SELECT doc_id FROM (
+      |         SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      |         FROM batch) t WHERE rn > 1),
+      |nd AS (SELECT DISTINCT b.doc_id
+      |       FROM batch b JOIN corpus c ON b.lang = c.lang
+      |       WHERE CAST(len(list_intersect(b.ng, c.ng)) AS DOUBLE)
+      |             / len(list_distinct(list_concat(b.ng, c.ng))) >= 0.5)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM ec) THEN 1 ELSE 0 END AS BIGINT) AS exact_corpus,
+      |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM eb) THEN 1 ELSE 0 END AS BIGINT) AS exact_batch,
+      |  CAST(CASE WHEN doc_id IN (SELECT doc_id FROM nd) THEN 1 ELSE 0 END AS BIGINT) AS neardup_corpus,
+      |  CAST(CASE WHEN doc_id NOT IN (SELECT doc_id FROM ec)
+      |             AND doc_id NOT IN (SELECT doc_id FROM eb)
+      |             AND doc_id NOT IN (SELECT doc_id FROM nd)
+      |            THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM batch""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_lines" -> (dedupLines _),
     "dedup_substring" -> (dedupSubstring _),
     "dedup_clusters" -> (dedupClusters _),
@@ -424,6 +503,7 @@ object Dedup {
 
   /** dedup_minhash / dedup_simhash / dedup_embedding are rows-only. */
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_exact" -> dedupExactSql,
