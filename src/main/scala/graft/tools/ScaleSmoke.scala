@@ -35,10 +35,14 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   /** The slowest five bench shapes (r7 verdict) + the core doc-state fold
-    * + the round-8 multi-shuffle additions (line dedup, phash banding). */
+    * + the round-8 multi-shuffle additions (line dedup, phash banding,
+    * the end-to-end curation chain, incremental dedup). The e2e chain's
+    * benchmark set (doc_id < 20) deliberately stays fixed while the
+    * corpus scales — decontamination is vs a constant eval set. */
   val Shapes: Seq[String] = Seq(
     "doc_state_latest", "pipeline_keep_list", "dedup_substring",
-    "ann_lsh", "ann_ivf", "dedup_clusters", "dedup_lines", "mm_phash_dedup")
+    "ann_lsh", "ann_ivf", "dedup_clusters", "dedup_lines", "mm_phash_dedup",
+    "pipeline_e2e", "dedup_incremental")
 
   private val IdShift = 10_000_000L
 
