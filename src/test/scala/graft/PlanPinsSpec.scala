@@ -159,6 +159,31 @@ class PlanPinsSpec extends SparkSpec {
     assert(shuffles(p) === 1)
   }
 
+  test("pipeline_reservoir: broadcast cutoff prefilters BELOW the window") {
+    val p = planOf("pipeline_reservoir")
+    // one shuffle for the per-source counts, one for the window; the
+    // cutoff table moves as a broadcast and the h < cut prefilter folds
+    // into the join condition BELOW the window (the whole point — the
+    // window never sorts a raw stratum); Spark additionally pushes a
+    // partial WindowGroupLimit, bounding the pre-shuffle sort to k rows
+    // per group per partition
+    assert(shuffles(p) === 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("Window"), p)
+    val cutLine = p.linesIterator.indexWhere(_.contains("< cut#"))
+    val windowLine = p.linesIterator.indexWhere(_.contains("Window "))
+    assert(windowLine >= 0 && cutLine > windowLine, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("pipeline_e2e / dedup_incremental: composed chains never go nested-loop") {
+    Seq("pipeline_e2e", "dedup_incremental").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("BroadcastNestedLoop"), s"$n:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+    }
+  }
+
   test("emb_pca is a zero-exchange single-scan partial aggregate") {
     // r5/r6 timing jitter on unchanged code — pin the shape so noise can
     // never be mistaken for a plan regression
