@@ -70,6 +70,10 @@ object GraftExtensions {
       val e = need(3, "graft_heavy_hitters")(exprs)
       HeavyHitters(e(0), litInt(e(1), "capacity"), litInt(e(2), "k"))
     },
+    "graft_bottom_k_sample" -> { exprs =>
+      val e = need(3, "graft_bottom_k_sample")(exprs)
+      BottomKSample(e(0), e(1), litInt(e(2), "k"))
+    },
   )
 
   private def litInt(e: Expression, what: String): Int = {

@@ -31,6 +31,8 @@ object GraftFunctions {
     column(BitmapDistinct(expression(c)).toAggregateExpression())
   def heavy_hitters(c: Column, capacity: Int, k: Int): Column =
     column(HeavyHitters(expression(c), capacity, k).toAggregateExpression())
+  def bottom_k_sample(h: Column, id: Column, k: Int): Column =
+    column(BottomKSample(expression(h), expression(id), k).toAggregateExpression())
 
   def hyperplane_buckets(v: Column, bits: Int, tables: Int): Column =
     column(HyperplaneBuckets(expression(v), Literal(bits), Literal(tables)))
@@ -465,6 +467,87 @@ case class HeavyHitters(child: Expression, capacity: Int, k: Int,
   override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact mergeable bottom-k-by-hash sample: keeps the k (hash, id) pairs
+  * with the smallest hash seen so far — a fixed-size DETERMINISTIC uniform
+  * sample (the batch `pipeline_reservoir` semantics) that merges across
+  * partitions and across streaming micro-batches, because "bottom-k of a
+  * union" = "bottom-k of the merged bottom-k's". State is exactly ≤ k
+  * pairs (16 B each) per group regardless of stream length; identical
+  * (hash, id) re-arrivals are idempotent (set semantics). Output: the
+  * sample ascending by (hash, id) — reproducible on any partitioning,
+  * any arrival order. */
+case class BottomKSample(left: Expression, right: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(k > 0)
+
+  private type Buf = java.util.TreeSet[(Long, Long)]
+
+  private def newBuf(): Buf = new java.util.TreeSet[(Long, Long)](
+    implicitly[Ordering[(Long, Long)]])
+
+  override def createAggregationBuffer(): Buf = newBuf()
+
+  override def update(buffer: Buf, input: InternalRow): Buf = {
+    val h = left.eval(input)
+    val id = right.eval(input)
+    if (h != null && id != null) {
+      buffer.add((h.asInstanceOf[Long], id.asInstanceOf[Long]))
+      if (buffer.size > k) buffer.pollLast()
+    }
+    buffer
+  }
+
+  override def merge(b: Buf, o: Buf): Buf = {
+    val it = o.iterator()
+    while (it.hasNext) {
+      b.add(it.next())
+      if (b.size > k) b.pollLast()
+    }
+    b
+  }
+
+  override def eval(buffer: Buf): Any = {
+    val out = new Array[Any](buffer.size)
+    var i = 0
+    val it = buffer.iterator()
+    while (it.hasNext) {
+      val (h, id) = it.next()
+      out(i) = InternalRow(h, id); i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: Buf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buffer.size)
+    bb.putInt(buffer.size)
+    val it = buffer.iterator()
+    while (it.hasNext) { val (h, id) = it.next(); bb.putLong(h); bb.putLong(id) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = newBuf()
+    var i = 0
+    while (i < n) { b.add((bb.getLong, bb.getLong)); i += 1 }
+    b
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** Distinct 64-bit FNV-1a hashes of the word n-gram shingles of a token

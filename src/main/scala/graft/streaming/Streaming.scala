@@ -119,6 +119,26 @@ object Streaming {
       .agg(graft.functions.GraftFunctions
         .heavy_hitters(col("user_id"), 4096, 10).as("hh"))
 
+  /** Streaming reservoir — the batch `pipeline_reservoir` semantics
+    * maintained CONTINUOUSLY: per event type, the k events with the
+    * smallest decorrelated hash seen so far, via the exact mergeable
+    * `bottom_k_sample` aggregate ("bottom-k of a union" = "bottom-k of
+    * merged bottom-k's", so partial sketches from each micro-batch merge
+    * through the aggregate's own serialize/merge path). State per group
+    * is ≤ k 16-byte pairs forever — never the stream; and because the
+    * sample is deterministic in the event ids, the answer at any point
+    * equals the batch bottom-k over everything ingested so far,
+    * independent of partitioning and arrival order. */
+  def reservoirSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val m = 1L << 20
+    val h1 = pmod(col("event_id") * 2654435761L, lit(m))
+    val hh = pmod(h1.bitwiseXOR(shiftright(h1, 7)) * 2246822519L, lit(m))
+    readEventStream(spark, dir).toDF()
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions
+        .bottom_k_sample(hh, col("event_id"), k).as("sample"))
+  }
+
   /** Watermarked stream-stream INTERVAL join — click→purchase
     * attribution within 1 hour per user, both sides unbounded streams
     * (the case `joinDims`'s static broadcast cannot express). The join

@@ -70,6 +70,24 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: bottom-k sample is exact under any partitioning, duplicates included") {
+    val rnd = new scala.util.Random(20260813L)
+    (1 to 25).foreach { _ =>
+      val n = 1 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(40)
+      val parts = 1 + rnd.nextInt(12)
+      // ids with duplicates; hash deliberately collides (mod 97) so the
+      // (h, id) tiebreak path is exercised
+      val ids = Seq.fill(n)(rnd.nextInt(150).toLong)
+      val pairs = ids.map(id => (id % 97 * 31 % 97, id))
+      val want = pairs.distinct.sorted.take(k)
+      val got = pairs.toDF("h", "id").repartition(parts)
+        .agg(GraftFunctions.bottom_k_sample(col("h"), col("id"), k)).head()
+        .getSeq[Row](0).map(r => (r.getLong(0), r.getLong(1)))
+      assert(got === want, s"n=$n k=$k parts=$parts")
+    }
+  }
+
   test("serialization roundtrip preserves the counter set") {
     val hh = HeavyHitters(org.apache.spark.sql.catalyst.expressions.Literal(1L), 8, 8)
     val buf = hh.createAggregationBuffer()

@@ -60,6 +60,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming reservoir equals the batch bottom-k at end of stream") {
+    val q = Streaming.reservoirSample(spark, sf)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("stream_reservoir").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_reservoir")
+        .select(col("event_type"), posexplode(col("sample")).as(Seq("r0", "e")))
+        .select(col("event_type"), (col("r0") + 1).cast("long").as("rank"),
+          col("e.h").as("h"), col("e.id").as("event_id"))
+      // independent batch recomputation through the WINDOW path, not the
+      // aggregate under test
+      val m = 1L << 20
+      val h1 = pmod(col("event_id") * 2654435761L, lit(m))
+      val hh = pmod(h1.bitwiseXOR(shiftright(h1, 7)) * 2246822519L, lit(m))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("h").asc, col("event_id").asc)
+      val want = graft.sources.Tables.eventsRaw(spark, sf)
+        .select(col("event_type"), col("event_id"), hh.as("h"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 25)
+        .select(col("event_type"), col("rank"), col("h"), col("event_id"))
+      assert(want.count() > 0)
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join with bounded state") {
     val q = Streaming.streamStreamJoin(spark, sf)
       .writeStream.outputMode("append")
