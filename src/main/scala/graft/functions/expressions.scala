@@ -376,8 +376,11 @@ case class BitmapDistinct(child: Expression,
 case class HeavyHitters(child: Expression, capacity: Int, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.HashMap[java.lang.Long, java.lang.Long]]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ExpectsInputTypes {
   require(capacity > 0 && k > 0 && k <= capacity)
+
+  // BIGINT keys only: fail at analysis, not with an executor-side cast
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   private type Buf = java.util.HashMap[java.lang.Long, java.lang.Long]
 
@@ -481,8 +484,14 @@ case class HeavyHitters(child: Expression, capacity: Int, k: Int,
 case class BottomKSample(left: Expression, right: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.TreeSet[(Long, Long)]]
-    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression]
+    with ExpectsInputTypes {
   require(k > 0)
+
+  // analysis-time contract: both operands are BIGINT, so a mistyped SQL
+  // call fails with a clear error instead of an executor-side
+  // ClassCastException in update()
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   private type Buf = java.util.TreeSet[(Long, Long)]
 

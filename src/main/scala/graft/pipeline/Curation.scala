@@ -68,14 +68,20 @@ object Curation {
       |  AND doc_id IN (SELECT doc_id FROM documents
       |                 WHERE length(regexp_split_to_array(trim(text), '\s+')) >= 20)""".stripMargin
 
-  /** Deterministic train/val/test split via a multiplicative hash of the
-    * doc key (Knuth's 2654435761 mod 100 → 90/5/5) — reproducible across
-    * runs and engines, no RNG, stable under repartitioning. */
+  /** The deterministic train/val/test assignment shared by
+    * `pipelineTrainSplit` and the e2e chain — one definition so the
+    * standalone split and the chain's split can never drift apart.
+    * Multiplicative hash of the doc key (Knuth's 2654435761 mod 100 →
+    * 90/5/5): reproducible across runs and engines, no RNG, stable under
+    * repartitioning. */
+  def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = pmod(docId * 2654435761L, lit(100L))
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+  }
+
   def pipelineTrainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
     Tables.documents(spark, dir)
-      .withColumn("split",
-        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .withColumn("split", splitOf(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
   }
@@ -347,39 +353,41 @@ object Curation {
       |  MIN(score) AS min_score, MAX(score) AS max_score
       |FROM tiered GROUP BY source, tier""".stripMargin
 
-  /** Deterministic FIXED-SIZE per-stratum sample ("reservoir" semantics
-    * without RNG state): the k docs with the smallest decorrelated
-    * multiplicative hash per source, tie-broken by doc_id. Two-phase so
-    * the final window never sorts a stratum: a per-source count feeds an
-    * integer over-sampling cutoff (≈4k survivors expected — undershoot
-    * probability is exp(-Ω(k)) by Chernoff, and the survivor invariant
-    * is spec-asserted), the cutoff broadcast-prefilters map-side, and
-    * only ~4k rows per source reach the row_number window. At 100 TB
-    * with a handful of sources, the naive one-window version is a
-    * five-giant-partition sort; this shape sorts ~100 rows per source. */
-  def pipelineReservoir(spark: SparkSession, dir: String): DataFrame = {
-    val k = 25L
+  /** The sampling hash shared by the batch reservoir and the streaming
+    * twin (`Streaming.reservoirSample`) — their batch≡stream equivalence
+    * depends on this being ONE definition. Two multiply-mod rounds with
+    * an xor-shift between them: a single multiplicative hash mod 2^20 is
+    * LINEAR in the id (only the multiplier's low 20 bits matter), so
+    * locally-contiguous ids walk a small-step Weyl sequence and cluster —
+    * the xor-shift breaks the linearity. Constants stay < 2^32 so no
+    * product overflows a long (DuckDB errors on BIGINT overflow rather
+    * than wrapping). */
+  def reservoirHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val m = 1L << 20
-    // Two multiply-mod rounds with an xor-shift between them: a single
-    // multiplicative hash mod 2^20 is LINEAR in doc_id (only the
-    // multiplier's low 20 bits matter), so locally-contiguous ids walk a
-    // small-step Weyl sequence and cluster — the xor-shift breaks the
-    // linearity. Constants stay < 2^32 so no product overflows a long
-    // (DuckDB errors on BIGINT overflow rather than wrapping).
-    val h1 = pmod(col("doc_id") * 2654435761L, lit(m))
-    val hh = pmod(h1.bitwiseXOR(shiftright(h1, 7)) * 2246822519L, lit(m))
+    val h1 = pmod(id * 2654435761L, lit(m))
+    pmod(h1.bitwiseXOR(shiftright(h1, 7)) * 2246822519L, lit(m))
+  }
+
+  /** Deterministic FIXED-SIZE per-stratum sample ("reservoir" semantics
+    * without RNG state): the k docs with the smallest decorrelated hash
+    * per source, tie-broken by doc_id, via the exact mergeable
+    * `bottom_k_sample` aggregate — each map partition ships at most k
+    * 16-byte pairs per source into the one shuffle (partial aggregation),
+    * no stratum is ever sorted, and unlike a prefilter-cutoff plan the
+    * result is exact under ANY hash distribution. The sampled ids (a
+    * k×sources set) broadcast back onto the corpus to recover payload
+    * columns; rank comes from the sample's ascending (h, id) order. */
+  def pipelineReservoir(spark: SparkSession, dir: String): DataFrame = {
+    val k = 25
     val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"), hh.as("h"))
-    val cuts = d.groupBy(col("source"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("source"),
-        least(lit(m), expr(s"(4 * $k * $m) div n + 1")).as("cut"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("h").asc, col("doc_id").asc)
-    d.join(broadcast(cuts), Seq("source"))
-      .filter(col("h") < col("cut"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("lang"),
+        reservoirHash(col("doc_id")).as("h"))
+    val sampled = d.groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions
+        .bottom_k_sample(col("h"), col("doc_id"), k).as("sample"))
+      .select(col("source"), posexplode(col("sample")).as(Seq("r0", "e")))
+      .select(col("e.id").as("doc_id"), (col("r0") + 1).cast("long").as("rn"))
+    d.join(broadcast(sampled), Seq("doc_id"))
       .select(col("source"), col("doc_id"), col("lang"), col("h"), col("rn"))
   }
 
@@ -403,10 +411,12 @@ object Curation {
     * per-(split, source) doc/token counts with an id-sum fingerprint.
     * Composes the already-verified stage operators via id-set semi/anti
     * joins — each stage ships only `doc_id`s (8 bytes/row) into the
-    * joins, so at 100 TB the chain moves id sets, not text. Catalyst
-    * sees the whole chain at once: one scan feeds dedup + quality +
-    * split, and the contamination inverted index stays the narrow
-    * (hash, id) shape proven in `pipeline_contamination`. */
+    * joins, so at 100 TB the chain moves id sets, not text. Each stage
+    * branch plans its own corpus scan (Spark does not share scan
+    * subtrees — four scans total; a production run would persist the
+    * narrow (doc_id, text) projection once and feed all branches), but
+    * the contamination inverted index stays the narrow (hash, id) shape
+    * proven in `pipeline_contamination`. */
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val exactKeep = d
@@ -417,14 +427,12 @@ object Curation {
       .filter(col("keep") === 1L).select("doc_id")
     val contaminated = pipelineContamination(spark, dir)
       .select(col("train_id").as("doc_id")).distinct()
-    val bucket = pmod(col("doc_id") * 2654435761L, lit(100L))
     d.filter(col("doc_id") >= 20)
       .join(exactKeep, Seq("doc_id"), "left_semi")
       .join(qualityKeep, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"),
-        when(bucket < 90, "train").when(bucket < 95, "val")
-          .otherwise("test").as("split"),
+        splitOf(col("doc_id")).as("split"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),

@@ -129,15 +129,12 @@ object Streaming {
     * sample is deterministic in the event ids, the answer at any point
     * equals the batch bottom-k over everything ingested so far,
     * independent of partitioning and arrival order. */
-  def reservoirSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
-    val m = 1L << 20
-    val h1 = pmod(col("event_id") * 2654435761L, lit(m))
-    val hh = pmod(h1.bitwiseXOR(shiftright(h1, 7)) * 2246822519L, lit(m))
+  def reservoirSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
     readEventStream(spark, dir).toDF()
       .groupBy(col("event_type"))
-      .agg(graft.functions.GraftFunctions
-        .bottom_k_sample(hh, col("event_id"), k).as("sample"))
-  }
+      .agg(graft.functions.GraftFunctions.bottom_k_sample(
+        graft.pipeline.Curation.reservoirHash(col("event_id")),
+        col("event_id"), k).as("sample"))
 
   /** Watermarked stream-stream INTERVAL join — click→purchase
     * attribution within 1 hour per user, both sides unbounded streams

@@ -159,21 +159,16 @@ class PlanPinsSpec extends SparkSpec {
     assert(shuffles(p) === 1)
   }
 
-  test("pipeline_reservoir: broadcast cutoff prefilters BELOW the window") {
+  test("pipeline_reservoir: one partial-agg shuffle, no window, no stratum sort") {
     val p = planOf("pipeline_reservoir")
-    // one shuffle for the per-source counts, one for the window; the
-    // cutoff table moves as a broadcast and the h < cut prefilter folds
-    // into the join condition BELOW the window (the whole point — the
-    // window never sorts a raw stratum); Spark additionally pushes a
-    // partial WindowGroupLimit, bounding the pre-shuffle sort to k rows
-    // per group per partition
-    assert(shuffles(p) === 2, p)
+    // the mergeable bottom-k aggregate does all the work: map-side
+    // partials ship <= k pairs per source into ONE shuffle, the sampled
+    // id set broadcasts back for payload recovery, and no Window / Sort
+    // of a stratum exists anywhere in the plan
+    assert(shuffles(p) === 1, p)
     assert(p.contains("BroadcastExchange"), p)
-    assert(p.contains("Window"), p)
-    val cutLine = p.linesIterator.indexWhere(_.contains("< cut#"))
-    val windowLine = p.linesIterator.indexWhere(_.contains("Window "))
-    assert(windowLine >= 0 && cutLine > windowLine, p)
-    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("partial_bottomksample"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("pipeline_e2e / dedup_incremental: composed chains never go nested-loop") {

@@ -24,14 +24,18 @@ class AqeSkewSpec extends SparkSpec {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB")
+    // left: one hot key (0) carrying ~90% of rows, plus a uniform tail
+    val left = spark.range(0, 60000)
+      .select(when($"id" < 54000, 0L).otherwise($"id" % 97 + 1).as("k"),
+        $"id".as("payload"))
+    val right = spark.range(0, 98).select($"id".as("k"), ($"id" * 7).as("dim"))
+    // baseline under default confs, BEFORE the skew knobs go on — leaves
+    // a single conf-restore site in the finally
+    val plain = left.join(right, "k")
+      .select(sum($"payload" + $"dim")).head().getLong(0)
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      // left: one hot key (0) carrying ~90% of rows, plus a uniform tail
-      val left = spark.range(0, 60000)
-        .select(when($"id" < 54000, 0L).otherwise($"id" % 97 + 1).as("k"),
-          $"id".as("payload"))
-      val right = spark.range(0, 98).select($"id".as("k"), ($"id" * 7).as("dim"))
       val joined = left.join(right, "k").select(sum($"payload" + $"dim").as("s"))
       // collect() (not head(), which builds a separate limit QueryExecution)
       // so the inspected queryExecution is the one AQE actually re-planned
@@ -49,10 +53,7 @@ class AqeSkewSpec extends SparkSpec {
       assert(smj.nonEmpty, s"expected a sort-merge join in:\n$plan")
       assert(smj.exists(_.isSkewJoin),
         s"AQE did not mark the join skew-handled:\n${plan.toString.take(2000)}")
-      // sanity: the skewed run computes the same answer as a plain run
-      confs.foreach { case (k, _) => spark.conf.unset(k) }
-      saved.foreach { case (k, v) => v.foreach(spark.conf.set(k, _)) }
-      val plain = left.join(right, "k").select(sum($"payload" + $"dim")).head().getLong(0)
+      // the skew-handled run computes the same answer as the plain run
       assert(want === plain)
     } finally {
       confs.foreach { case (k, _) => spark.conf.unset(k) }
