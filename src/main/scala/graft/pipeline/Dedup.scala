@@ -410,6 +410,38 @@ object Dedup {
       |GROUP BY l.doc_id
       |HAVING count(*) FILTER (WHERE d.ndocs <= 2) > 0""".stripMargin
 
+  /** Near-dup clustering over the EXACT jaccard pair graph — the same
+    * star-contraction connected components as `dedup_clusters`, but fed
+    * by the oracle-expressible pair source, which makes this the
+    * clustering path's DuckDB-exact twin: the oracle recomputes the
+    * components as a recursive-CTE transitive closure and labels every
+    * node with its component minimum. (`dedup_clusters` itself stays
+    * rows-only because minhash signatures aren't SQL-expressible; the CC
+    * machinery both queries share is verified HERE.) */
+  def dedupClustersExact(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      dedupNgramJaccardPlan(spark, dir).select(col("a_id"), col("b_id")))
+
+  val dedupClustersExactSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+      |      i -> string_split(trim(text), ' ')[i] || ' ' || string_split(trim(text), ' ')[i+1] || ' ' || string_split(trim(text), ' ')[i+2])) AS ng
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.5),
+      |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+      |      UNION SELECT b_id, a_id FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u)
+      |SELECT u AS doc_id, least(u, MIN(v)) AS cluster
+      |FROM reach GROUP BY u""".stripMargin
+
   /** INCREMENTAL dedup — the continuous-ingestion surface: a new batch
     * (a deterministic ~20% hash slice plays the arriving shard) is
     * deduped against the EXISTING corpus without ever re-deduping the
@@ -489,6 +521,7 @@ object Dedup {
       |FROM batch""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters_exact" -> (dedupClustersExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_lines" -> (dedupLines _),
     "dedup_substring" -> (dedupSubstring _),
@@ -503,6 +536,7 @@ object Dedup {
 
   /** dedup_minhash / dedup_simhash / dedup_embedding are rows-only. */
   val oracles: Map[String, String] = Map(
+    "dedup_clusters_exact" -> dedupClustersExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_substring" -> dedupSubstringSql,
