@@ -142,6 +142,53 @@ object Curation {
       |  CAST(CAST(SUM(toks) AS BIGINT) AS DOUBLE) / 512 AS fill_ratio
       |FROM a GROUP BY 1, 2""".stripMargin
 
+  /** Dense sequence packing with DOCUMENT SPANNING: the corpus is laid
+    * out as one concatenated token stream per source (doc_id order) and
+    * chopped into exact 512-token context windows — a document crossing
+    * a boundary contributes a SEGMENT to each window it touches, so
+    * every window except a source's last is exactly full (the layout an
+    * LLM trainer actually consumes; `pipeline_pack` is the
+    * whole-doc-per-window variant). Pure integer math: per-doc
+    * [start, end) offsets from one running sum, then each doc explodes
+    * to its covering window range — output rows = segments, grouped to
+    * per-(source, window) segment/token counts. One window shuffle +
+    * one agg shuffle; the explode multiplies rows only by
+    * windows-touched (≈ n_tokens/512 extra rows total). */
+  def pipelinePackSpans(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .withColumn("toks", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .filter(col("toks") > 0)
+      .withColumn("end", sum(col("toks")).over(w))
+      .withColumn("start", col("end") - col("toks"))
+      .withColumn("window_id",
+        explode(sequence(expr(s"start div $budget"), expr(s"(`end` - 1) div $budget"))))
+      .withColumn("seg_len",
+        least(col("end"), (col("window_id") + 1) * budget)
+          - greatest(col("start"), col("window_id") * budget))
+      .groupBy(col("source"), col("window_id"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("seg_len")).as("n_tokens"))
+  }
+
+  val pipelinePackSpansSql: String =
+    """WITH a AS (
+      |  SELECT source, doc_id,
+      |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+      |    SUM(CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+      |      OVER (PARTITION BY source ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING) AS e
+      |  FROM documents),
+      |b AS (SELECT source, doc_id, toks, e, e - toks AS s FROM a WHERE toks > 0),
+      |seg AS (
+      |  SELECT source, t.win AS window_id,
+      |    least(e, (t.win + 1) * 512) - greatest(s, t.win * 512) AS seg_len
+      |  FROM b, unnest(generate_series(CAST(s // 512 AS BIGINT), CAST((e - 1) // 512 AS BIGINT))) AS t(win))
+      |SELECT source, window_id, COUNT(*) AS n_segments,
+      |  CAST(SUM(seg_len) AS BIGINT) AS n_tokens
+      |FROM seg GROUP BY source, window_id""".stripMargin
+
   /** Benchmark decontamination: n-gram CONTAINMENT of the benchmark set
     * (doc_id < 20 plays the eval set) inside each training doc —
     * |∩| / |bench shingles|, the asymmetric overlap that catches a
@@ -479,6 +526,7 @@ object Curation {
       |FROM kept GROUP BY split, source""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack_spans" -> (pipelinePackSpans _),
     "pipeline_reservoir" -> (pipelineReservoir _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
@@ -495,6 +543,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pack_spans" -> pipelinePackSpansSql,
     "pipeline_reservoir" -> pipelineReservoirSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,

@@ -71,6 +71,28 @@ class CurationE2eSpec extends SparkSpec {
     }
   }
 
+  test("pack_spans: every non-final window is exactly full, tokens conserved") {
+    val got = Curation.pipelinePackSpans(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySource = got.groupBy(_._1)
+    bySource.foreach { case (src, rows) =>
+      val lastWin = rows.map(_._2).max
+      // contiguous window ids from 0, no gaps
+      assert(rows.map(_._2).sorted.toSeq === (0L to lastWin).toSeq, src)
+      rows.filter(_._2 < lastWin).foreach { case (_, win, _, toks) =>
+        assert(toks === 512L, s"$src window $win not full: $toks")
+      }
+    }
+    // token conservation vs an independent per-source recount
+    val want = graft.sources.Tables.documents(spark, sf)
+      .groupBy($"source")
+      .agg(sum(size(split(trim($"text"), "\\s+")).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._4).sum === want(src), src)
+    }
+  }
+
   test("pipeline_e2e is stable under a repartitioned, reordered corpus") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-e2e").toString
     graft.sources.Tables.documents(spark, sf)
