@@ -811,7 +811,42 @@ object EventQueries {
       |  FROM events) t
       |GROUP BY user_id""".stripMargin
 
+  /** Rolling distinct actives (DAU + trailing-7-day DAU per observed
+    * day) — the stickiness metric pair every activity dashboard needs.
+    * Shape for 100 TB: events first collapse to DISTINCT (day, user)
+    * pairs — one shuffle, and the only pass over raw events — then each
+    * pair explodes to the ≤ 7 observation days it contributes to (×7 on
+    * the already-collapsed pairs, not on events) and a two-phase
+    * distinct count folds per observation day. Day ids are exact integer
+    * division of epoch microseconds, same convention as the retention
+    * cohorts. */
+  def evtRollingDau(spark: SparkSession, dir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val daily = Tables.eventsRaw(spark, dir)
+      .select(col("user_id"), expr(s"(ts div 1000) div $usPerDay").as("day"))
+      .distinct()
+    val dau1 = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val roll = daily
+      .withColumn("obs_day", explode(sequence(col("day"), col("day") + 6)))
+      .groupBy(col("obs_day"))
+      .agg(countDistinct(col("user_id")).as("dau7"))
+    dau1.join(roll, dau1("day") === roll("obs_day"))
+      .select(col("day"), col("dau"), col("dau7"))
+  }
+
+  val evtRollingDauSql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |dau1 AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM daily GROUP BY day),
+      |roll AS (
+      |  SELECT d2.day, CAST(COUNT(DISTINCT d1.user_id) AS BIGINT) AS dau7
+      |  FROM (SELECT DISTINCT day FROM daily) d2
+      |  JOIN daily d1 ON d1.day BETWEEN d2.day - 6 AND d2.day
+      |  GROUP BY d2.day)
+      |SELECT day, dau, dau7 FROM dau1 JOIN roll USING (day)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_rolling_dau" -> (evtRollingDau _),
     "evt_decode_typed_table" -> (evtDecodeTypedTable _),
     "mutation_nonce_replay" -> (mutationNonceReplay _),
     "mutation_verify_sig" -> (mutationVerifySig _),
@@ -844,6 +879,7 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "evt_rolling_dau" -> evtRollingDauSql,
     "evt_decode_typed_table" -> evtDecodeTypedTableSql,
     "mutation_nonce_replay" -> mutationNonceReplaySql,
     "mutation_verify_sig" -> mutationVerifySigSql,
