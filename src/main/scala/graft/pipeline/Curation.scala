@@ -525,6 +525,35 @@ object Curation {
       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
       |FROM kept GROUP BY split, source""".stripMargin
 
+  /** The pipeline's LAST step: materialize a curated corpus as `shards`
+    * deterministic training shards plus a verifiable manifest. Shard
+    * assignment is the decorrelated multiplicative hash of the doc key —
+    * reproducible across runs/engines and stable under repartitioning,
+    * so a re-export from any physical layout produces byte-identical
+    * shard membership. One shuffle (repartition on shard), docs sorted
+    * by doc_id within each shard for run-length-friendly layout, one
+    * file tree per shard via partitionBy. The manifest (per shard:
+    * doc/token counts, id sum, xor of id hashes) is computed from the
+    * same assignment expression and written beside the data (underscore
+    * path — invisible to readers of the shard tree); a consumer can
+    * audit any shard against it without trusting the writer. */
+  def writeTrainingShards(docs: DataFrame, outDir: String, shards: Int): DataFrame = {
+    require(shards > 0)
+    val tagged = docs.withColumn("shard",
+      pmod(col("doc_id") * 2246822519L, lit(shards.toLong)))
+    tagged
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val manifest = tagged.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"),
+        expr("bit_xor(xxhash64(doc_id))").as("id_xor"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    manifest
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_pack_spans" -> (pipelinePackSpans _),
     "pipeline_reservoir" -> (pipelineReservoir _),
