@@ -42,7 +42,7 @@ object ScaleSmoke {
   val Shapes: Seq[String] = Seq(
     "doc_state_latest", "pipeline_keep_list", "dedup_substring",
     "ann_lsh", "ann_ivf", "dedup_clusters", "dedup_lines", "mm_phash_dedup",
-    "pipeline_e2e", "dedup_incremental")
+    "pipeline_e2e", "dedup_incremental", "dedup_clusters_exact")
 
   private val IdShift = 10_000_000L
 
