@@ -258,9 +258,13 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val nodes = cut(pairs.select(col("a_id").as("id"))
-      .unionByName(pairs.select(col("b_id").as("id"))).distinct())
-    var edges = cut(pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+    // materialize the pair source ONCE: nodes and edges both derive from
+    // it, and cutting each separately would execute the (often expensive —
+    // a minhash-band or jaccard join) upstream plan twice
+    val p0 = cut(pairs.select(col("a_id"), col("b_id")))
+    val nodes = p0.select(col("a_id").as("id"))
+      .unionByName(p0.select(col("b_id").as("id"))).distinct()
+    var edges = cut(p0.select(col("a_id").as("u"), col("b_id").as("v"))
       .filter(col("u") =!= col("v")).distinct())
     // set-equality probe as one aggregate, not an `except` anti-join (a
     // full extra shuffle per round — it doubled the round cost at sf0.1):

@@ -261,6 +261,34 @@ class PipelineSpec extends SparkSpec {
       Dedup.connectedComponents(pairs, maxRounds = 2).collect())
   }
 
+  test("connected components match a driver union-find on random graphs") {
+    val rnd = new scala.util.Random(8008)
+    for (_ <- 1 to 4) {
+      val n = 30 + rnd.nextInt(120)
+      val m = 1 + rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // driver union-find; union roots larger onto smaller, so every
+      // node's final root is its component's minimum id
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val present = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = present.map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"n=$n m=$m")
+    }
+  }
+
   test("fingerprint is deterministic and content-sensitive") {
     val fp = TextOps.textFingerprint(spark, sf)
     assert(fp.select("fingerprint").distinct().count() > 400)
