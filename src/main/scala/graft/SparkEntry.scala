@@ -27,6 +27,11 @@ object SparkEntry {
     "q18_top_buyers" -> (Analytics.q18TopBuyers _),
     "q22_idle_balance" -> (Analytics.q22IdleBalance _),
     "q2_min_cost" -> (Analytics.q2MinCost _),
+    "q7_nation_volume" -> (Analytics.q7NationVolume _),
+    "q8_market_share" -> (Analytics.q8MarketShare _),
+    "q13_order_counts" -> (Analytics.q13OrderCounts _),
+    "q14_promo_share" -> (Analytics.q14PromoShare _),
+    "q19_disc_revenue" -> (Analytics.q19DiscRevenue _),
   ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
     graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
@@ -50,6 +55,11 @@ object SparkEntry {
     "q18_top_buyers" -> Analytics.q18TopBuyersSql,
     "q22_idle_balance" -> Analytics.q22IdleBalanceSql,
     "q2_min_cost" -> Analytics.q2MinCostSql,
+    "q7_nation_volume" -> Analytics.q7NationVolumeSql,
+    "q8_market_share" -> Analytics.q8MarketShareSql,
+    "q13_order_counts" -> Analytics.q13OrderCountsSql,
+    "q14_promo_share" -> Analytics.q14PromoShareSql,
+    "q19_disc_revenue" -> Analytics.q19DiscRevenueSql,
   ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
     graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++

@@ -386,4 +386,178 @@ object Analytics {
       |        FROM lineitem JOIN part ON l_partkey = p_partkey) s) t
       |JOIN supplier ON l_suppkey = s_suppkey
       |WHERE rn = 1""".stripMargin
+
+  /** TPC-H Q7-shaped DUAL-ALIASED DIMENSION join: bilateral trade volume
+    * between two nations by ship year. The same 25-row nation table joins
+    * TWICE under different roles (supplier's nation, customer's nation) —
+    * the aliasing shape that breaks naive planners. Every dim broadcasts
+    * (nation twice, supplier, customer); the only shuffles are the
+    * lineitem⋈orders key join and the final 4-group agg — at 100 TB the
+    * fact table is scanned once and never shuffled by a dim key. The
+    * nation-pair predicate lands AFTER both broadcasts as an OR of ANDs
+    * on the two dim attributes. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val suppNation = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val custNation = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+        .cast("double").as("revenue"))
+  }
+
+  val q7NationVolumeSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')) t
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8-shaped MARKET-SHARE RATIO: one nation's share of PROMO-part
+    * revenue inside one region's market, by order year — the
+    * ratio-of-conditional-sums shape (numerator = CASE'd sum over the
+    * same rows as the denominator, so ONE aggregation computes both; no
+    * second scan, no self-join). part is pre-filtered before its
+    * broadcast, the customer-in-region filter rides the broadcast dim,
+    * and the supplier-nation CASE input is a broadcast attribute. The
+    * ratio divides two exact DECIMAL sums cast to DOUBLE — bit-identical
+    * across engines since both divide the same two IEEE doubles. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val promoPart = Tables.part(spark, dir)
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+    val regionCust = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.region(spark, dir), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_regionkey" === 0).select($"c_custkey")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val vol = $"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(promoPart), $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(regionCust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg((sum(when($"supp_nation" === "NATION_5", vol).otherwise(lit(0).cast(D)))
+        .cast("double") / sum(vol).cast("double")).as("mkt_share"))
+  }
+
+  val q8MarketShareSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CASE WHEN ns.n_name = 'NATION_5'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |JOIN region ON nc.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |WHERE p_type = 'PROMO' AND r_regionkey = 0
+      |GROUP BY year(o_orderdate)""".stripMargin
+
+  /** TPC-H Q13-shaped LEFT-JOIN COUNT DISTRIBUTION: how many customers
+    * placed exactly N (non-urgent) orders — INCLUDING the zero-order
+    * customers an inner join would drop. Aggregate-then-join: orders
+    * collapses to per-customer counts FIRST (one map-side-combined
+    * shuffle), and that tiny aggregate broadcasts into customer as a
+    * LEFT join with COALESCE(0) — the fact table never joins row-wise
+    * against customers, so the shape survives a fact table 1000× the
+    * customer dimension. */
+  def q13OrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(broadcast(perCust), $"c_custkey" === $"o_custkey", "left")
+      .select(coalesce($"n", lit(0L)).as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13OrderCountsSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, CAST(COALESCE(n, 0) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN (
+      |    SELECT o_custkey, COUNT(*) AS n FROM orders
+      |    WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey) t
+      |  ON c_custkey = o_custkey) d
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q14-shaped PROMO-SHARE: promo parts' percentage of one
+    * month's revenue. The month predicate pushes to the lineitem parquet
+    * scan (timestamp min/max row-group skipping); part broadcasts with
+    * only (key, type); numerator and denominator come out of ONE
+    * aggregation over the joined rows. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vol = $"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-03-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) *
+        sum(when($"p_type" === "PROMO", vol).otherwise(lit(0).cast(D))).cast("double") /
+        sum(vol).cast("double")).as("promo_revenue"))
+  }
+
+  val q14PromoShareSql: String =
+    """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q19-shaped OR-OF-ANDS over mixed join-side attributes: three
+    * (brand, size-range, quantity-range) disjuncts where each conjunct
+    * references BOTH tables. Catalyst splits the disjunction per side —
+    * the quantity envelope (qty ≤ 35) pushes into the lineitem scan and
+    * the brand/size envelope into the (broadcast) part scan — before the
+    * residual OR evaluates post-join; the pushdown-through-OR shape that
+    * separates real optimizers from naive ones. */
+  def q19DiscRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) && $"l_quantity".between(25, 35)))
+      .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+        .cast("double").as("revenue"))
+  }
+
+  val q19DiscRevenueSql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 25 AND 35)""".stripMargin
 }

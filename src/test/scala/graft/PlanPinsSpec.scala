@@ -179,6 +179,33 @@ class PlanPinsSpec extends SparkSpec {
     }
   }
 
+  test("q7/q8: dual-aliased dims all broadcast — one real fact shuffle (the agg)") {
+    for (n <- Seq("q7_nation_volume", "q8_market_share")) {
+      val p = planOf(n)
+      assert(!p.contains("SortMergeJoin"), s"$n shuffles the fact by a dim key")
+      assert(shuffles(p) === 1, s"$n: expected only the aggregate exchange")
+    }
+  }
+
+  test("q13_order_counts: aggregate-then-join — orders never joins row-wise") {
+    val p = planOf("q13_order_counts")
+    // per-customer counts collapse BEFORE the (broadcast) left join into
+    // customer; a SortMergeJoin here would mean the fact joined raw
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastExchange"))
+    assert(shuffles(p) <= 2) // orders groupBy + final 20-row distribution agg
+  }
+
+  test("q19_disc_revenue: OR-of-ANDs splits and pushes to BOTH scans") {
+    val p = planOf("q19_disc_revenue")
+    // the per-side envelopes must reach the parquet scans as PushedFilters
+    val liScan = p.linesIterator.find(l => l.contains("Scan parquet") && l.contains("lineitem")).get
+    val partScan = p.linesIterator.find(l => l.contains("Scan parquet") && l.contains("part.parquet")).get
+    assert(liScan.contains("l_quantity"), "quantity envelope not pushed to lineitem")
+    assert(partScan.contains("p_brand"), "brand/size envelope not pushed to part")
+    assert(shuffles(p) === 1) // the single-row aggregate only
+  }
+
   test("emb_pca is a zero-exchange single-scan partial aggregate") {
     // r5/r6 timing jitter on unchanged code — pin the shape so noise can
     // never be mistaken for a plan regression
