@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-fuzz the windowed as-of join against a brute-force
+  * join-then-argmax reference. The window formulation (union both sides,
+  * one key-partitioned scan, `last(..., ignoreNulls)`) is the shape that
+  * scales — but its correctness rests on subtle ordering details
+  * (right-before-left at equal t for the inclusive match, carry-forward
+  * across interleaved rows), so it gets the same treatment as the doc
+  * compilers: seeded random corpora with deliberate edge density —
+  * duplicate left times, right times exactly equal to left times, keys
+  * that exist on only one side, empty-right keys, heavy key skew.
+  */
+class AsOfFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join == brute-force argmax reference on 40 random corpora") {
+    val rnd = new Random(8151)
+    for (iter <- 1 to 40) {
+      val nKeys = 1 + rnd.nextInt(6)
+      // small time domain => many exact t collisions (the boundary case)
+      val tMax = 3 + rnd.nextInt(12)
+      val nLeft = 1 + rnd.nextInt(40)
+      val nRight = rnd.nextInt(30) // 0 => everything unmatched
+      val left = (1 to nLeft).map { i =>
+        (i.toLong, rnd.nextInt(nKeys).toLong, rnd.nextInt(tMax).toLong)
+      }.toDF("lid", "k", "t")
+      val right = (1 to nRight).map { _ =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(tMax).toLong)
+      }.distinct // contract: right unique per (key, time)
+        .map { case (k, t) => (k, t, s"v${k}_$t") }
+        .toDF("rk", "rt", "rv")
+
+      val got = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("rt", "rv"))
+        .select($"lid", $"rt", $"rv")
+        .as[(Long, Long, String)].collect().toSeq.sorted
+
+      // brute force: all right rows at-or-before, keep the latest
+      val want = left.join(right, $"k" === $"rk" && $"rt" <= $"t")
+        .groupBy($"lid")
+        .agg(max(struct($"rt", $"rv")).as("best"))
+        .select($"lid", $"best.rt", $"best.rv")
+        .as[(Long, Long, String)].collect().toSeq.sorted
+
+      assert(got === want, s"iter=$iter nKeys=$nKeys tMax=$tMax " +
+        s"nLeft=$nLeft nRight=$nRight")
+    }
+  }
+}
