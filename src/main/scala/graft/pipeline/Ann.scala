@@ -455,6 +455,73 @@ object Ann {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS BIGINT) AS rank
        |  FROM scored) t WHERE rank <= $K""".stripMargin
 
+  /** Per-vector nearest-centroid assignment WITH the winning similarity
+    * (the rank-1 argmax keeping its score): one broadcast of the C-row
+    * centroid table, one map-side-combinable aggregation on vec_id —
+    * the corpus never shuffles by cluster. Shared by the k-means stats
+    * and cluster-balanced sample below. */
+  private def assignWithSim(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("sim", cosine_sim(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("sim"), -col("cid"))).as("cid"),
+        max(col("sim")).as("sim"),
+        any_value(col("label")).as("label"))
+
+  /** K-MEANS CLUSTERING as a first-class corpus operator (the
+    * cluster-then-curate primitive behind SemDeDup-style pipelines):
+    * sample-trained spherical centroids (the cached IVF quantizer —
+    * training is a bounded driver problem at ANY corpus size), then one
+    * distributed assignment pass and per-cluster structure stats —
+    * size, cohesion (mean cosine to own centroid), dominant label and
+    * its purity. Plan: one corpus scan, the vec_id argmax aggregation,
+    * then a C-row rollup — no shuffle ever carries the embedding
+    * vectors beyond the first partial aggregate. Rows-only (centroids
+    * are not derivable in SQL); the assignment's argmax correctness and
+    * determinism are spec-pinned (KmeansSpec). */
+  def embKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val assigned = assignWithSim(e, ivfCentroids(e, 16))
+    val labelCounts = assigned.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("sim")).as("sim_sum"))
+    labelCounts.groupBy(col("cid"))
+      .agg(sum(col("n")).as("n_vecs"),
+        (sum(col("sim_sum")) / sum(col("n"))).as("cohesion"),
+        max_by(col("label"), struct(col("n"), -col("label"))).as("top_label"),
+        (max(struct(col("n"), -col("label"))).getField("n") / sum(col("n")))
+          .as("top_label_share"))
+      .select(col("cid"), col("n_vecs"), col("cohesion"),
+        col("top_label").cast("long").as("top_label"), col("top_label_share"))
+  }
+
+  /** CLUSTER-BALANCED DIVERSITY SAMPLE: k vectors per k-means cluster,
+    * chosen by decorrelated hash (deterministic "reservoir" semantics —
+    * repartition/rerun stable), so a curation pass keeps coverage of
+    * every embedding-space region instead of letting dominant clusters
+    * crowd out the tail — the diversity twin of frequency-weighted
+    * sampling. The per-cluster pick rides the exact mergeable
+    * `bottom_k_sample` aggregate: each map partition ships ≤ k 16-byte
+    * pairs per cluster into ONE shuffle; no cluster is ever sorted. */
+  def pipelineClusterSample(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val e = Tables.embeddings(spark, dir)
+    val assigned = assignWithSim(e, ivfCentroids(e, 16))
+      .withColumn("h", Curation.reservoirHash(col("vec_id")))
+    val sampled = assigned.groupBy(col("cid"))
+      .agg(graft.functions.GraftFunctions
+        .bottom_k_sample(col("h"), col("vec_id"), k).as("sample"))
+      .select(col("cid"), posexplode(col("sample")).as(Seq("r0", "e")))
+      .select(col("cid"), col("e.id").as("vec_id"),
+        (col("r0") + 1).cast("long").as("rn"))
+    // payload recovery: the ≤ C·k sampled ids broadcast back onto the RAW
+    // table (never the reverse — the corpus side is the 100 TB one, and
+    // label lives in the scan, so the assignment pass is not re-run)
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+      .join(broadcast(sampled), Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("rn"),
+        col("label").cast("long").as("label"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_filtered_topk" -> (annFilteredTopk _),
     "ann_cosine_topk" -> (annCosineTopk _),
@@ -462,6 +529,8 @@ object Ann {
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "ann_range_search" -> (annRangeSearch _),
+    "emb_kmeans" -> (embKmeans _),
+    "pipeline_cluster_sample" -> (pipelineClusterSample _),
   )
 
   val oracles: Map[String, String] = Map(

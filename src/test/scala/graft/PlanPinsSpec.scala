@@ -206,6 +206,19 @@ class PlanPinsSpec extends SparkSpec {
     assert(shuffles(p) === 1) // the single-row aggregate only
   }
 
+  test("emb_kmeans / pipeline_cluster_sample: centroids broadcast, few small shuffles") {
+    val pk = planOf("emb_kmeans")
+    // assignment argmax + two tiny rollups; the embedding vectors never
+    // ride an exchange beyond the first partial aggregate
+    assert(shuffles(pk) <= 3, pk)
+    assert(pk.contains("BroadcastExchange") || pk.contains("BroadcastNestedLoop"), pk)
+    assert(!pk.contains("CartesianProduct"), pk)
+    val ps = planOf("pipeline_cluster_sample")
+    assert(shuffles(ps) <= 2, ps) // assignment agg + bottom-k agg
+    assert(ps.contains("partial_bottomksample"), ps)
+    assert(!ps.contains("CartesianProduct"), ps)
+  }
+
   test("emb_pca is a zero-exchange single-scan partial aggregate") {
     // r5/r6 timing jitter on unchanged code — pin the shape so noise can
     // never be mistaken for a plan regression
