@@ -554,7 +554,76 @@ object Curation {
     manifest
   }
 
+  /** DSIR-style IMPORTANCE SCORING (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by the mean
+    * hashed-unigram log-likelihood ratio between a TARGET distribution
+    * (here the `lang='en'` slice) and the RAW corpus distribution —
+    * positive scores read "more target-like than average"; selection is
+    * then any top-k / threshold over the score.
+    *
+    * The 100 TB shape: tokens bucket to B=256 hashed features, so BOTH
+    * distributions come out of ONE map-side-combined aggregation over
+    * the exploded tokens (the target count is a CASE inside the same
+    * groupBy — no second corpus pass); the ≤B-row λ table broadcasts
+    * back and the per-doc score is one more combinable aggregation.
+    * Nothing driver-side ever exceeds B rows.
+    *
+    * Oracle-exact despite the logs: the bucket hash is the cross-engine
+    * polynomial fingerprint (exact integer math), each λ_b is rounded to
+    * 9 decimals and summed as DECIMAL(18,9) (exact, order-independent),
+    * and only the final mean is an IEEE division — the same discipline
+    * that keeps `text_unigram_lm` hash-identical to DuckDB. Add-1
+    * smoothing keeps every bucket finite. */
+  def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b",
+        expr("aggregate(split(tok, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007L)") % B)
+    val counts = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+    // totals via an unbounded window over the ≤B-row counts table (one
+    // tiny single-partition exchange) so the token-bucket aggregation —
+    // a full corpus pass — is evaluated ONCE, not re-run per consumer
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lambda = counts
+      .withColumn("r_tot", sum(col("cr")).over(wAll))
+      .withColumn("t_tot", sum(col("ct")).over(wAll))
+      .select(col("b"),
+        round(log((col("ct") + 1).cast("double") / (col("t_tot") + B)) -
+          log((col("cr") + 1).cast("double") / (col("r_tot") + B)), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lam"))
+    toks.join(broadcast(lambda), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lam")).cast("double") / count(lit(1)), 6).as("dsir_score"))
+  }
+
+  val pipelineDsirSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(1, length(tok) + 1), i -> CAST(ascii(tok[i]) AS BIGINT))),
+      |      (acc, c) -> (acc * 31 + c) % 1000000007) % 256 AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents)),
+      |c AS (
+      |  SELECT b, COUNT(*) AS cr,
+      |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      |  FROM t GROUP BY b),
+      |tot AS (SELECT SUM(cr) AS r_tot, SUM(ct) AS t_tot FROM c),
+      |lam AS (
+      |  SELECT b,
+      |    CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (t_tot + 256))
+      |             - ln(CAST(cr + 1 AS DOUBLE) / (r_tot + 256)), 9) AS DECIMAL(18,9)) AS lam
+      |  FROM c, tot)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  round(CAST(SUM(lam) AS DOUBLE) / COUNT(*), 6) AS dsir_score
+      |FROM t JOIN lam USING (b) GROUP BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dsir" -> (pipelineDsir _),
     "pipeline_pack_spans" -> (pipelinePackSpans _),
     "pipeline_reservoir" -> (pipelineReservoir _),
     "pipeline_e2e" -> (pipelineE2e _),
@@ -572,6 +641,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dsir" -> pipelineDsirSql,
     "pipeline_pack_spans" -> pipelinePackSpansSql,
     "pipeline_reservoir" -> pipelineReservoirSql,
     "pipeline_e2e" -> pipelineE2eSql,

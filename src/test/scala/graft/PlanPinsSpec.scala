@@ -219,6 +219,16 @@ class PlanPinsSpec extends SparkSpec {
     assert(!ps.contains("CartesianProduct"), ps)
   }
 
+  test("pipeline_dsir: two corpus passes (λ + score), bucket agg evaluated once") {
+    val p = planOf("pipeline_dsir")
+    // DSIR is inherently two-pass (the λ table needs a full token count
+    // before scoring) — but never three: the totals window must not
+    // re-run the bucket aggregation
+    assert(p.linesIterator.count(_.contains("Scan parquet")) === 2, p)
+    assert(shuffles(p) <= 3, p) // bucket agg + 256-row totals window + doc agg
+    assert(p.contains("BroadcastExchange"), p) // λ broadcasts back
+  }
+
   test("emb_pca is a zero-exchange single-scan partial aggregate") {
     // r5/r6 timing jitter on unchanged code — pin the shape so noise can
     // never be mistaken for a plan regression
