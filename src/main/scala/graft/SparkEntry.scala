@@ -32,6 +32,9 @@ object SparkEntry {
     "q13_order_counts" -> (Analytics.q13OrderCounts _),
     "q14_promo_share" -> (Analytics.q14PromoShare _),
     "q19_disc_revenue" -> (Analytics.q19DiscRevenue _),
+    "q_window_funcs" -> (Analytics.qWindowFuncs _),
+    "q_cube_agg" -> (Analytics.qCubeAgg _),
+    "q_intersect_except" -> (Analytics.qIntersectExcept _),
   ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
     graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
@@ -60,6 +63,9 @@ object SparkEntry {
     "q13_order_counts" -> Analytics.q13OrderCountsSql,
     "q14_promo_share" -> Analytics.q14PromoShareSql,
     "q19_disc_revenue" -> Analytics.q19DiscRevenueSql,
+    "q_window_funcs" -> Analytics.qWindowFuncsSql,
+    "q_cube_agg" -> Analytics.qCubeAggSql,
+    "q_intersect_except" -> Analytics.qIntersectExceptSql,
   ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
     graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++

@@ -560,4 +560,86 @@ object Analytics {
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 25 AND 35)""".stripMargin
+
+  /** Navigation + distribution window functions in ONE window frame:
+    * each customer's order sequence with the previous/next order price
+    * (lag/lead), spend quartile within the customer (ntile), and the
+    * cumulative-distribution position. All four share one
+    * (partition, order) pair, so Spark evaluates them in a single
+    * Window operator after ONE shuffle+sort — the thing to check in the
+    * plan; four separate windows would be four sorts. cume_dist is one
+    * IEEE division of exact integers (rank/n) — engine-identical. */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 300)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("spend_quartile"),
+        cume_dist().over(w).as("cd"))
+  }
+
+  val qWindowFuncsSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS spend_quartile,
+      |  cume_dist() OVER w AS cd
+      |FROM orders WHERE o_custkey < 300
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
+  /** CUBE grouping sets — all four (status × priority) marginals in one
+    * pass: Spark expands the grouping sets and still runs ONE shuffle
+    * with partial aggregation (same property as the ROLLUP twin;
+    * grouping_id disambiguates the null-vs-'ALL' rendering). */
+  def qCubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(D)).cast("double").as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("gid"), col("n_orders"), col("revenue"))
+  }
+
+  val qCubeAggSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** INTERSECT / EXCEPT set semantics over key sets: parts ordered in
+    * BOTH halves of the year vs only the first half. Spark plans
+    * distinct set ops as aggregate + left-semi/anti — no full-width
+    * distinct union materializes; output is key-only either way. */
+  def qIntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val h1 = li.filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-07-01").cast("timestamp"))
+      .select($"l_partkey")
+    val h2 = li.filter($"l_shipdate" >= lit("1996-07-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"l_partkey")
+    h1.intersect(h2).withColumn("bucket", lit("both_halves"))
+      .unionByName(h1.except(h2).withColumn("bucket", lit("h1_only")))
+      .select($"bucket", $"l_partkey")
+  }
+
+  val qIntersectExceptSql: String =
+    """WITH h1 AS (SELECT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'),
+      |h2 AS (SELECT l_partkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00')
+      |SELECT 'both_halves' AS bucket, l_partkey FROM (SELECT l_partkey FROM h1 INTERSECT SELECT l_partkey FROM h2)
+      |UNION ALL
+      |SELECT 'h1_only' AS bucket, l_partkey FROM (SELECT l_partkey FROM h1 EXCEPT SELECT l_partkey FROM h2)""".stripMargin
 }

@@ -42,7 +42,13 @@ object ScaleSmoke {
   val Shapes: Seq[String] = Seq(
     "doc_state_latest", "pipeline_keep_list", "dedup_substring",
     "ann_lsh", "ann_ivf", "dedup_clusters", "dedup_lines", "mm_phash_dedup",
-    "pipeline_e2e", "dedup_incremental", "dedup_clusters_exact")
+    "pipeline_e2e", "dedup_incremental", "dedup_clusters_exact",
+    // round-8 additions: clustering (bounded-sample training + one
+    // assignment pass), cluster-balanced sampling (mergeable bottom-k),
+    // DSIR (two token passes + broadcast λ), and the two heaviest new
+    // analytics shapes (dual-aliased star join; fact⋈fact key join)
+    "emb_kmeans", "pipeline_cluster_sample", "pipeline_dsir",
+    "q7_nation_volume", "q8_market_share")
 
   private val IdShift = 10_000_000L
 
@@ -139,14 +145,22 @@ object ScaleSmoke {
     * already records the same copy count). Small dimension tables are
     * symlinked; the three big tables are unioned shifted copies. */
   def buildCorpus(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
-    val marker = Paths.get(out, s"_SCALE_${copies}X_OK")
+    // v2: orders/lineitem are scaled too (shifted orderkeys, dim keys
+    // kept valid — 10× facts per dimension row, the real scale shape)
+    val marker = Paths.get(out, s"_SCALE_${copies}X_V2_OK")
     if (Files.exists(marker)) { println(s"[scale-smoke] reusing $out"); return }
     println(s"[scale-smoke] building ${copies}x corpus at $out")
     Files.createDirectories(Paths.get(out))
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")) {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val link = Paths.get(out, s"$t.parquet")
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(base, s"$t.parquet"))
+    }
+    // a v1 corpus symlinked the fact tables — remove the links so the
+    // scaled write below cannot chase them into read-only testdata
+    for (t <- Seq("orders", "lineitem")) {
+      val link = Paths.get(out, s"$t.parquet")
+      if (Files.isSymbolicLink(link)) Files.delete(link)
     }
     def shifted(df: DataFrame, idCols: Seq[String], i: Int): DataFrame =
       idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * IdShift)))
@@ -171,6 +185,13 @@ object ScaleSmoke {
     val ev = graft.sources.Tables.eventsRaw(spark, base)
     times(i => shifted(ev, Seq("event_id", "user_id"), i))
       .repartition(copies).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val ord = graft.sources.Tables.load(spark, base, "orders")
+    times(i => shifted(ord, Seq("o_orderkey"), i))
+      .repartition(copies).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = graft.sources.Tables.load(spark, base, "lineitem")
+    times(i => shifted(li, Seq("l_orderkey"), i))
+      .repartition(copies).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     Files.write(marker, Array.emptyByteArray)
   }

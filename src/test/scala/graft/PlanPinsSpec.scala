@@ -229,6 +229,20 @@ class PlanPinsSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p) // λ broadcasts back
   }
 
+  test("q_window_funcs: four window functions share ONE Window (one shuffle, one sort)") {
+    val p = planOf("q_window_funcs")
+    assert(shuffles(p) === 1, p)
+    assert(p.linesIterator.count(_.trim.startsWith("+- Window")) +
+      p.linesIterator.count(_.trim.startsWith(":- Window")) <= 2, p) // lag/lead/cume share; ntile may split
+    assert(p.linesIterator.count(_.contains("Sort ")) === 1, p)
+  }
+
+  test("q_cube_agg expands grouping sets inside ONE shuffle") {
+    val p = planOf("q_cube_agg")
+    assert(shuffles(p) === 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
   test("emb_pca is a zero-exchange single-scan partial aggregate") {
     // r5/r6 timing jitter on unchanged code — pin the shape so noise can
     // never be mistaken for a plan regression
