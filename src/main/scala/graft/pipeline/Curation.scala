@@ -574,13 +574,24 @@ object Curation {
     * and only the final mean is an IEEE division — the same discipline
     * that keeps `text_unigram_lm` hash-identical to DuckDB. Add-1
     * smoothing keeps every bucket finite. */
-  def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
-    val B = 256
+  /** Number of hashed-unigram feature buckets for DSIR. */
+  val DsirBuckets = 256
+
+  /** The cross-engine token bucket: polynomial fingerprint mod B (exact
+    * integer math in Spark `aggregate` and DuckDB `list_reduce` alike). */
+  def dsirBucket(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(split(tok, ""), lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % 1000000007L) % DsirBuckets
+
+  /** The trained DSIR model artifact: per-bucket log-likelihood ratio λ
+    * (≤B rows) between the target slice and the raw corpus — the thing a
+    * real deployment trains once batch-side and ships to scorers (see
+    * `Streaming.dsirScoreStream` for the streaming consumer). */
+  def dsirLambda(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("tok"))
-      .withColumn("b",
-        expr("aggregate(split(tok, ''), 0L, (acc, c) -> (acc * 31 + ascii(c)) % 1000000007L)") % B)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", dsirBucket(col("tok")))
     val counts = toks.groupBy(col("b"))
       .agg(count(lit(1)).as("cr"),
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
@@ -588,14 +599,20 @@ object Curation {
     // tiny single-partition exchange) so the token-bucket aggregation —
     // a full corpus pass — is evaluated ONCE, not re-run per consumer
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val lambda = counts
+    counts
       .withColumn("r_tot", sum(col("cr")).over(wAll))
       .withColumn("t_tot", sum(col("ct")).over(wAll))
       .select(col("b"),
         round(log((col("ct") + 1).cast("double") / (col("t_tot") + B)) -
           log((col("cr") + 1).cast("double") / (col("r_tot") + B)), 9)
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lam"))
-    toks.join(broadcast(lambda), Seq("b"))
+  }
+
+  def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", dsirBucket(col("tok")))
+    toks.join(broadcast(dsirLambda(spark, dir)), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("lam")).cast("double") / count(lit(1)), 6).as("dsir_score"))

@@ -105,6 +105,45 @@ object Streaming {
         col("event_type"), col("value"), col("c_name"), col("c_mktsegment"))
   }
 
+  /** Raw on-disk schema of documents.parquet. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
+  /** STREAMING DSIR SCORING — the train-batch / score-stream pattern:
+    * the λ table `Curation.dsirLambda` trains batch-side (a bounded ≤B-row
+    * model artifact), collapses to a B-slot array literal, and every
+    * arriving document is scored STATELESSLY inside whole-stage codegen —
+    * per-row HOFs over the token array, no explode, no aggregation state,
+    * no state store, nothing to checkpoint beyond the source offset. This
+    * is the shape streaming inference wants at any scale: model broadcast
+    * as a literal, scoring embarrassingly parallel. Tokens hashing to
+    * buckets unseen in training are excluded from both the sum and the
+    * token count — exactly the batch query's inner-join semantics
+    * (spec-pinned equal to `pipeline_dsir` on the same docs). */
+  def dsirScoreStream(spark: SparkSession, dir: String,
+      lamByBucket: Map[Long, Double]): DataFrame = {
+    val B = graft.pipeline.Curation.DsirBuckets
+    val lamArr = array((0 until B).map(b =>
+      lamByBucket.get(b.toLong).map(lit)
+        .getOrElse(lit(null).cast("double"))): _*)
+    readDocStream(spark, dir)
+      .withColumn("__lams",
+        filter(
+          transform(split(col("text"), " "), t =>
+            element_at(lamArr, (graft.pipeline.Curation.dsirBucket(t) + 1).cast("int"))),
+          x => x.isNotNull))
+      .select(col("doc_id"),
+        size(col("__lams")).cast("long").as("n_tokens"),
+        round(aggregate(col("__lams"), lit(0.0), (acc, x) => acc + x) /
+          size(col("__lams")), 6).as("dsir_score"))
+  }
+
   /** Streaming heavy hitters — the same mergeable Misra-Gries sketch as
     * the batch `evt_approx_topk`, maintained INCREMENTALLY as streaming
     * aggregation state: each micro-batch's partial sketches merge into

@@ -20,6 +20,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless streaming DSIR scorer matches the batch scores") {
+    val lam = graft.pipeline.Curation.dsirLambda(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    val q = Streaming.dsirScoreStream(spark, sf, lam)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream").start()
+    try {
+      q.processAllAvailable()
+      // the streaming plan is stateless: no state store operator at all
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"))
+      val got = spark.table("dsir_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val want = graft.pipeline.Curation.pipelineDsir(spark, sf).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.keySet === want.keySet)
+      want.foreach { case (id, (n, score)) =>
+        val (gn, gscore) = got(id)
+        assert(gn === n, s"doc $id token count")
+        // batch sums rounded-λ decimals exactly; the stream sums the same
+        // rounded values as doubles in token order — equal to 1e-6 after
+        // both round to 6 decimals
+        assert(math.abs(gscore - score) <= 1e-6, s"doc $id: $gscore vs $score")
+      }
+    } finally q.stop()
+  }
+
   test("stream-static dim join matches the batch join and carries no state store") {
     val q = Streaming.joinDims(spark, sf)
       .writeStream.outputMode("append")
