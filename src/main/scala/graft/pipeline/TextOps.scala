@@ -231,6 +231,51 @@ object TextOps {
       |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
       |FROM t JOIN lp USING (tok) GROUP BY doc_id""".stripMargin
 
+  /** BIGRAM language-model score — the next tier of the perplexity-filter
+    * ladder: avg log p(w₂|w₁) under the corpus's own conditional bigram
+    * MLE (every observed bigram has count ≥ 1, so logs stay finite
+    * without smoothing). Bigrams come from ONE per-row HOF (adjacent-pair
+    * transform — no positional self-join, no second explode pass), then
+    * two count aggregations; the conditional-probability table joins back
+    * on the bigram key. Unlike the unigram's vocab-sized table, the
+    * bigram table scales with corpus vocabulary² — so it is NOT forced
+    * broadcast; the join shuffles both sides by bigram key (AQE picks
+    * broadcast when it fits). Same exactness discipline: per-bigram log
+    * rounded to 9dp once, summed as DECIMAL, one final IEEE mean. */
+  def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, concat(t[i-1], ' ', t[i]) AS big))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.big").as("big"))
+    val bigCounts = bg.groupBy(col("big")).agg(count(lit(1)).as("n12"))
+    val prefixCounts = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    val lp = bigCounts
+      .join(prefixCounts, substring_index(col("big"), " ", 1) === col("w1"))
+      .select(col("big"),
+        round(log(col("n12").cast("double") / col("n1").cast("double")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lp"))
+    bg.join(lp, Seq("big"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("avg_logprob"))
+  }
+
+  val textBigramLmSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS big
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |       LATERAL (SELECT unnest(range(1, length(t))) AS i)),
+      |c12 AS (SELECT big, count(*) AS n12 FROM b GROUP BY 1),
+      |c1 AS (SELECT w1, count(*) AS n1 FROM b GROUP BY 1),
+      |lp AS (SELECT big,
+      |  CAST(round(ln(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
+      |  FROM c12 JOIN c1 ON string_split(big, ' ')[1] = w1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+      |FROM b JOIN lp USING (big) GROUP BY doc_id""".stripMargin
+
   /** Character-level statistics + Simpson repeat-probability (the
     * probability two random character draws coincide — a log-free
     * diversity measure: every compared value is either exact integer
@@ -372,6 +417,7 @@ object TextOps {
     "text_url_stats" -> (textUrlStats _),
     "text_char_stats" -> (textCharStats _),
     "text_unigram_lm" -> (textUnigramLm _),
+    "text_bigram_lm" -> (textBigramLm _),
     "text_repetition" -> (textRepetition _),
     "text_pii_scrub" -> (textPiiScrub _),
     "text_langid" -> (textLangid _),
@@ -385,6 +431,7 @@ object TextOps {
     "text_url_stats" -> textUrlStatsSql,
     "text_char_stats" -> textCharStatsSql,
     "text_unigram_lm" -> textUnigramLmSql,
+    "text_bigram_lm" -> textBigramLmSql,
     "text_repetition" -> textRepetitionSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_langid" -> textLangidSql,
