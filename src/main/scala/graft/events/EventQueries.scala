@@ -25,16 +25,16 @@ object EventQueries {
 
   private val D = DecimalType(18, 2)
 
-  /** Time-range scan. Filters on the RAW nanos long so they reach the
-    * parquet scan as pushed filters (row-group pruning at 100 TB); the
-    * timestamp is materialized only for surviving rows. */
+  /** Time-range scan. Filters on the RAW on-disk ts (TIMESTAMP_NTZ) so
+    * the bounds reach the parquet scan as pushed filters (row-group
+    * pruning at 100 TB); the session-UTC timestamp is materialized only
+    * for surviving rows. */
   def evtTimeRange(spark: SparkSession, dir: String): DataFrame = {
-    val lo = 1704672000000000000L // 2024-01-08T00:00:00Z in ns
-    val hi = 1705276800000000000L // 2024-01-15T00:00:00Z
+    val lo = lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+    val hi = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
     Tables.eventsRaw(spark, dir)
       .filter(col("ts") >= lo && col("ts") < hi)
-      .select(col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
   }
 
@@ -554,15 +554,16 @@ object EventQueries {
 
   /** Weekly retention cohorts: users grouped by first-activity week,
     * counted at each later activity-week offset. Week ids are exact
-    * integer division of epoch microseconds (DuckDB TIMESTAMP is µs, so
-    * the raw-nanos side divides by 1000 first). Shape: one shuffle on
-    * user_id folds each user to (first week, distinct weeks) — per-user
-    * state is bounded by the corpus timespan in weeks, never event count
-    * — then one small re-aggregation on (cohort, offset). */
+    * integer division of epoch microseconds (`unix_micros` here,
+    * `epoch_us` in DuckDB — both exact BIGINT µs of the same instant).
+    * Shape: one shuffle on user_id folds each user to (first week,
+    * distinct weeks) — per-user state is bounded by the corpus timespan
+    * in weeks, never event count — then one small re-aggregation on
+    * (cohort, offset). */
   def evtRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
     val usPerWeek = 604800000000L
-    Tables.eventsRaw(spark, dir)
-      .select(col("user_id"), expr(s"(ts div 1000) div $usPerWeek").as("wk"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $usPerWeek").as("wk"))
       .groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort_wk"), collect_set(col("wk")).as("wks"))
       .select(col("cohort_wk"), explode(col("wks")).as("wk"))
@@ -822,8 +823,8 @@ object EventQueries {
     * cohorts. */
   def evtRollingDau(spark: SparkSession, dir: String): DataFrame = {
     val usPerDay = 86400000000L
-    val daily = Tables.eventsRaw(spark, dir)
-      .select(col("user_id"), expr(s"(ts div 1000) div $usPerDay").as("day"))
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $usPerDay").as("day"))
       .distinct()
     val dau1 = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val roll = daily

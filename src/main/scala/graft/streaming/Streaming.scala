@@ -16,10 +16,11 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Raw on-disk schema of events.parquet (ts = TIMESTAMP(NANOS), read as
-    * nanos-long under the legacy conf the batch reader also sets). */
+  /** Raw on-disk schema of events.parquet (ts = TIMESTAMP(MICROS)
+    * without UTC adjustment → TIMESTAMP_NTZ; the intake converts it to
+    * the library's internal epoch-nanos long before `.as[Ev]`). */
   val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -36,13 +37,17 @@ object Streaming {
   def readEventStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet", filesPerTrigger: Int = 0): Dataset[Ev] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file-stream source wants a directory; glob-filter to the table
     val r = spark.readStream.schema(eventSchema)
       .option("pathGlobFilter", glob)
     val r2 = if (filesPerTrigger > 0)
       r.option("maxFilesPerTrigger", filesPerTrigger.toString) else r
-    r2.parquet(dir).as[Ev]
+    // normalize to the internal epoch-nanos convention at intake: one
+    // codegen'd projection (session tz is pinned UTC, so the NTZ cast is
+    // instant-preserving), everything stateful downstream stays integer
+    r2.parquet(dir)
+      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      .as[Ev]
   }
 
   /** Sentinel default clock for `withTtl` and the intake entry points:

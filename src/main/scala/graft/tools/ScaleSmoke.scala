@@ -61,6 +61,7 @@ object ScaleSmoke {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -74,7 +75,6 @@ object ScaleSmoke {
     // is timed below.
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq(base, scaled).foreach { d =>
-      // eventsRaw sets the nanosAsLong conf the TIMESTAMP(NANOS) column needs
       graft.sources.Tables.eventsRaw(spark, d).foreach(_ => ())
       Seq("documents", "embeddings").foreach(t =>
         graft.sources.Tables.load(spark, d, t).foreach(_ => ()))
@@ -180,8 +180,8 @@ object ScaleSmoke {
     times(i => shifted(emb, Seq("vec_id"), i))
       .repartition(copies).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // raw read keeps ts as int64 nanos; the rewritten column round-trips
-    // through Tables.eventsRaw identically
+    // raw read keeps ts in its on-disk form (TIMESTAMP_NTZ); the
+    // rewritten column round-trips through Tables.eventsRaw identically
     val ev = graft.sources.Tables.eventsRaw(spark, base)
     times(i => shifted(ev, Seq("event_id", "user_id"), i))
       .repartition(copies).write.mode("overwrite").parquet(s"$out/events.parquet")

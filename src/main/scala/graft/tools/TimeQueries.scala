@@ -24,7 +24,6 @@ object TimeQueries {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // eventsRaw sets the nanosAsLong conf the TIMESTAMP(NANOS) column needs
     graft.sources.Tables.eventsRaw(spark, sfDir).foreach(_ => ())
     names.foreach { name =>
       val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))

@@ -53,8 +53,8 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("dim_join")
-      val want = graft.sources.Tables.eventsRaw(spark, sf)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      val want = graft.sources.Tables.events(spark, sf)
+        .withColumn("ets", col("ts"))
         .join(graft.sources.Tables.customer(spark, sf),
           col("user_id") === col("c_custkey"), "left")
         .select(col("event_id"), col("ets"), col("user_id"),
@@ -122,8 +122,8 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("ss_join")
-      val ev = graft.sources.Tables.eventsRaw(spark, sf)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      val ev = graft.sources.Tables.events(spark, sf)
+        .withColumn("ets", col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ets").as("c_ets"))
@@ -208,8 +208,8 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("sessions_ttl")
       val gapUs = 1800L * 1000000
       // final watermark = max event time - 1h delay
-      val wmUs = graft.sources.Tables.eventsRaw(spark, sf)
-        .agg(max(col("ts"))).collect()(0).getLong(0) / 1000L - 3600L * 1000000
+      val wmUs = graft.sources.Tables.events(spark, sf)
+        .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) - 3600L * 1000000
       val w = Window.partitionBy(col("user_id"))
       // expected: every closed batch session, PLUS each user's open last
       // session once it idled past the watermark — i.e. everything except
@@ -300,8 +300,8 @@ class StreamingSpec extends SparkSpec {
   test("TTL at intake drops expired events before state and sink") {
     import org.apache.spark.sql.functions._
     // nanos head of the fixture stream; TTL = trailing 3 days from it
-    val maxTs = graft.sources.Tables.eventsRaw(spark, sf)
-      .agg(max(col("ts"))).collect()(0).getLong(0)
+    val maxTs = graft.sources.Tables.events(spark, sf)
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) * 1000L
     val ttl = 3L * 24 * 3600 * 1000000000L
     val cutoff = maxTs - ttl
     // docState with TTL equals the batch latest-wins fold over ONLY the
@@ -313,15 +313,15 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val got = spark.table("doc_state_ttl")
+      val evNs = graft.sources.Tables.events(spark, sf)
+        .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       assert(got.filter(col("last_ts") < cutoff).count() === 0)
-      val wantKeys = graft.sources.Tables.eventsRaw(spark, sf)
+      val wantKeys = evNs
         .filter(col("ts") >= cutoff).select("user_id").distinct().count()
       assert(got.count() === wantKeys && wantKeys > 0)
       // and the TTL really excluded something
-      assert(wantKeys < graft.sources.Tables.eventsRaw(spark, sf)
-        .select("user_id").distinct().count() ||
-        graft.sources.Tables.eventsRaw(spark, sf)
-          .filter(col("ts") < cutoff).count() > 0)
+      assert(wantKeys < evNs.select("user_id").distinct().count() ||
+        evNs.filter(col("ts") < cutoff).count() > 0)
     } finally q.stop()
     // the GraftDB intake path enforces the same TTL: no expired event_id
     // lands in the collection
@@ -332,11 +332,11 @@ class StreamingSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     val landed = db.collection("rt", "events_ttl").df
       .select(get_json_object(col("doc"), "$.event_id").cast("long").as("event_id"))
-    val expired = graft.sources.Tables.eventsRaw(spark, sf)
-      .filter(col("ts") < cutoff).select("event_id")
+    val evNs2 = graft.sources.Tables.events(spark, sf)
+      .withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    val expired = evNs2.filter(col("ts") < cutoff).select("event_id")
     assert(landed.join(expired, Seq("event_id"), "left_semi").count() === 0)
-    val unexpired = graft.sources.Tables.eventsRaw(spark, sf)
-      .filter(col("ts") >= cutoff).count()
+    val unexpired = evNs2.filter(col("ts") >= cutoff).count()
     assert(landed.count() === unexpired)
   }
 
