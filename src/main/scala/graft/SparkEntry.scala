@@ -35,6 +35,15 @@ object SparkEntry {
     "q_window_funcs" -> (Analytics.qWindowFuncs _),
     "q_cube_agg" -> (Analytics.qCubeAgg _),
     "q_intersect_except" -> (Analytics.qIntersectExcept _),
+    "q4_order_priority" -> (Analytics.q4OrderPriority _),
+    "q9_product_profit" -> (Analytics.q9ProductProfit _),
+    "q10_returned_revenue" -> (Analytics.q10ReturnedRevenue _),
+    "q11_part_value_share" -> (Analytics.q11PartValueShare _),
+    "q12_priority_shipping" -> (Analytics.q12PriorityShipping _),
+    "q15_top_supplier" -> (Analytics.q15TopSupplier _),
+    "q16_supplier_cnt" -> (Analytics.q16SupplierCnt _),
+    "q20_excess_suppliers" -> (Analytics.q20ExcessSuppliers _),
+    "q21_waiting_supplier" -> (Analytics.q21WaitingSupplier _),
   ) ++ graft.docstore.DocQueries.all ++ graft.events.EventQueries.all ++
     graft.pipeline.TextOps.all ++ graft.pipeline.Dedup.all ++
     graft.pipeline.Ann.all ++ graft.pipeline.Multimodal.all ++
@@ -66,6 +75,15 @@ object SparkEntry {
     "q_window_funcs" -> Analytics.qWindowFuncsSql,
     "q_cube_agg" -> Analytics.qCubeAggSql,
     "q_intersect_except" -> Analytics.qIntersectExceptSql,
+    "q4_order_priority" -> Analytics.q4OrderPrioritySql,
+    "q9_product_profit" -> Analytics.q9ProductProfitSql,
+    "q10_returned_revenue" -> Analytics.q10ReturnedRevenueSql,
+    "q11_part_value_share" -> Analytics.q11PartValueShareSql,
+    "q12_priority_shipping" -> Analytics.q12PriorityShippingSql,
+    "q15_top_supplier" -> Analytics.q15TopSupplierSql,
+    "q16_supplier_cnt" -> Analytics.q16SupplierCntSql,
+    "q20_excess_suppliers" -> Analytics.q20ExcessSuppliersSql,
+    "q21_waiting_supplier" -> Analytics.q21WaitingSupplierSql,
   ) ++ graft.docstore.DocQueries.oracles ++ graft.events.EventQueries.oracles ++
     graft.pipeline.TextOps.oracles ++ graft.pipeline.Dedup.oracles ++
     graft.pipeline.Ann.oracles ++ graft.pipeline.Multimodal.oracles ++

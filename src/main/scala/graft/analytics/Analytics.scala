@@ -642,4 +642,335 @@ object Analytics {
       |SELECT 'both_halves' AS bucket, l_partkey FROM (SELECT l_partkey FROM h1 INTERSECT SELECT l_partkey FROM h2)
       |UNION ALL
       |SELECT 'h1_only' AS bucket, l_partkey FROM (SELECT l_partkey FROM h1 EXCEPT SELECT l_partkey FROM h2)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // The remaining TPC-H planner shapes (Q4/Q9/Q10/Q11/Q12/Q15/Q16/Q20/
+  // Q21), adapted to this star schema (no partsupp, no commit/receipt
+  // dates, no shipmode) while keeping each query's DISTINCT optimizer
+  // shape — that shape, not the literal predicate, is what must survive
+  // a 100 TB deployment.
+  // -------------------------------------------------------------------
+
+  /** Q4 shape — EXISTS with a correlated NON-EQUI predicate, then agg:
+    * orders placed in 1996-Q3 that had at least one line shipped after
+    * the order date, counted per priority. The semi-join carries the
+    * `l_shipdate > o_orderdate` condition INTO the join (no pre-agg of
+    * lineitem, no distinct): Spark evaluates it as a LeftSemi with a
+    * mixed equi + range condition, so lineitem rows short-circuit at
+    * first match and nothing wider than (orderkey, shipdate) shuffles. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-07-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-10-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    ord.join(li, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate",
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Q9 shape — multi-dim profit rollup with a LIKE-filtered part dim and
+    * TWO fact tables: lineitem joins orders (the one legitimate fact-fact
+    * shuffle, on the orderkey both sides already produce) for the order
+    * year, while part (LIKE-pruned before the join) / supplier / nation
+    * ride broadcasts. Profit aggregates per (supplier nation, year) in
+    * exact decimal. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val boltParts = Tables.part(spark, dir)
+      .filter($"p_name".contains("bolt")).select($"p_partkey")
+    val supNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(boltParts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(supNation), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").cast("long").as("o_year"))
+      .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+        .cast("double").as("profit"))
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY n_name, YEAR(o_orderdate)""".stripMargin
+
+  /** Q10 shape — returned-item revenue top-20: the fact-fact join
+    * (lineitem 'R' flag ⋈ quarter of orders) shuffles once on orderkey,
+    * the per-customer rollup reuses nothing wider than the group keys,
+    * and customer/nation resolve AFTER the aggregation on the ~20-row
+    * side — at 100 TB the wide customer row never rides the fact
+    * shuffle. Deterministic top-k via (revenue desc, custkey) →
+    * TakeOrderedAndProject. */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", ($"l_extendedprice".cast(D) *
+        (lit(1).cast(D) - $"l_discount".cast(D))).as("disc_price"))
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"disc_price").cast("double").as("revenue"))
+    rev.join(broadcast(Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_name", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"revenue")
+      .orderBy($"revenue".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  val q10ReturnedRevenueSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  /** Q11 shape — group-agg HAVING against a GLOBAL scalar: per-part
+    * shipped value, kept only when above the MEAN part value (Q11's
+    * fixed fraction is not scale-free: at 10× the parts every share
+    * halves and a constant cutoff empties the result). The scalar —
+    * (total, part count) from the same aggregation pass — re-reads as a
+    * one-row broadcast (cross-join, the q22 precedent), and the
+    * threshold is exact cross-multiplication (`value * n_parts >
+    * total`, decimal × bigint), so no engine-specific float rounding
+    * can flip a boundary part. */
+  def q11PartValueShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice".cast(D)).as("value"))
+    val total = perPart.agg(sum($"value").as("total"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter($"value" * $"n_parts" > $"total")
+      .select($"l_partkey", $"value".cast("double").as("part_value"))
+  }
+
+  val q11PartValueShareSql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+      |FROM per_part
+      |WHERE value * (SELECT COUNT(*) FROM per_part) > (SELECT SUM(value) FROM per_part)""".stripMargin
+
+  /** Q12 shape — fact-fact join feeding CONDITIONAL counts by a derived
+    * category: lines bucketed by shipping delay, counting critical
+    * (1-URGENT/2-HIGH) vs other orders per bucket. Both counts come from
+    * ONE aggregation (CASE inside sum), the join shuffles once on
+    * orderkey, and the delay bucket is integer date arithmetic —
+    * engine-exact. */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val delay = datediff($"l_shipdate", $"o_orderdate")
+    Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+      .join(Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .select(
+        when(delay <= 30, "0-30d").when(delay <= 90, "31-90d")
+          .otherwise("90d+").as("delay_bucket"),
+        $"o_orderpriority")
+      .groupBy($"delay_bucket")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+  }
+
+  val q12PriorityShippingSql: String =
+    """SELECT CASE WHEN DATEDIFF('day', o_orderdate, l_shipdate) <= 30 THEN '0-30d'
+      |            WHEN DATEDIFF('day', o_orderdate, l_shipdate) <= 90 THEN '31-90d'
+      |            ELSE '90d+' END AS delay_bucket,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
+  /** Q15 shape — aggregate view referenced TWICE (per-supplier revenue vs
+    * its own max): the quarter's per-supplier revenue aggregates once in
+    * exact decimal; the max collapses to a one-row broadcast joined back
+    * by decimal EQUALITY (exact, so the winning supplier set is
+    * engine-identical even on revenue ties). Spark reuses the aggregated
+    * subplan for both references (ReusedExchange at scale), never
+    * re-scanning the fact table. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+        .as("total_rev"))
+    val best = rev.agg(max($"total_rev").as("max_rev"))
+    rev.crossJoin(broadcast(best))
+      .filter($"total_rev" === $"max_rev")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_rev".cast("double").as("total_revenue"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)""".stripMargin
+
+  /** Q16 shape — DISTINCT-count per attribute group with an excluded-set
+    * anti-join: suppliers per (brand, type), excluding "complaint"
+    * suppliers (negative balance stands in for the comment scan). The
+    * exclusion list is tiny → broadcast LeftAnti BEFORE the aggregation,
+    * so excluded rows never enter the distinct; the count-distinct is a
+    * two-phase (partial distinct per partition) aggregate on narrow keys. */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val complained = Tables.supplier(spark, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    Tables.lineitem(spark, dir).select($"l_partkey", $"l_suppkey")
+      .join(broadcast(complained), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(Tables.part(spark, dir)
+        .select($"p_partkey", $"p_brand", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand", $"p_type")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+  }
+
+  val q16SupplierCntSql: String =
+    """SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type""".stripMargin
+
+  /** Q20 shape — nested aggregated-threshold subquery: suppliers who
+    * shipped MORE than 30% of a red part's 1997 volume. Two aggregations
+    * at different granularity from the same filtered scan — per
+    * (supplier, part) and per part — joined on partkey, with the share
+    * test as exact decimal cross-multiplication (`qty_sp * 10 >
+    * qty_total * 3`). The qualifying pair set then collapses to distinct
+    * suppliers (the EXISTS of the original) and resolves names via
+    * broadcast. Nothing wider than (suppkey, partkey, qty) ever
+    * shuffles. */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val red = Tables.part(spark, dir)
+      .filter($"p_name".startsWith("red")).select($"p_partkey")
+    val li97 = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(red), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    val perSupPart = li97.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast(D)).as("qty_sp"))
+    val perPart = li97.groupBy($"l_partkey")
+      .agg(sum($"l_quantity".cast(D)).as("qty_total"))
+    perSupPart.join(perPart, "l_partkey")
+      .filter($"qty_sp" * 10 > $"qty_total" * 3)
+      .select($"l_suppkey").distinct()
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name")
+  }
+
+  val q20ExcessSuppliersSql: String =
+    """WITH li97 AS (
+      |  SELECT l_partkey, l_suppkey, l_quantity
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'red%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'),
+      |per_sp AS (SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sp
+      |  FROM li97 GROUP BY l_partkey, l_suppkey),
+      |per_p AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total
+      |  FROM li97 GROUP BY l_partkey)
+      |SELECT DISTINCT s_suppkey, s_name
+      |FROM per_sp JOIN per_p USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE qty_sp * 10 > qty_total * 3""".stripMargin
+
+  /** Q21 shape — the classic double EXISTS / NOT EXISTS over the same
+    * fact, decorrelated to ONE aggregation: for each finished ('F')
+    * order, a single groupBy(orderkey) computes the distinct supplier
+    * count, the distinct LATE supplier count (shipped after the order
+    * date), and — via max over a CASE — the identity of the late
+    * supplier when it is unique. "Kept the order waiting" = multi-
+    * supplier order with exactly one late supplier. The correlated
+    * EXISTS pair that would be two extra fact joins is one shuffle on
+    * the key the join already produces; top-10 with (numwait desc,
+    * s_name) determinism. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val late = $"l_shipdate" > $"o_orderdate"
+    val perOrder = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(Tables.orders(spark, dir)
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when(late, $"l_suppkey")).as("n_late"),
+        max(when(late, $"l_suppkey")).as("late_supp"))
+    perOrder.filter($"n_supp" > 1 && $"n_late" === 1)
+      .groupBy($"late_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
+        $"late_supp" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name".asc)
+      .limit(10)
+  }
+
+  val q21WaitingSupplierSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    COUNT(DISTINCT l_suppkey) AS n_supp,
+      |    COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END) AS n_late,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate THEN l_suppkey END) AS late_supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM per_order JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp > 1 AND n_late = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC LIMIT 10""".stripMargin
 }
