@@ -818,13 +818,15 @@ object Analytics {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
-  /** Q15 shape — aggregate view referenced TWICE (per-supplier revenue vs
-    * its own max): the quarter's per-supplier revenue aggregates once in
-    * exact decimal; the max collapses to a one-row broadcast joined back
-    * by decimal EQUALITY (exact, so the winning supplier set is
-    * engine-identical even on revenue ties). Spark reuses the aggregated
-    * subplan for both references (ReusedExchange at scale), never
-    * re-scanning the fact table. */
+  /** Q15 shape — aggregate view compared against its own max: the
+    * quarter's per-supplier revenue aggregates once in exact decimal,
+    * then the max rides a GLOBAL window over the AGGREGATED table — one
+    * narrow row per supplier, so the single-partition window holds
+    * #suppliers rows, not fact rows — and the winners filter by decimal
+    * EQUALITY (exact, so the set is engine-identical even on ties). One
+    * fact scan total: the naive scalar-subquery form re-reads lineitem
+    * for the max (verified: two FileScans, no ReusedExchange), which at
+    * 100 TB doubles the dominant cost. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rev = Tables.lineitem(spark, dir)
@@ -833,8 +835,7 @@ object Analytics {
       .groupBy($"l_suppkey")
       .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
         .as("total_rev"))
-    val best = rev.agg(max($"total_rev").as("max_rev"))
-    rev.crossJoin(broadcast(best))
+    rev.withColumn("max_rev", max($"total_rev").over(Window.partitionBy()))
       .filter($"total_rev" === $"max_rev")
       .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
         $"l_suppkey" === $"s_suppkey")
@@ -892,16 +893,20 @@ object Analytics {
     import spark.implicits._
     val red = Tables.part(spark, dir)
       .filter($"p_name".startsWith("red")).select($"p_partkey")
-    val li97 = Tables.lineitem(spark, dir)
+    // one fact scan: the per-part total is a window SUM over the already
+    // aggregated (part, supplier) table — partitioned by part, so it is
+    // parallel and its partitions hold suppliers-per-part rows, never
+    // fact rows. The two-aggregation + self-join form re-scans lineitem
+    // (verified: two FileScans); decimal partial sums re-add exactly, so
+    // the window total equals the direct per-part aggregation bit-for-bit.
+    val perSupPart = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
       .join(broadcast(red), $"l_partkey" === $"p_partkey")
-      .select($"l_partkey", $"l_suppkey", $"l_quantity")
-    val perSupPart = li97.groupBy($"l_partkey", $"l_suppkey")
+      .groupBy($"l_partkey", $"l_suppkey")
       .agg(sum($"l_quantity".cast(D)).as("qty_sp"))
-    val perPart = li97.groupBy($"l_partkey")
-      .agg(sum($"l_quantity".cast(D)).as("qty_total"))
-    perSupPart.join(perPart, "l_partkey")
+    perSupPart
+      .withColumn("qty_total", sum($"qty_sp").over(Window.partitionBy($"l_partkey")))
       .filter($"qty_sp" * 10 > $"qty_total" * 3)
       .select($"l_suppkey").distinct()
       .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),

@@ -251,4 +251,35 @@ class PlanPinsSpec extends SparkSpec {
     assert(!p.contains("BroadcastExchange"))
     assert(p.linesIterator.count(_.contains("Scan parquet")) === 1)
   }
+
+  private def lineitemScans(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem.parquet"))
+
+  test("q15/q20: aggregate-vs-own-total decorrelations scan the fact ONCE") {
+    // the scalar-subquery forms re-scan lineitem for the max/total (no
+    // ReusedExchange fires) — at 100 TB that doubles the dominant cost.
+    // Pin the single-scan window-over-aggregated shape.
+    assert(lineitemScans(planOf("q15_top_supplier")) === 1)
+    assert(lineitemScans(planOf("q20_excess_suppliers")) === 1)
+  }
+
+  test("q21: double EXISTS/NOT-EXISTS decorrelates to ONE pass over lineitem") {
+    // the textbook form joins the fact to itself twice (l2 EXISTS + l3
+    // NOT EXISTS); the per-order aggregation needs neither
+    val p = planOf("q21_waiting_supplier")
+    assert(lineitemScans(p) === 1)
+    assert(p.contains("TakeOrderedAndProject")) // deterministic top-10
+  }
+
+  test("q10: per-customer rollup happens BEFORE the customer/nation joins") {
+    // the wide c_name column must never ride the fact shuffle: the
+    // aggregate's output feeds the broadcast joins, not the reverse
+    val p = planOf("q10_returned_revenue")
+    assert(p.contains("TakeOrderedAndProject"))
+    val aggPos = p.indexOf("HashAggregate")
+    val bcastPos = p.indexOf("BroadcastHashJoin")
+    assert(aggPos >= 0 && bcastPos >= 0 && bcastPos < aggPos,
+      "broadcast dim joins should sit above the aggregation in the plan tree")
+  }
 }
