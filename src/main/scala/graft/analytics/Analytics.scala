@@ -943,17 +943,26 @@ object Analytics {
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val late = $"l_shipdate" > $"o_orderdate"
-    val perOrder = Tables.lineitem(spark, dir)
+    // two-level aggregation instead of countDistinct pairs: a distinct
+    // aggregate would Expand the joined fact 3× before the shuffle; the
+    // (order, supplier) pre-fold gets distinctness for free, and BOTH
+    // aggregations reuse the join's orderkey partitioning (orderkey is a
+    // subset of each grouping key) — so after the fact-fact join there
+    // are ZERO additional exchanges
+    val perOrderSupp = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
       .join(Tables.orders(spark, dir)
         .filter($"o_orderstatus" === "F")
         .select($"o_orderkey", $"o_orderdate"),
         $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when(late, 1L).otherwise(0L)).as("is_late"))
+    val perOrder = perOrderSupp
       .groupBy($"l_orderkey")
       .agg(
-        countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct(when(late, $"l_suppkey")).as("n_late"),
-        max(when(late, $"l_suppkey")).as("late_supp"))
+        count(lit(1)).as("n_supp"),
+        sum($"is_late").as("n_late"),
+        max(when($"is_late" === 1L, $"l_suppkey")).as("late_supp"))
     perOrder.filter($"n_supp" > 1 && $"n_late" === 1)
       .groupBy($"late_supp")
       .agg(count(lit(1)).as("numwait"))
