@@ -432,8 +432,83 @@ object TextOps {
       |  FROM m) t
       |WHERE rank <= 20""".stripMargin
 
+  /** BM25-ranked retrieval (k1 = 1.2, b = 0.75) for a pinned query-term
+    * set — the scoring upgrade `text_search_rank`'s shape note promised.
+    * No data shuffle: per-doc term frequencies come from array HOFs on
+    * the token array (no explode — only 3 counters per row ever exist),
+    * the corpus statistics (N, Σdl as exact LONG, per-term df) are ONE
+    * map-side-combined aggregate whose single exchange moves one partial
+    * row per partition, broadcast back as a single row, and the top-20
+    * is TakeOrderedAndProject (plan-pinned). Cross-engine exactness:
+    * idf and the idf×tf_norm product are rounded to 9dp once and summed
+    * as DECIMAL(18,9) (the unigram-LM recipe); every IEEE expression is
+    * written with identical literals/parenthesization in both engines. */
+  def textSearchBm25(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("table", "join", "query")
+    val D9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val withTf = terms.foldLeft(base) { (df, t) =>
+      df.withColumn(s"tf_$t",
+        size(filter(col("toks"), x => x === lit(t))).cast("double"))
+    }.drop("toks")
+    val statCols =
+      sum(col("dl").cast("long")).as("total_toks") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = withTf.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("total_toks").cast("double") / col("n_docs"))
+    val termScore: String => org.apache.spark.sql.Column = t => {
+      val tf = col(s"tf_$t")
+      val idf = round(log((col("n_docs") - col(s"df_$t") + 0.5) /
+        (col(s"df_$t") + 0.5) + 1), 9)
+      when(tf > 0,
+        round(idf * (tf * 2.2 / (tf + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))), 9).cast(D9))
+        .otherwise(lit(0).cast(D9))
+    }
+    scored.select(col("doc_id"),
+      terms.map(t => when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+        .reduce(_ + _).as("matched"),
+      terms.map(termScore).reduce(_ + _).cast("double").as("score"))
+      .filter(col("matched") > 0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val textSearchBm25Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'table')) AS DOUBLE) AS tf_table,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'join')) AS DOUBLE) AS tf_join,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x = 'query')) AS DOUBLE) AS tf_query
+      |  FROM documents),
+      |s AS (
+      |  SELECT COUNT(*) AS n_docs, SUM(CAST(dl AS BIGINT)) AS total_toks,
+      |    SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS df_table,
+      |    SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+      |    SUM(CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS df_query
+      |  FROM t),
+      |x AS (SELECT *, CAST(total_toks AS DOUBLE) / n_docs AS avgdl FROM s)
+      |SELECT doc_id,
+      |  (CASE WHEN tf_table > 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN tf_join > 0 THEN 1 ELSE 0 END
+      |   + CASE WHEN tf_query > 0 THEN 1 ELSE 0 END) AS matched,
+      |  CAST(
+      |    (CASE WHEN tf_table > 0 THEN CAST(round(round(ln((n_docs - df_table + 0.5) / (df_table + 0.5) + 1), 9) * (tf_table * 2.2 / (tf_table + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END
+      |     + CASE WHEN tf_join > 0 THEN CAST(round(round(ln((n_docs - df_join + 0.5) / (df_join + 0.5) + 1), 9) * (tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END
+      |     + CASE WHEN tf_query > 0 THEN CAST(round(round(ln((n_docs - df_query + 0.5) / (df_query + 0.5) + 1), 9) * (tf_query * 2.2 / (tf_query + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 9) AS DECIMAL(18,9)) ELSE CAST(0 AS DECIMAL(18,9)) END)
+      |    AS DOUBLE) AS score
+      |FROM t, x
+      |WHERE tf_table > 0 OR tf_join > 0 OR tf_query > 0
+      |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_search_rank" -> (textSearchRank _),
+    "text_search_bm25" -> (textSearchBm25 _),
     "text_url_stats" -> (textUrlStats _),
     "text_char_stats" -> (textCharStats _),
     "text_unigram_lm" -> (textUnigramLm _),
@@ -448,6 +523,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "text_search_rank" -> textSearchRankSql,
+    "text_search_bm25" -> textSearchBm25Sql,
     "text_url_stats" -> textUrlStatsSql,
     "text_char_stats" -> textCharStatsSql,
     "text_unigram_lm" -> textUnigramLmSql,

@@ -272,6 +272,13 @@ class PlanPinsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject")) // deterministic top-10
   }
 
+  test("text_search_bm25: no explode, one stats exchange, TakeOrdered top-k") {
+    val p = planOf("text_search_bm25")
+    assert(!p.contains("Generate"), "tf must come from array HOFs, not explode")
+    assert(shuffles(p) === 1, "only the one-row stats aggregate may exchange")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q10: per-customer rollup happens BEFORE the customer/nation joins") {
     // the wide c_name column must never ride the fact shuffle: the
     // aggregate's output feeds the broadcast joins, not the reverse
