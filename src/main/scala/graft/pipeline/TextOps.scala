@@ -506,9 +506,54 @@ object TextOps {
       |WHERE tf_table > 0 OR tf_join > 0 OR tf_query > 0
       |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
 
+  /** Percentile-based quality gating — keep the top quartile per source
+    * by stopword-density score, the rank-based cutoff real curation
+    * pipelines use when a fixed threshold would keep 90% of one source
+    * and 2% of another. The per-source cutoff is an exact interpolated
+    * percentile evaluated as a WINDOW over the source partition, so the
+    * corpus is scanned ONCE (cutoff-then-rejoin would scan twice); the
+    * final per-source rollup reuses the window's partitioning (source ⊆
+    * grouping key → no extra exchange). Both engines interpolate
+    * identically (`percentile` ≙ `quantile_cont`, the evt_percentiles
+    * precedent) and the score is one IEEE division of exact longs. */
+  def pipelineQualityPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val nTokens = size(split(trim(col("text")), "\\s+")).cast("long")
+    val nStop = (occurrences(padded, " the ") + occurrences(padded, " and ") +
+      occurrences(padded, " of ")).cast("long")
+    d.select(col("doc_id"), col("source"),
+        (nStop.cast("double") / nTokens).as("score"))
+      .withColumn("cutoff", expr("percentile(score, 0.75)").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= col("cutoff"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("cutoff")).as("cutoff"))
+  }
+
+  val pipelineQualityPercentileSql: String = {
+    val p = "(' ' || text || ' ')"
+    val stop = s"${occSql(p, " the ")} + ${occSql(p, " and ")} + ${occSql(p, " of ")}"
+    s"""WITH sc AS (
+       |  SELECT doc_id, source,
+       |    CAST($stop AS DOUBLE)
+       |      / CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS score
+       |  FROM documents),
+       |w AS (
+       |  SELECT source, score,
+       |    quantile_cont(score, 0.75) OVER (PARTITION BY source) AS cutoff
+       |  FROM sc)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN score >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  MAX(cutoff) AS cutoff
+       |FROM w GROUP BY source""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_search_rank" -> (textSearchRank _),
     "text_search_bm25" -> (textSearchBm25 _),
+    "pipeline_quality_percentile" -> (pipelineQualityPercentile _),
     "text_url_stats" -> (textUrlStats _),
     "text_char_stats" -> (textCharStats _),
     "text_unigram_lm" -> (textUnigramLm _),
@@ -524,6 +569,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "text_search_rank" -> textSearchRankSql,
     "text_search_bm25" -> textSearchBm25Sql,
+    "pipeline_quality_percentile" -> pipelineQualityPercentileSql,
     "text_url_stats" -> textUrlStatsSql,
     "text_char_stats" -> textCharStatsSql,
     "text_unigram_lm" -> textUnigramLmSql,
