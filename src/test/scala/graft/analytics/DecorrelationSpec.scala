@@ -129,6 +129,26 @@ class DecorrelationSpec extends SparkSpec {
         |WHERE sum_qty > 300""".stripMargin)
   }
 
+  test("q20: windowed share threshold == literal correlated HAVING subquery") {
+    same(Analytics.q20ExcessSuppliers(spark, sf),
+      """SELECT DISTINCT s_suppkey, s_name
+        |FROM supplier JOIN (
+        |  SELECT l.l_partkey, l.l_suppkey
+        |  FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY l.l_partkey, l.l_suppkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) * 10 >
+        |    (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        |     FROM lineitem l2 JOIN part p2 ON l2.l_partkey = p2.p_partkey
+        |     WHERE p2.p_name LIKE 'red%'
+        |       AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |       AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |       AND l2.l_partkey = l.l_partkey) * 3
+        |) q ON l_suppkey = s_suppkey""".stripMargin)
+  }
+
   test("q22: broadcast scalar + anti join == literal scalar subquery + NOT EXISTS") {
     same(Analytics.q22IdleBalance(spark, sf),
       """SELECT c_mktsegment, COUNT(*) AS n_cust,
