@@ -34,8 +34,10 @@ import org.apache.spark.sql.types._
   */
 object AbiDecode {
 
-  /** One declared event input (`{indexed, name, type}` in the ABI). */
-  final case class AbiParam(name: String, abiType: String, indexed: Boolean)
+  /** One declared event input (`{indexed, name, type}` in the ABI;
+    * tuples additionally carry their `components`). */
+  final case class AbiParam(name: String, abiType: String, indexed: Boolean,
+      components: Seq[AbiParam] = Nil)
 
   /** One `"type": "event"` ABI entry. */
   final case class AbiEvent(name: String, params: Seq[AbiParam]) {
@@ -60,15 +62,20 @@ object AbiDecode {
             case JString(s) => s
             case _ => throw new IllegalArgumentException("event entry without name")
           }
-          val params = (e \ "inputs" match {
-            case JArray(is) => is
-            case _ => Nil
-          }).map { in =>
+          def parseParam(in: JValue): AbiParam = {
             val pn = in \ "name" match { case JString(s) => s; case _ => "" }
             val pt = in \ "type" match { case JString(s) => s; case _ => "string" }
             val idx = in \ "indexed" match { case JBool(b) => b; case _ => false }
-            AbiParam(pn, pt, idx)
+            val comps = in \ "components" match {
+              case JArray(cs) => cs.map(parseParam)
+              case _ => Nil
+            }
+            AbiParam(pn, pt, idx, comps)
           }
+          val params = (e \ "inputs" match {
+            case JArray(is) => is
+            case _ => Nil
+          }).map(parseParam)
           Some(AbiEvent(name, params))
         case _ => None
       }
@@ -93,7 +100,8 @@ object AbiDecode {
       case t if t.startsWith("int") =>
         val bits = if (t == "int") 256 else t.drop(3).toInt
         if (bits <= 64) LongType else StringType
-      case "tuple" => StringType // opaque; components not carried in-type
+      case "tuple" => StringType // raw positional-array JSON text; decode()
+                                 // surfaces typed per-component columns
       case other => throw new IllegalArgumentException(s"unsupported ABI type $other")
     }
   }
@@ -101,15 +109,32 @@ object AbiDecode {
   /** Per-event-type typed tables — the analog of the reference writing
     * each decoded log into the collection named after its event
     * (indexer_impl.rs:197). Each frame keeps the `keep` passthrough
-    * columns and appends one typed column per ABI param. */
+    * columns and appends one typed column per ABI param; a tuple param
+    * (rendered by the reference as a POSITIONAL JSON array,
+    * `param_to_value`'s `Token::Tuple` arm) additionally surfaces one
+    * typed `<param>_<component>` column per declared component —
+    * positional `element_at` over the raw array text, cast to the
+    * component's Spark type (nested tuples/arrays stay raw JSON text). */
   def decode(events: DataFrame, abi: Seq[AbiEvent],
       keep: Seq[String] = Seq("event_id"),
       typeCol: String = "event_type", propsCol: String = "props",
       targetEvents: Set[String] = Set.empty): Map[String, DataFrame] =
     abi.filter(e => targetEvents.isEmpty || targetEvents(e.name))
       .map { ev =>
-        val cols = keep.map(col) ++
-          ev.params.map(p => col("__d").getField(p.name).as(p.name))
+        val cols = keep.map(col) ++ ev.params.flatMap { p =>
+          val base = col("__d").getField(p.name).as(p.name)
+          if (p.abiType == "tuple" && p.components.nonEmpty) {
+            val elems = from_json(col("__d").getField(p.name),
+              ArrayType(StringType))
+            base +: p.components.zipWithIndex.map { case (c, i) =>
+              val raw = element_at(elems, i + 1)
+              (sparkType(c.abiType) match {
+                case ArrayType(_, _) | StringType => raw // nested: raw text
+                case t => raw.cast(t)
+              }).as(s"${p.name}_${c.name}")
+            }
+          } else Seq(base)
+        }
         ev.name -> events
           .filter(col(typeCol) === ev.name)
           .withColumn("__d", from_json(col(propsCol), ev.schema))

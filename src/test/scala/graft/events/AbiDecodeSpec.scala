@@ -114,4 +114,39 @@ class AbiDecodeSpec extends SparkSpec {
     assert(out.find(_.getAs[String]("decoded_type") == "signup").get
       .getAs[Long]("indexed") === 1L)
   }
+
+  test("tuple params: components parse, typed per-component columns surface") {
+    // the reference renders Token::Tuple as a POSITIONAL JSON array
+    // (event_processor.rs param_to_value); wide ints inside it are
+    // decimal strings
+    import spark.implicits._
+    val abiJson =
+      """[{"type":"event","name":"Swap","inputs":[
+        |  {"name":"pool","type":"address","indexed":true},
+        |  {"name":"amounts","type":"tuple","components":[
+        |    {"name":"in0","type":"uint32"},
+        |    {"name":"out1","type":"uint256"},
+        |    {"name":"stable","type":"bool"}]}]}]""".stripMargin
+    val abi = AbiDecode.parseAbi(abiJson)
+    assert(abi.head.params(1).components.map(_.name) ===
+      Seq("in0", "out1", "stable"))
+    val big = "98765432109876543210987654321098765432109876543210"
+    val df = Seq(
+      (0L, "Swap", s"""{"pool":"0xabc","amounts":[7,"$big",true]}"""),
+      (1L, "Swap", s"""{"pool":"0xdef","amounts":[0,"1",false]}"""))
+      .toDF("event_id", "event_type", "props")
+    val t = AbiDecode.decode(df, abi)("Swap")
+    assert(t.columns.toSeq === Seq("event_id", "pool", "amounts",
+      "amounts_in0", "amounts_out1", "amounts_stable"))
+    val r0 = t.filter($"event_id" === 0L).head()
+    assert(r0.getAs[String]("pool") === "0xabc")
+    assert(r0.getAs[Long]("amounts_in0") === 7L)      // narrow int → LONG
+    assert(r0.getAs[String]("amounts_out1") === big)  // uint256 → decimal string
+    assert(r0.getAs[Boolean]("amounts_stable") === true)
+    val r1 = t.filter($"event_id" === 1L).head()
+    assert(r1.getAs[Long]("amounts_in0") === 0L &&
+      !r1.getAs[Boolean]("amounts_stable"))
+    // the raw positional-array text is preserved alongside
+    assert(r0.getAs[String]("amounts").startsWith("["))
+  }
 }
