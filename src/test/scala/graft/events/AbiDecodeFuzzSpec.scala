@@ -82,15 +82,34 @@ class AbiDecodeFuzzSpec extends SparkSpec {
         else vs.map(_.expected).mkString("[", ",", "]"))
     } else genScalar(rnd, abiType)
 
+  private val ScalarPool = TypePool.filterNot(_.endsWith("[]"))
+
   private def genAbi(rnd: Random): Seq[AbiEvent] = {
     val paramNames = Seq("p0", "p1", "p2", "p3", "p4", "p5")
     (0 until 1 + rnd.nextInt(4)).map { i =>
       val names = rnd.shuffle(paramNames).take(1 + rnd.nextInt(4))
       // types drawn independently per event: the same name can carry a
-      // different type in another event → merged-schema conflict
-      AbiEvent(s"E$i", names.map(n =>
-        AbiParam(n, TypePool(rnd.nextInt(TypePool.length)), rnd.nextBoolean())))
+      // different type in another event → merged-schema conflict; ~1 in
+      // 8 params is a tuple with 1-3 scalar components
+      AbiEvent(s"E$i", names.map { n =>
+        if (rnd.nextInt(8) == 0)
+          AbiParam(n, "tuple", rnd.nextBoolean(),
+            (0 until 1 + rnd.nextInt(3)).map(j =>
+              AbiParam(s"c$j", ScalarPool(rnd.nextInt(ScalarPool.length)), false)))
+        else
+          AbiParam(n, TypePool(rnd.nextInt(TypePool.length)), rnd.nextBoolean())
+      })
     }
+  }
+
+  /** Positional-array JSON for a tuple param (the reference's
+    * Token::Tuple rendering) + per-component expected typed renderings.
+    * decodeLong passes the raw text through (merged StringType), so
+    * `expected` is the exact JSON fragment. */
+  private def genTuple(rnd: Random, p: AbiParam): (GenVal, Seq[String]) = {
+    val comps = p.components.map(c => genScalar(rnd, c.abiType))
+    val json = comps.map(_.json).mkString("[", ",", "]")
+    (GenVal(json, json), comps.map(_.expected))
   }
 
   test("decodeLong and decode match the generator's model on 60 random ABIs") {
@@ -99,6 +118,7 @@ class AbiDecodeFuzzSpec extends SparkSpec {
       val abi = genAbi(rnd)
       val byName = abi.map(e => e.name -> e).toMap
       // rows: (event_id, event_type, props_json, param -> expected)
+      // rows: (id, event, json, param→expected, tupleParam→component expecteds)
       val rows = (0 until 40).map { id =>
         val evName =
           if (rnd.nextInt(10) == 0) "UNKNOWN"
@@ -106,19 +126,24 @@ class AbiDecodeFuzzSpec extends SparkSpec {
         val fields = byName.get(evName).map(_.params).getOrElse(Nil).flatMap { p =>
           rnd.nextInt(10) match {
             case 0 => None // absent field → null decode
-            case 1 => Some(p.name -> GenVal("null", null)) // explicit null
-            case _ => Some(p.name -> gen(rnd, p.abiType))
+            case 1 => Some((p.name, GenVal("null", null), Seq.empty[String]))
+            case _ if p.abiType == "tuple" && p.components.nonEmpty =>
+              val (gv, comps) = genTuple(rnd, p)
+              Some((p.name, gv, comps))
+            case _ => Some((p.name, gen(rnd, p.abiType), Seq.empty[String]))
           }
         }
-        val json = fields.map { case (n, v) => jsonEscape(n) + ":" + v.json }
+        val json = fields.map { case (n, v, _) => jsonEscape(n) + ":" + v.json }
           .mkString("{", ",", "}")
-        (id.toLong, evName, json, fields.toMap)
+        (id.toLong, evName, json,
+          fields.map(f => f._1 -> f._2).toMap,
+          fields.collect { case (n, _, cs) if cs.nonEmpty => n -> cs }.toMap)
       }
       val df = spark.createDataFrame(rows.map(r => (r._1, r._2, r._3)))
         .toDF("event_id", "event_type", "props")
 
       // ---- decodeLong vs model ----
-      val expectedLong = rows.flatMap { case (id, evName, _, model) =>
+      val expectedLong = rows.flatMap { case (id, evName, _, model, _) =>
         byName.get(evName).toSeq.flatMap(_.params.map { p =>
           (id, evName, p.name,
             model.get(p.name).map(_.expected).orNull,
@@ -134,22 +159,42 @@ class AbiDecodeFuzzSpec extends SparkSpec {
       val typed = decode(df, abi)
       for (ev <- abi) {
         val t = typed(ev.name)
-        // render every typed column back to the reference string form
-        // with the SAME Spark kernels the model targets
-        val rendered = t.select(col("event_id") +: ev.params.map { p =>
-          (sparkType(p.abiType) match {
+        // render every typed column (incl. tuple component columns) back
+        // to the reference string form with the SAME Spark kernels the
+        // model targets
+        val colNames = ev.params.flatMap { p =>
+          p.name +: (if (p.abiType == "tuple")
+            p.components.map(c => s"${p.name}_${c.name}") else Nil)
+        }
+        val rendered = t.select(col("event_id") +: ev.params.flatMap { p =>
+          val main = (sparkType(p.abiType) match {
             case _: org.apache.spark.sql.types.ArrayType => to_json(col(p.name))
             case _ => col(p.name).cast("string")
           }).as(p.name)
+          main +: (if (p.abiType == "tuple")
+            p.components.map(c =>
+              col(s"${p.name}_${c.name}").cast("string")
+                .as(s"${p.name}_${c.name}"))
+          else Nil)
         }: _*).collect().map(r =>
-          r.getLong(0) -> ev.params.zipWithIndex.map { case (p, i) =>
-            p.name -> r.getString(i + 1)
+          r.getLong(0) -> colNames.zipWithIndex.map { case (n, i) =>
+            n -> r.getString(i + 1)
           }.toMap).toMap
-        for ((id, evName, _, model) <- rows if evName == ev.name) {
+        for ((id, evName, _, model, tupleComps) <- rows if evName == ev.name) {
           val got = rendered(id)
-          for (p <- ev.params)
+          for (p <- ev.params) {
             assert(got(p.name) === model.get(p.name).map(_.expected).orNull,
               s"typed decode mismatch trial=$trial event=${ev.name} param=${p.name} id=$id")
+            if (p.abiType == "tuple") {
+              val comps = tupleComps.get(p.name)
+              p.components.zipWithIndex.foreach { case (c, i) =>
+                assert(got(s"${p.name}_${c.name}") ===
+                  comps.map(_(i)).orNull,
+                  s"tuple component mismatch trial=$trial event=${ev.name} " +
+                    s"param=${p.name}.${c.name} id=$id")
+              }
+            }
+          }
         }
       }
       // unknown event types never surface
