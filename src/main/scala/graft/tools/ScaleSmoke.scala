@@ -48,7 +48,11 @@ object ScaleSmoke {
     // DSIR (two token passes + broadcast λ), and the two heaviest new
     // analytics shapes (dual-aliased star join; fact⋈fact key join)
     "emb_kmeans", "pipeline_cluster_sample", "pipeline_dsir",
-    "q7_nation_volume", "q8_market_share")
+    "q7_nation_volume", "q8_market_share",
+    // session-2 additions: the heaviest new TPC-H shape (two-level
+    // aggregation over the fact join), the shuffle-free BM25 plan, and
+    // the windowed percentile gate
+    "q21_waiting_supplier", "text_search_bm25", "pipeline_quality_percentile")
 
   private val IdShift = 10_000_000L
 
