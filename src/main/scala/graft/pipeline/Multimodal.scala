@@ -203,16 +203,64 @@ object Multimodal {
     h
   }
 
+  /** Audio-segmentation summary — the third modality's plumbing: chop
+    * the payload into fixed 256-sample frames, compute per-frame energy,
+    * and roll up the segmentation signals a speech-data pipeline filters
+    * on (silence ratio, mean/peak energy). The per-frame energy is a
+    * DETERMINISTIC STUB of RMS (same stance as `decodeStub`: no audio
+    * codec in this container — a real one rides `mmBinaryMeta`'s batched
+    * mapPartitions shape); the frame schedule and rollup are the real
+    * thing. All frame math is array HOFs over `sequence(...)` — the
+    * frame list never explodes into rows, so the plan is a pure scan +
+    * project regardless of audio length; energies are exact integers and
+    * the two ratios are single IEEE divisions of exact longs. */
+  def mmAudioSegments(spark: SparkSession, dir: String): DataFrame = {
+    val nBytes = octet_length(to_binary(col("text"), lit("utf-8"))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nBytes.as("n_bytes"))
+      .withColumn("n_frames",
+        greatest(lit(1L), expr("(n_bytes + 255) div 256")))
+      .withColumn("en", transform(
+        sequence(lit(0L), col("n_frames") - 1),
+        f => (col("n_bytes") * 31L + f * 7919L) % 1000L))
+      .select(col("doc_id"), col("n_frames"),
+        size(filter(col("en"), e => e < 100L)).cast("long").as("n_silent"),
+        (size(filter(col("en"), e => e < 100L)).cast("double") /
+          col("n_frames")).as("silence_ratio"),
+        (aggregate(col("en"), lit(0L), (acc, e) => acc + e).cast("double") /
+          col("n_frames")).as("mean_energy"),
+        array_max(col("en")).as("max_energy"))
+  }
+
+  val mmAudioSegmentsSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    GREATEST(1, (CAST(strlen(text) AS BIGINT) + 255) // 256) AS n_frames
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, n_frames,
+      |    list_transform(range(0, CAST(n_frames AS INTEGER)),
+      |      f -> (n_bytes * 31 + f * 7919) % 1000) AS en
+      |  FROM a)
+      |SELECT doc_id, n_frames,
+      |  CAST(len(list_filter(en, x -> x < 100)) AS BIGINT) AS n_silent,
+      |  CAST(len(list_filter(en, x -> x < 100)) AS DOUBLE) / n_frames AS silence_ratio,
+      |  CAST(list_sum(en) AS DOUBLE) / n_frames AS mean_energy,
+      |  CAST(list_max(en) AS BIGINT) AS max_energy
+      |FROM e""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_feature_stub" -> (mmFeatureStub _),
     "mm_resize_plan" -> (mmResizePlan _),
-    "mm_phash_dedup" -> (mmPhashDedup _))
+    "mm_phash_dedup" -> (mmPhashDedup _),
+    "mm_audio_segments" -> (mmAudioSegments _))
 
   val oracles: Map[String, String] = Map(
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_feature_stub" -> mmFeatureStubSql,
-    "mm_resize_plan" -> mmResizePlanSql)
+    "mm_resize_plan" -> mmResizePlanSql,
+    "mm_audio_segments" -> mmAudioSegmentsSql)
 }
