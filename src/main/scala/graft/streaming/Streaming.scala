@@ -79,9 +79,12 @@ object Streaming {
     }
 
   /** Watermarked tumbling-window aggregation per event type — the
-    * streaming twin of EventQueries.evtWindowAgg. */
-  def windowAgg(spark: SparkSession, dir: String): DataFrame = {
-    val ev = readEventStream(spark, dir)
+    * streaming twin of EventQueries.evtWindowAgg. `glob`/
+    * `filesPerTrigger` pass through to the file source so restart
+    * tests can drive multi-file micro-batches. */
+  def windowAgg(spark: SparkSession, dir: String,
+      glob: String = "events.parquet", filesPerTrigger: Int = 0): DataFrame = {
+    val ev = readEventStream(spark, dir, glob, filesPerTrigger)
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", "1 hour")
     ev.groupBy(window(col("ets"), "1 hour"), col("event_type"))

@@ -297,6 +297,66 @@ class StreamingSpec extends SparkSpec {
     assert(bobMuts.select("block", "order").distinct().count() === 15)
   }
 
+  test("checkpointed stream restarts exactly-once: stop mid-corpus, resume, no dups") {
+    // the restart guarantee a long-running cluster job actually relies
+    // on: offsets + window state recover from the checkpoint, already-
+    // committed micro-batches are not re-emitted, new files continue
+    // from where the stopped query left off
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val srcDir = s"$root/src"; val outDir = s"$root/out"; val cpDir = s"$root/cp"
+    new java.io.File(srcDir).mkdirs()
+    // four sequential time-quarter files (event-time order matches file
+    // order, so watermark-closed windows are complete when they emit)
+    val raw = graft.sources.Tables.eventsRaw(spark, sf).orderBy(col("ts"))
+    val quarts = raw.withColumn("q", ntile(4).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("ts"))))
+    (1 to 4).foreach { i =>
+      val tmp = s"$root/tmp$i"
+      quarts.filter(col("q") === i).drop("q")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"events$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * i) // deterministic pickup order
+    }
+    // hide phase-2 files behind a non-matching suffix until restart
+    (3 to 4).foreach { i =>
+      new java.io.File(srcDir, f"events$i%02d.parquet")
+        .renameTo(new java.io.File(srcDir, f"later$i%02d.hold"))
+    }
+    def run(): Unit = {
+      val q = Streaming.windowAgg(spark, srcDir, "events*.parquet", 1)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", cpDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // phase 1: files 1-2, then STOP
+    val afterPhase1 = spark.read.parquet(outDir).count()
+    (3 to 4).foreach { i =>
+      new java.io.File(srcDir, f"later$i%02d.hold")
+        .renameTo(new java.io.File(srcDir, f"events$i%02d.parquet"))
+    }
+    run() // phase 2: RESTART from the checkpoint, files 3-4
+    val out = spark.read.parquet(outDir)
+    // exactly-once across the restart: a re-emitted batch would dup keys
+    assert(out.groupBy("bucket", "event_type").count()
+      .filter(col("count") > 1).count() === 0)
+    // the resume made progress beyond phase 1's emissions
+    assert(out.count() > afterPhase1 && afterPhase1 > 0)
+    // every emitted window is watermark-complete → equals the batch agg
+    val batch = spark.read.parquet(srcDir + "/")
+      .withColumn("ets", timestamp_micros(expr("unix_micros(CAST(ts AS TIMESTAMP))")))
+      .groupBy(date_trunc("hour", col("ets")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("bn"), sum(col("value")).as("bsum"))
+    val joined = out.join(batch, Seq("bucket", "event_type"), "left")
+    assert(joined.filter(col("bn").isNull).count() === 0)
+    assert(joined.filter(col("n") =!= col("bn")).count() === 0)
+    assert(joined.filter(abs(col("sum_value") - col("bsum")) > 1e-6).count() === 0)
+  }
+
   test("TTL at intake drops expired events before state and sink") {
     import org.apache.spark.sql.functions._
     // nanos head of the fixture stream; TTL = trailing 3 days from it
