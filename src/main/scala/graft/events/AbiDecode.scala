@@ -43,6 +43,9 @@ object AbiDecode {
   final case class AbiEvent(name: String, params: Seq[AbiParam]) {
     def schema: StructType =
       StructType(params.map(p => StructField(p.name, sparkType(p.abiType))))
+    /** Parse-side schema: integer fields as strings (see [[wireOf]]). */
+    def wireSchema: StructType =
+      StructType(params.map(p => StructField(p.name, wireOf(sparkType(p.abiType)))))
   }
 
   /** Parse an ABI JSON (the contract-level array) into its declared,
@@ -106,6 +109,22 @@ object AbiDecode {
     }
   }
 
+  /** The JSON *wire* type a param is parsed with, as opposed to the typed
+    * surface `sparkType` exposes. The reference's `param_to_value`
+    * (event_processor.rs:222) renders EVERY Uint/Int width — narrow ones
+    * included — as a quoted decimal string; parsing a quoted number
+    * through a LongType field would null the whole struct (Spark's JSON
+    * parser rejects quoted numbers for LongType), so integer fields parse
+    * as STRING and cast to their typed form afterwards. A string-typed
+    * field also accepts a bare JSON number (Jackson hands back the raw
+    * token text), so non-reference producers that emit `"k": 87` decode
+    * identically. */
+  def wireOf(t: DataType): DataType = t match {
+    case ArrayType(e, n) => ArrayType(wireOf(e), n)
+    case LongType => StringType
+    case other => other
+  }
+
   /** Per-event-type typed tables — the analog of the reference writing
     * each decoded log into the collection named after its event
     * (indexer_impl.rs:197). Each frame keeps the `keep` passthrough
@@ -122,7 +141,12 @@ object AbiDecode {
     abi.filter(e => targetEvents.isEmpty || targetEvents(e.name))
       .map { ev =>
         val cols = keep.map(col) ++ ev.params.flatMap { p =>
-          val base = col("__d").getField(p.name).as(p.name)
+          val desired = sparkType(p.abiType)
+          val f = col("__d").getField(p.name)
+          // wire → typed: integer fields parsed as strings (the
+          // reference quotes every int width) cast to LONG / array<long>
+          val base = (if (wireOf(desired) == desired) f
+                      else f.cast(desired)).as(p.name)
           if (p.abiType == "tuple" && p.components.nonEmpty) {
             val elems = from_json(col("__d").getField(p.name),
               ArrayType(StringType))
@@ -137,7 +161,7 @@ object AbiDecode {
         }
         ev.name -> events
           .filter(col(typeCol) === ev.name)
-          .withColumn("__d", from_json(col(propsCol), ev.schema))
+          .withColumn("__d", from_json(col(propsCol), ev.wireSchema))
           .select(cols: _*)
       }.toMap
 
@@ -156,9 +180,12 @@ object AbiDecode {
       idCol: String = "event_id",
       typeCol: String = "event_type", propsCol: String = "props"): DataFrame = {
     require(abi.nonEmpty, "empty ABI")
+    // merge at the WIRE layer (ints parse as strings — see wireOf): a
+    // field whose wire types still conflict across events widens to raw
+    // JSON text and narrows back per branch
     val mergedTypes: Map[String, DataType] = abi.flatMap(_.params)
       .groupBy(_.name).map { case (n, ps) =>
-        val ts = ps.map(p => sparkType(p.abiType)).distinct
+        val ts = ps.map(p => wireOf(sparkType(p.abiType))).distinct
         n -> (if (ts.size == 1) ts.head else StringType)
       }
     val merged = StructType(
@@ -170,9 +197,11 @@ object AbiDecode {
         val f = col("__d").getField(p.name)
         val typed =
           if (mergedTypes(p.name) == desired) f
-          else desired match {
-            case a: ArrayType => from_json(f, a) // conflicted array field: raw text re-parse
-            case t => f.cast(t)
+          else (mergedTypes(p.name), desired) match {
+            // conflicted array field arrives as raw text: re-parse with
+            // the wire element type (quoted ints), then cast typed
+            case (StringType, a: ArrayType) => from_json(f, wireOf(a)).cast(a)
+            case _ => f.cast(desired) // incl. array<string> → array<long>
           }
         struct(
           lit(p.name).as("param"),
@@ -205,8 +234,13 @@ object AbiDecode {
   }
 
   /** Render a decoded value to the reference's JSON string form
-    * (param_to_value): scalars via string cast, arrays as compact JSON. */
+    * (param_to_value): scalars via string cast, arrays as compact JSON.
+    * Integer elements inside arrays render as QUOTED decimal strings —
+    * `Token::Uint/Int` become `Value::String` at every width in the
+    * reference — so the typed array<long> casts back to array<string>
+    * before serializing. */
   private def renderValue(c: Column, t: DataType): Column = t match {
+    case a: ArrayType if wireOf(a) != a => to_json(c.cast(wireOf(a)))
     case _: ArrayType => to_json(c)
     case _ => c.cast("string")
   }

@@ -25,17 +25,30 @@ object EventQueries {
 
   private val D = DecimalType(18, 2)
 
-  /** Time-range scan. Filters on the RAW on-disk ts (TIMESTAMP_NTZ) so
-    * the bounds reach the parquet scan as pushed filters (row-group
-    * pruning at 100 TB); the session-UTC timestamp is materialized only
-    * for surviving rows. */
+  /** Time-range scan. Filters on the RAW on-disk ts so the bounds reach
+    * the parquet scan as pushed filters of the raw column's own type
+    * (row-group pruning at 100 TB); the session-UTC timestamp is
+    * materialized only for surviving rows. Branches on the raw dtype
+    * like `Tables.events`: epoch-nano long bounds for the legacy
+    * nanos-long vintage, NTZ literals for the current files — so both
+    * corpora stay readable AND pushed. */
   def evtTimeRange(spark: SparkSession, dir: String): DataFrame = {
-    val lo = lit("2024-01-08 00:00:00").cast("timestamp_ntz")
-    val hi = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
-    Tables.eventsRaw(spark, dir)
-      .filter(col("ts") >= lo && col("ts") < hi)
-      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-        col("event_type"), col("value"))
+    val raw = Tables.eventsRaw(spark, dir)
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val lo = lit(1704672000000000000L) // 2024-01-08 00:00:00 UTC, nanos
+        val hi = lit(1705276800000000000L) // 2024-01-15 00:00:00 UTC, nanos
+        raw.filter(col("ts") >= lo && col("ts") < hi)
+          .select(col("event_id"),
+            timestamp_micros(expr("ts div 1000")).as("ts"),
+            col("event_type"), col("value"))
+      case _ =>
+        val lo = lit("2024-01-08 00:00:00").cast("timestamp_ntz")
+        val hi = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+        raw.filter(col("ts") >= lo && col("ts") < hi)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("event_type"), col("value"))
+    }
   }
 
   val evtTimeRangeSql: String =

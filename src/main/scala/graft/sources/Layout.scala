@@ -63,10 +63,12 @@ object Layout {
     * so `PartitionFilters` (not just `PushedFilters`) carries the bound
     * and scan cost is O(days touched), independent of corpus size.
     * Within each day, rows sort by ts so intra-day ranges still prune at
-    * the row-group level — the two mechanisms compose. `day` is derived
-    * with date arithmetic on the SAME column queries filter on, so
-    * Catalyst's partition pruning sees literal day bounds after its
-    * filter-inference pass. */
+    * the row-group level — the two mechanisms compose. NOTE: Spark does
+    * NOT infer day bounds from a ts-range predicate; partition pruning
+    * only fires when the query filters on the `day` column directly, so
+    * callers must add an explicit day predicate (e.g.
+    * `day BETWEEN to_date(lo) AND to_date(hi)`) alongside the ts range
+    * to get both pruning layers. */
   def writeEventsByDay(events: DataFrame, path: String): Unit =
     events
       .withColumn("day", to_date(col("ts")))

@@ -16,13 +16,21 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Raw on-disk schema of events.parquet (ts = TIMESTAMP(MICROS)
-    * without UTC adjustment → TIMESTAMP_NTZ; the intake converts it to
-    * the library's internal epoch-nanos long before `.as[Ev]`). */
+  /** Raw on-disk schema of the CURRENT events.parquet vintage (ts =
+    * TIMESTAMP(MICROS) without UTC adjustment → TIMESTAMP_NTZ; the intake
+    * converts it to the library's internal epoch-nanos long before
+    * `.as[Ev]`). Legacy corpora carry ts as a raw nanos LONG instead —
+    * `readEventStream` probes the on-disk footer and picks the matching
+    * vintage, mirroring `Tables.events`' dtype branch. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Legacy vintage: ts already epoch-nanos long on disk. */
+  val eventSchemaLegacy: StructType = StructType(
+    eventSchema.fields.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
 
   case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
       value: Double, props: String)
@@ -37,16 +45,25 @@ object Streaming {
   def readEventStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet", filesPerTrigger: Int = 0): Dataset[Ev] = {
     import spark.implicits._
+    // probe the footer once (driver-side batch read) to pick the ts
+    // vintage: legacy corpora store epoch-nanos LONG, current ones
+    // TIMESTAMP_NTZ — a fixed NTZ schema would misread TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val legacy = spark.read.option("pathGlobFilter", glob).parquet(dir)
+      .schema.find(_.name == "ts").exists(_.dataType == LongType)
     // the file-stream source wants a directory; glob-filter to the table
-    val r = spark.readStream.schema(eventSchema)
+    val r = spark.readStream
+      .schema(if (legacy) eventSchemaLegacy else eventSchema)
       .option("pathGlobFilter", glob)
     val r2 = if (filesPerTrigger > 0)
       r.option("maxFilesPerTrigger", filesPerTrigger.toString) else r
     // normalize to the internal epoch-nanos convention at intake: one
     // codegen'd projection (session tz is pinned UTC, so the NTZ cast is
     // instant-preserving), everything stateful downstream stays integer
-    r2.parquet(dir)
-      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    val src = r2.parquet(dir)
+    (if (legacy) src
+     else src.withColumn("ts",
+       unix_micros(col("ts").cast("timestamp")) * lit(1000L)))
       .as[Ev]
   }
 

@@ -46,8 +46,12 @@ class AbiDecodeFuzzSpec extends SparkSpec {
     case "bool" =>
       val b = rnd.nextBoolean(); GenVal(b.toString, b.toString)
     case "uint8" | "uint32" | "int8" | "uint64" | "uint256" | "int256" =>
-      // numbers land as JSON numbers; wide types decode as their raw
-      // decimal text, narrow ones as LONG (rendered back to the same text)
+      // the reference's param_to_value renders EVERY Uint/Int width as a
+      // QUOTED decimal string (Token::Uint/Int → Value::String,
+      // event_processor.rs:222) — so the wire fragment is quoted; narrow
+      // widths decode to LONG through the string wire schema and render
+      // back to the same decimal text. Occasionally emit a bare number
+      // instead (non-reference producers), which must decode identically.
       val v = abiType match {
         case "uint8" => rnd.nextInt(256).toLong.toString
         case "uint32" => rnd.nextInt(1 << 30).toLong.toString
@@ -55,7 +59,11 @@ class AbiDecodeFuzzSpec extends SparkSpec {
         case "uint64" => (rnd.nextLong() & Long.MaxValue).toString
         case _ => BigInt(200, rnd).toString // wider than any SQL numeric
       }
-      GenVal(v, v)
+      val bare = rnd.nextInt(4) == 0 && (abiType match {
+        case "uint8" | "uint32" | "int8" | "uint64" => true
+        case _ => false // wide ints: reference-only wire form
+      })
+      GenVal(if (bare) v else jsonEscape(v), v)
     case "address" | "bytes32" =>
       val hex = "0x" + Seq.fill(8)("0123456789abcdef"(rnd.nextInt(16))).mkString
       GenVal(jsonEscape(hex), hex)
@@ -71,12 +79,10 @@ class AbiDecodeFuzzSpec extends SparkSpec {
     if (abiType.endsWith("[]")) {
       val elem = abiType.dropRight(2)
       val vs = Seq.fill(rnd.nextInt(4))(genScalar(rnd, elem))
-      // to_json renders arrays compact, and quotes every element whose
-      // DECODED type is string — which includes wide ints (uint256 →
-      // decimal string, the reference's param_to_value form), not just
-      // declared strings
-      val quoted = AbiDecode.sparkType(elem) ==
-        org.apache.spark.sql.types.StringType
+      // the reference renders array elements through the same
+      // param_to_value: EVERY int width and every string/address/bytes
+      // becomes a quoted JSON string; only bool stays bare
+      val quoted = elem != "bool"
       GenVal(vs.map(_.json).mkString("[", ",", "]"),
         if (quoted) vs.map(v => jsonEscape(v.expected)).mkString("[", ",", "]")
         else vs.map(_.expected).mkString("[", ",", "]"))
@@ -166,9 +172,20 @@ class AbiDecodeFuzzSpec extends SparkSpec {
           p.name +: (if (p.abiType == "tuple")
             p.components.map(c => s"${p.name}_${c.name}") else Nil)
         }
+        // reference JSON rendering of a typed column: long arrays cast
+        // back to string arrays first (quoted decimal elements)
+        def quotedForm(t: org.apache.spark.sql.types.DataType)
+            : org.apache.spark.sql.types.DataType = t match {
+          case org.apache.spark.sql.types.ArrayType(e, n) =>
+            org.apache.spark.sql.types.ArrayType(quotedForm(e), n)
+          case org.apache.spark.sql.types.LongType =>
+            org.apache.spark.sql.types.StringType
+          case o => o
+        }
         val rendered = t.select(col("event_id") +: ev.params.flatMap { p =>
           val main = (sparkType(p.abiType) match {
-            case _: org.apache.spark.sql.types.ArrayType => to_json(col(p.name))
+            case a: org.apache.spark.sql.types.ArrayType =>
+              to_json(col(p.name).cast(quotedForm(a)))
             case _ => col(p.name).cast("string")
           }).as(p.name)
           main +: (if (p.abiType == "tuple")

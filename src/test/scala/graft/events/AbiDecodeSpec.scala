@@ -115,6 +115,40 @@ class AbiDecodeSpec extends SparkSpec {
       .getAs[Long]("indexed") === 1L)
   }
 
+  test("reference wire form: QUOTED narrow ints decode (param_to_value quotes every int width)") {
+    // the reference renders uint8/uint32/int64… as quoted decimal strings
+    // (event_processor.rs:222 Token::Uint/Int → Value::String); a
+    // LongType parse schema would null the whole struct on such input —
+    // the wire schema parses strings and casts, so both forms decode
+    import spark.implicits._
+    val df = Seq(
+      (0L, "signup", """{"k":"87"}"""),   // reference wire form (quoted)
+      (1L, "signup", """{"k":87}"""),     // bare-number producer
+      (2L, "error", """{"k":"-3"}"""))    // quoted negative int64
+      .toDF("event_id", "event_type", "props")
+    val abi = AbiDecode.parseAbi(EventQueries.testdataAbi)
+    val long = AbiDecode.decodeLong(df, abi).collect()
+    assert(long.length === 3)
+    assert(long.map(r => r.getAs[Long]("event_id") -> r.getAs[String]("value_str")).toMap ===
+      Map(0L -> "87", 1L -> "87", 2L -> "-3"))
+    val typed = AbiDecode.decode(df, abi, targetEvents = Set("signup"))("signup")
+    assert(typed.schema("k").dataType === LongType) // typed surface stays LONG
+    assert(typed.orderBy($"event_id").collect().map(_.getAs[Long]("k")).toSeq ===
+      Seq(87L, 87L))
+    // arrays of narrow ints: quoted elements parse, typed array<long>,
+    // value_str re-renders to the reference's quoted element form
+    val arrAbi = AbiDecode.parseAbi(
+      """[{"type":"event","name":"Batch","inputs":[
+        |  {"name":"ids","type":"uint8[]","indexed":false}]}]""".stripMargin)
+    val adf = Seq((0L, "Batch", """{"ids":["1","2",3]}"""))
+      .toDF("event_id", "event_type", "props")
+    val at = AbiDecode.decode(adf, arrAbi)("Batch")
+    assert(at.schema("ids").dataType === ArrayType(LongType))
+    assert(at.head().getAs[Seq[Long]]("ids") === Seq(1L, 2L, 3L))
+    assert(AbiDecode.decodeLong(adf, arrAbi).head()
+      .getAs[String]("value_str") === """["1","2","3"]""")
+  }
+
   test("tuple params: components parse, typed per-component columns surface") {
     // the reference renders Token::Tuple as a POSITIONAL JSON array
     // (event_processor.rs param_to_value); wide ints inside it are
