@@ -222,11 +222,15 @@ object Analytics {
         col("gid"), col("n_docs"), col("sum_chars"))
   }
 
+  // Pinned Spark semantics on EMPTY input: Expand-based grouping sets
+  // emit zero rows (no ANSI grand-total row), so the oracle drops the
+  // zero-count grand total that the standard would synthesize.
   val qRollupAggSql: String =
     """SELECT COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
       |  CAST(GROUPING(source, lang) AS BIGINT) AS gid,
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-      |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin
+      |FROM documents GROUP BY ROLLUP (source, lang)
+      |HAVING NOT (GROUPING(source, lang) = 3 AND COUNT(*) = 0)""".stripMargin
 
   /** PIVOT — long-to-wide reshape: order revenue by priority, one column
     * per order status. The pivot values are pinned explicitly so Spark
@@ -612,7 +616,8 @@ object Analytics {
       |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |HAVING NOT (GROUPING(o_orderstatus, o_orderpriority) = 3 AND COUNT(*) = 0)""".stripMargin
 
   /** INTERSECT / EXCEPT set semantics over key sets: parts ordered in
     * BOTH halves of the year vs only the first half. Spark plans

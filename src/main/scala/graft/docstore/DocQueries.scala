@@ -203,11 +203,16 @@ object DocQueries {
     // type (max_by skips null ordering keys). The two-window+join form
     // would shuffle three times; this shuffles once — the shape that
     // matters when the doc-key cardinality is 10^9.
+    // A mutation only masks a field it actually CARRIES (DocumentMask
+    // lists present paths) — a 'click' without `k` (or with JSON null)
+    // leaves the previous masked_k standing, so the gate requires the
+    // field non-null alongside the type match.
     val ev = Tables.events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
     def latestOf(tpe: String, field: String) =
-      max_by(when(col("event_type") === tpe, col(field)),
-        when(col("event_type") === tpe, struct(col("ts"), col("event_id"))))
+      max_by(when(col("event_type") === tpe && col(field).isNotNull, col(field)),
+        when(col("event_type") === tpe && col(field).isNotNull,
+          struct(col("ts"), col("event_id"))))
     ev.groupBy(col("user_id"))
       .agg(latestOf("purchase", "value").as("masked_value"),
         latestOf("click", "k").as("masked_k"))
@@ -218,12 +223,13 @@ object DocQueries {
     """WITH p AS (
       |  SELECT user_id, value AS masked_value FROM (
       |    SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      |    FROM events WHERE event_type = 'purchase') t WHERE rn = 1),
+      |    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL) t WHERE rn = 1),
       |c AS (
       |  SELECT user_id, k AS masked_k FROM (
       |    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
       |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-      |    FROM events WHERE event_type = 'click') t WHERE rn = 1)
+      |    FROM events WHERE event_type = 'click'
+      |      AND json_extract_string(props, '$.k') IS NOT NULL) t WHERE rn = 1)
       |SELECT p.user_id, masked_value, masked_k FROM p JOIN c ON p.user_id = c.user_id""".stripMargin
 
   /** Doc-ownership join (db_store_v2.rs:819 verify_docs_ownership): docs
@@ -319,10 +325,14 @@ object DocQueries {
     DocStore.queryFused(coll(spark, dir), q)
   }
 
+  // NULLS FIRST: the engine follows the BSON type order (null sorts
+  // before numbers → ascending = nulls first, Spark's asc default);
+  // DuckDB's default null order is absolute nulls-last, so the oracle
+  // must say so explicitly on ASC sorts over nullable fields.
   val docOffsetSql: String =
     """SELECT event_id AS _id, CAST(value AS VARCHAR) AS value FROM events
       |WHERE event_type = 'view'
-      |ORDER BY events.value ASC, event_id ASC LIMIT 40 OFFSET 100""".stripMargin
+      |ORDER BY events.value ASC NULLS FIRST, event_id ASC LIMIT 40 OFFSET 100""".stripMargin
 
   /** The count apply (match-all pipe count, as in the SDK tests). */
   def docQstrCount(spark: SparkSession, dir: String): DataFrame = {

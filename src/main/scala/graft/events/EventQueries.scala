@@ -3,7 +3,7 @@ package graft.events
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DecimalType, StructType, StructField, LongType}
+import org.apache.spark.sql.types.{DecimalType, StructType, StructField, LongType, StringType}
 import graft.sources.Tables
 
 /** SURVEY.md §2B — the event-DB / time-series block, re-expressing the
@@ -59,7 +59,12 @@ object EventQueries {
     * schema (the Spark analog of decoding an EVM log against its JSON ABI),
     * not N repeated get_json_object calls. */
   def evtDecodeAbi(spark: SparkSession, dir: String): DataFrame = {
-    val abiSchema = StructType(Seq(StructField("k", LongType)))
+    // STRING wire schema, LONG surface: the reference indexer renders
+    // every int width as a quoted decimal string (param_to_value), and a
+    // LongType parse field would null the whole struct on that form —
+    // parse as string (accepts bare numbers too: Jackson hands back the
+    // raw token text) and cast after, like AbiDecode.wireOf
+    val abiSchema = StructType(Seq(StructField("k", StringType)))
     Tables.events(spark, dir)
       // presence check on the raw JSON path, BEFORE the parse: filtering
       // on decoded.k would be alias-inlined into the pushed Filter by
@@ -67,7 +72,8 @@ object EventQueries {
       // this is also exactly the oracle's json_extract_string IS NOT NULL
       .filter(get_json_object(col("props"), "$.k").isNotNull)
       .withColumn("decoded", from_json(col("props"), abiSchema))
-      .select(col("event_id"), col("event_type"), col("decoded.k").as("k"))
+      .select(col("event_id"), col("event_type"),
+        col("decoded.k").cast("long").as("k"))
   }
 
   val evtDecodeAbiSql: String =
@@ -681,16 +687,26 @@ object EventQueries {
         sum(col("value").cast(D)).cast("double").as("volume"))
   }
 
-  // ts is unique in the testdata, so ordering by ts alone matches the
-  // Spark side's (ts, event_id) total order; DuckDB's arg_min cannot
-  // take a composite key.
+  // open/close on the FULL (ts, event_id) total order — DuckDB's arg_min
+  // can't take a composite key, so the oracle ranks with row_number over
+  // the same order (ties on ts are real in burst corpora; event_id is
+  // the deterministic tiebreak on both sides)
   val evtOhlcSql: String =
-    """SELECT event_type, date_trunc('hour', ts) AS bar_ts,
-      |  arg_min(value, ts) AS open, arg_max(value, ts) AS close,
-      |  max(value) AS high, min(value) AS low,
-      |  CAST(COUNT(*) AS BIGINT) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
-      |FROM events GROUP BY 1, 2""".stripMargin
+    """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+      |             value, ts, event_id FROM events),
+      |o AS (SELECT event_type, bar_ts, value AS open FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bar_ts
+      |    ORDER BY ts ASC, event_id ASC) AS rn FROM e) t WHERE rn = 1),
+      |c AS (SELECT event_type, bar_ts, value AS close FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bar_ts
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM e) t WHERE rn = 1),
+      |a AS (SELECT event_type, bar_ts, max(value) AS high, min(value) AS low,
+      |        CAST(COUNT(*) AS BIGINT) AS n_events,
+      |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      |      FROM e GROUP BY 1, 2)
+      |SELECT a.event_type, a.bar_ts, o.open, c.close, a.high, a.low,
+      |  a.n_events, a.volume
+      |FROM a JOIN o USING (event_type, bar_ts) JOIN c USING (event_type, bar_ts)""".stripMargin
 
   /** Sliding (hopping) window aggregates: 1-hour windows every 15
     * minutes — each event lands in 4 overlapping windows. Spark's

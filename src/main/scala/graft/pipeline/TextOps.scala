@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -62,20 +62,26 @@ object TextOps {
       occurrences(padded, " of ")).cast("long")
     val nPunct = (length(col("text")) -
       length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long")
+    // ratios are NULL when the denominator is 0 (empty text) — stated
+    // explicitly on both sides: Spark ANSI errors on /0 and DuckDB
+    // returns NULL, so the guard is the only portable definition
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den)
     d.select(col("doc_id"), nChars.as("n_chars_m"), nTokens.as("n_tokens"),
         nStop.as("n_stop"), nPunct.as("n_punct"))
-      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
-      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars_m"))
-      .withColumn("mean_tok_len", col("n_chars_m").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", ratio(col("n_stop"), col("n_tokens")))
+      .withColumn("punct_ratio", ratio(col("n_punct"), col("n_chars_m")))
+      .withColumn("mean_tok_len", ratio(col("n_chars_m"), col("n_tokens")))
   }
 
   val textQualitySql: String = {
     val p = "(' ' || text || ' ')"
     val stop = s"${occSql(p, " the ")} + ${occSql(p, " and ")} + ${occSql(p, " of ")}"
     s"""SELECT doc_id, n_chars_m, n_tokens, n_stop, n_punct,
-       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-       |  CAST(n_punct AS DOUBLE) / n_chars_m AS punct_ratio,
-       |  CAST(n_chars_m AS DOUBLE) / n_tokens AS mean_tok_len
+       |  CASE WHEN n_tokens = 0 THEN NULL ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+       |  CASE WHEN n_chars_m = 0 THEN NULL ELSE CAST(n_punct AS DOUBLE) / n_chars_m END AS punct_ratio,
+       |  CASE WHEN n_tokens = 0 THEN NULL ELSE CAST(n_chars_m AS DOUBLE) / n_tokens END AS mean_tok_len
        |FROM (SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars_m,
        |  CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
@@ -256,6 +262,11 @@ object TextOps {
   def textBigramLm(spark: SparkSession, dir: String): DataFrame = {
     val bgc = Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // docs with <2 tokens have no bigrams and must DROP here: Spark's
+      // sequence(1, 0) runs backwards ([1,0]) and t[1] then faults under
+      // ANSI, where DuckDB's range(1,1) is simply empty — the filter
+      // makes both engines agree (such docs absent from the result)
+      .filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
         .as("big"))
