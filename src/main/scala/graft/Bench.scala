@@ -53,6 +53,7 @@ object Bench {
       // must time the operator, not a prior pass's persisted output);
       // input-fixture caches (session doc collection) stay warm on purpose
       graft.pipeline.Dedup.clearResultCaches()
+      graft.pipeline.Curation.clearResultCaches()
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =

@@ -197,8 +197,13 @@ object Curation {
     * (train, bench) pairs sharing content ever materialize — the same
     * 100 TB shape as the jaccard join. Threshold 0.05 suits the
     * fixture's word-soup 3-grams; real pipelines run ~0.8 on 8-grams. */
-  def pipelineContamination(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def pipelineContamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationOf(Tables.documents(spark, dir))
+
+  /** Contamination over any (doc_id, text, …) frame — lets `pipelineE2e`
+    * feed the stage from its single persisted projection. */
+  def contaminationOf(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"),
         shingle_hashes(split(trim(col("text")), "\\s+"), 3).as("ng"))
     val bench = d.filter(col("doc_id") < 20)
@@ -319,8 +324,13 @@ object Curation {
     *   low_diversity  distinct tokens < 30% of tokens
     * Shape: explode → (doc, token) count → per-doc rollup; two map-side-
     * combinable groupBys sharing the doc_id partitioning prefix. */
-  def pipelineQualityGate(spark: SparkSession, dir: String): DataFrame = {
-    val tc = Tables.documents(spark, dir)
+  def pipelineQualityGate(spark: SparkSession, dir: String): DataFrame =
+    qualityGateOf(Tables.documents(spark, dir))
+
+  /** Quality gate over any (doc_id, text, …) frame (see
+    * [[contaminationOf]]). */
+  def qualityGateOf(docs: DataFrame): DataFrame = {
+    val tc = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"), col("tok"))
@@ -458,21 +468,43 @@ object Curation {
     * per-(split, source) doc/token counts with an id-sum fingerprint.
     * Composes the already-verified stage operators via id-set semi/anti
     * joins — each stage ships only `doc_id`s (8 bytes/row) into the
-    * joins, so at 100 TB the chain moves id sets, not text. Each stage
-    * branch plans its own corpus scan (Spark does not share scan
-    * subtrees — four scans total; a production run would persist the
-    * narrow (doc_id, text) projection once and feed all branches), but
-    * the contamination inverted index stays the narrow (hash, id) shape
-    * proven in `pipeline_contamination`. */
+    * joins, so at 100 TB the chain moves id sets, not text. Spark does
+    * not share scan subtrees across the four stage branches, so the
+    * chain persists the narrow (doc_id, text, source) projection ONCE
+    * and feeds every branch from it: the executed plan reads the corpus
+    * exactly once (pinned in CurationE2eSpec) and the three re-reads are
+    * in-memory columnar scans of the 3-column projection — the
+    * production single-pass shape at 100 TB. The cache is an INPUT
+    * projection, not a result artifact, but Bench still drops it between
+    * passes (clearResultCaches) so every timed pass pays the real scan. */
+  /** The chain's single-scan input: the narrow (doc_id, text, source)
+    * projection, persisted once per (session, corpus). Holds INPUT, not
+    * results — the production "read the corpus once, feed every curation
+    * stage" pattern; Bench drops it between passes. */
+  private val e2eBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def e2eBase(spark: SparkSession, dir: String): DataFrame =
+    e2eBaseCache.computeIfAbsent((spark, dir), _ =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop the persisted e2e input projection (Bench, between passes). */
+  private[graft] def clearResultCaches(): Unit = {
+    e2eBaseCache.forEach((_, df) => df.unpersist())
+    e2eBaseCache.clear()
+  }
+
   def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = e2eBase(spark, dir)
     val exactKeep = d
       .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val qualityKeep = pipelineQualityGate(spark, dir)
+    val qualityKeep = qualityGateOf(d)
       .filter(col("keep") === 1L).select("doc_id")
-    val contaminated = pipelineContamination(spark, dir)
+    val contaminated = contaminationOf(d)
       .select(col("train_id").as("doc_id")).distinct()
     d.filter(col("doc_id") >= 20)
       .join(exactKeep, Seq("doc_id"), "left_semi")

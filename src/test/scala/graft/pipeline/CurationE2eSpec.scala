@@ -45,6 +45,27 @@ class CurationE2eSpec extends SparkSpec {
     assert(sortedRows(got) === sortedRows(expected))
   }
 
+  test("pipeline_e2e executed plan reads the corpus ONCE: every stage branch feeds from the persisted projection") {
+    Curation.clearResultCaches()
+    val df = Curation.pipelineE2e(spark, sf)
+    df.count() // materialize the chain (and the persisted projection)
+    // logical traversal: InMemoryRelation is a LEAF (collect does not
+    // descend into its cached child), so any LogicalRelation over the
+    // documents file surviving here is a real extra corpus scan
+    val lp = df.queryExecution.optimizedPlan
+    val directScans = lp.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.toString.contains("documents") => r
+    }
+    val memRels = lp.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    }
+    assert(directScans.isEmpty,
+      s"chain still plans ${directScans.size} direct documents scans:\n$lp")
+    assert(memRels.nonEmpty, s"chain does not read the persisted projection:\n$lp")
+    Curation.clearResultCaches()
+  }
+
   test("reservoir two-phase prefilter is semantics-preserving and never undershoots") {
     import org.apache.spark.sql.expressions.Window
     val m = 1L << 20
