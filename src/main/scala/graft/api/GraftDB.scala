@@ -42,6 +42,13 @@ class GraftDB(spark: SparkSession, root: String,
     pinnedAdmin: Option[String] = None) {
   import GraftDB._
 
+  /** Crash-injection hook (tests only): called with a window label at
+    * every point where dying between a data write and its manifest/state
+    * commit would leave the protocol mid-flight. `GraftDBCrashSpec` makes
+    * it throw to prove each window recovers to the pre-crash or
+    * post-commit state — never between. Default no-op. */
+  private[api] var failpoint: String => Unit = _ => ()
+
   private def collPath(db: String, coll: String) = s"$root/$db/$coll"
   private def mutPath(db: String, coll: String) = s"${collPath(db, coll)}/mutations"
   private def rollPath(db: String, coll: String) = s"${collPath(db, coll)}/rollups"
@@ -235,9 +242,16 @@ class GraftDB(spark: SparkSession, root: String,
     * prefix listing. Collections written before the manifest existed
     * fall back to listing rollups/ recursively. */
   def mutationLog(db: String, coll: String): DataFrame = {
-    val manifested = scanRollupRecords(db, coll)
-      .select(col("path")).collect().map(_.getString(0))
-      .filter(p => hasParquet(p))
+    val recs = scanRollupRecords(db, coll)
+      .select(col("path"), col("end_block")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (p, _) => hasParquet(p) }
+    val manifested = recs.map(_._1)
+    // blocks at or below this bound are owned by the rollup batches; a
+    // rollup that crashed between its manifest append and the tail GC
+    // leaves the same blocks in BOTH places — the bound keeps the
+    // redundant tail copy invisible until the GC finishes
+    val committedHi = if (recs.isEmpty) -1L else recs.map(_._2).max
     val rollReads: Seq[DataFrame] =
       if (manifested.nonEmpty)
         // recursiveFileLookup also disables partition-column inference on
@@ -249,10 +263,11 @@ class GraftDB(spark: SparkSession, root: String,
           .option("recursiveFileLookup", "true").parquet(rollPath(db, coll)))
       else Seq.empty
     val tailReads =
-      if (hasParquet(mutPath(db, coll)))
-        Seq(spark.read.schema(mutationSchema)
-          .option("recursiveFileLookup", "true").parquet(mutPath(db, coll)))
-      else Seq.empty
+      if (hasParquet(mutPath(db, coll))) {
+        val t = spark.read.schema(mutationSchema)
+          .option("recursiveFileLookup", "true").parquet(mutPath(db, coll))
+        Seq(if (committedHi >= 0) t.filter(col("block") > committedHi) else t)
+      } else Seq.empty
     val reads = rollReads ++ tailReads
     if (reads.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mutationSchema)
@@ -273,6 +288,7 @@ class GraftDB(spark: SparkSession, root: String,
     append(db, coll, docs.zipWithIndex.map { case (d, i) =>
       Row(block, i, ActionAdd, base + i, d, null)
     })
+    failpoint("addDocuments:afterAppend")
     writeState(db, coll, CollState(block, base + docs.length))
     ids
   }
@@ -290,6 +306,7 @@ class GraftDB(spark: SparkSession, root: String,
       Row(block, i, ActionUpdate, ids(i), docs(i),
         if (masks(i).isEmpty) null else masks(i).mkString(","))
     })
+    failpoint("updateDocuments:afterAppend")
     writeState(db, coll, st.copy(lastBlock = block))
   }
 
@@ -327,6 +344,7 @@ class GraftDB(spark: SparkSession, root: String,
     spark.createDataFrame(rows, mutationSchema)
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${mutPath(db, coll)}/block_$block")
+    failpoint("appendAt:afterData")
     val st = currentState(db, coll)
     writeState(db, coll, CollState(math.max(st.lastBlock, block),
       math.max(st.nextId, (block + 1) * IdStride)))
@@ -355,6 +373,7 @@ class GraftDB(spark: SparkSession, root: String,
     val at = if (block == Long.MinValue) currentState(db, coll).lastBlock else block
     val dir = snapPath(db, coll, at)
     foldLog(db, coll, at).write.mode(SaveMode.Overwrite).parquet(dir)
+    failpoint("snapshot:afterData")
     val n = spark.read.parquet(dir).count()
     appendManifest(s"${manifestPath(db, coll)}/snapshot",
       Seq(Row(at, n, dir)), snapshotManifestSchema)
@@ -411,7 +430,12 @@ class GraftDB(spark: SparkSession, root: String,
   private def foldLog(db: String, coll: String, block: Long,
       onlyIds: Option[Seq[Long]] = None): DataFrame = {
     import spark.implicits._
-    val source = latestSnapshotAt(db, coll, block) match {
+    // COMMIT POINT = the state cell (Delta-style: data files land first,
+    // invisible; the atomic cell flip publishes them). Rows whose block
+    // is beyond the committed lastBlock are a crashed writer's in-flight
+    // append and must not surface until their writer commits.
+    val committed = math.min(block, currentState(db, coll).lastBlock)
+    val source = latestSnapshotAt(db, coll, committed) match {
       case Some((snapBlock, path)) =>
         val seed = spark.read.parquet(path)
           .select(col("_id").as("id"), col("doc"))
@@ -423,9 +447,9 @@ class GraftDB(spark: SparkSession, root: String,
         // block > snapBlock prunes rolled-up batches and block_N tail
         // dirs by parquet row-group stats — the replay reads O(tail)
         seed.unionByName(mutationLog(db, coll)
-          .filter(col("block") > snapBlock && col("block") <= block))
+          .filter(col("block") > snapBlock && col("block") <= committed))
       case None =>
-        mutationLog(db, coll).filter(col("block") <= block)
+        mutationLog(db, coll).filter(col("block") <= committed)
     }
     val filtered = onlyIds match {
       case Some(ids) => source.filter(col("id").isin(ids: _*))
@@ -435,7 +459,15 @@ class GraftDB(spark: SparkSession, root: String,
       .as[MutationRow]
       .groupByKey(_.id)
       .mapGroups { (id, muts) =>
+        // a crashed-then-retried append lands the same (block, order)
+        // stamp twice (at-least-once data, exactly-once commit); replay
+        // each stamp once — duplicates are adjacent after the sort
         val ordered = muts.toSeq.sortBy(m => (m.block, m.order))
+          .foldLeft(List.empty[MutationRow]) {
+            case (acc @ (p :: _), m)
+                if p.block == m.block && p.order == m.order => acc
+            case (acc, m) => m :: acc
+          }.reverse
         var doc: String = null
         ordered.foreach { m =>
           m.action match {
@@ -482,8 +514,27 @@ class GraftDB(spark: SparkSession, root: String,
       maxBatchBytes: Long = 64L * 1024 * 1024): Seq[RollupRecord] = {
     val tailDir = mutPath(db, coll)
     if (!hasParquet(tailDir)) return Seq.empty
-    val tail = spark.read.schema(mutationSchema)
+    val rawTail = spark.read.schema(mutationSchema)
       .option("recursiveFileLookup", "true").parquet(tailDir)
+    // idempotent re-entry: blocks already manifest-committed by a prior
+    // (possibly crashed) run never roll twice — the manifest is the
+    // commit point, the tail copy is redundant data awaiting GC
+    val committedHi = {
+      val r = scanRollupRecords(db, coll).agg(max(col("end_block"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    val tail = rawTail.filter(col("block") > committedHi)
+    val rawMm = rawTail.agg(min(col("block")), max(col("block")),
+      count(lit(1))).head()
+    val (rawLo, rawHi, rawN) =
+      (rawMm.getLong(0), rawMm.getLong(1), rawMm.getLong(2))
+    if (tail.isEmpty) {
+      // every tail row is already rolled (crash landed between the
+      // manifest append and the tail GC, or a replayed micro-batch
+      // re-appended rolled blocks): finish the GC and stop
+      finishGc(db, coll, tailDir, rawLo, rawHi, rawN)
+      return Seq.empty
+    }
     val rowBytes = coalesce(length(col("doc")).cast("long"), lit(0L)) +
       coalesce(length(col("mask")).cast("long"), lit(0L)) + lit(24L)
     val byBlock = Window.orderBy(col("block"))
@@ -504,6 +555,7 @@ class GraftDB(spark: SparkSession, root: String,
       .sortWithinPartitions("batch", "block", "order")
       .write.partitionBy("batch").mode(SaveMode.Overwrite)
       .option("compression", "gzip").parquet(runDir)
+    failpoint("rollup:afterData")
     // per-batch stats: #batches rows of metadata on the driver (the
     // reference's record list lives in RocksDB the same way)
     val records = tail.join(broadcast(assign), Seq("block"))
@@ -520,13 +572,30 @@ class GraftDB(spark: SparkSession, root: String,
     appendManifest(s"${manifestPath(db, coll)}/rollup", records.map(rec =>
       Row(rec.startBlock, rec.endBlock, rec.mutationCount,
         rec.compressedBytes, rec.rawBytes, rec.path)), rollupManifestSchema)
-    // GC the rolled-up tail + its GcRecord
-    val n = records.map(_.mutationCount).sum
+    failpoint("rollup:afterManifest")
+    // GC the rolled-up tail. The GcRecord covers the WHOLE deleted tail
+    // (rawLo..rawHi — includes any redundant rows a crashed prior run
+    // left behind) and is written BEFORE the delete: a crash between the
+    // two leaves the record in place and the re-entry branch above skips
+    // the duplicate append while finishing the delete.
+    finishGc(db, coll, tailDir, rawLo, rawHi, rawN)
+    records
+  }
+
+  /** GC the tail dir, appending its GcRecord exactly once (idempotent
+    * under crash-retry: skips the append when (start, end) is already
+    * recorded). */
+  private def finishGc(db: String, coll: String, tailDir: String,
+      lo: Long, hi: Long, n: Long): Unit = {
+    val recorded = scanGcRecords(db, coll)
+      .filter(col("start_block") === lo && col("end_block") === hi)
+      .limit(1).count() > 0
+    if (!recorded)
+      appendManifest(s"${manifestPath(db, coll)}/gc",
+        Seq(Row(lo, hi, n)), gcManifestSchema)
+    failpoint("rollup:afterGc")
     deleteRecursively(Paths.get(tailDir))
     Files.createDirectories(Paths.get(tailDir))
-    appendManifest(s"${manifestPath(db, coll)}/gc",
-      Seq(Row(lo, hi, n)), gcManifestSchema)
-    records
   }
 
   private def appendManifest(dir: String, rows: Seq[Row], schema: StructType): Unit =
@@ -609,6 +678,11 @@ class GraftDB(spark: SparkSession, root: String,
         throw new IllegalArgumentException(
           s"bad setup nonce for $key: got $nonce, expected $expected")
       writeNonces(nonces.updated(key, nonce))
+      // a crash here burns the nonce without applying the config — the
+      // chain-standard failure mode: the config stays atomically at its
+      // previous value, a REPLAY of the same signed request is dead on
+      // arrival, and the client retries with the next nonce
+      failpoint("setup:afterNonce")
       val prev = systemStatus().config
       val cfg = NodeConfig(
         minRollupSizeBytes = knob("minRollupSizeBytes", prev.minRollupSizeBytes),
