@@ -424,11 +424,36 @@ object Streaming {
       maxBatchBytes: Long = 64L * 1024 * 1024,
       glob: String = "events.parquet", filesPerTrigger: Int = 0,
       ttlNanos: Long = 0L,
-      nowNanos: () => Long = WallClockNanos)
+      nowNanos: () => Long = WallClockNanos,
+      checkpointLocation: String = "")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     db.createCollection(dbName, coll)
-    val blockBase = db.nextBlockId(dbName, coll)
-    withTtl(readEventStream(spark, dir, glob, filesPerTrigger), ttlNanos, nowNanos).toDF()
+    // Restartable when checkpointed: the reserved block base is persisted
+    // beside the checkpoint so the batchId→block mapping is STABLE across
+    // restarts. That closes the replay window a re-reserved base would
+    // open: a micro-batch whose data landed but whose offset never
+    // committed is re-delivered with the SAME block id, and the per-block
+    // Overwrite makes the retry idempotent; with a fresh base the same
+    // rows would land under a second block — a duplicate. Batches the
+    // checkpoint already committed are not re-run at all (foreachBatch's
+    // contract), so restart = resume, never re-ingest.
+    val blockBase =
+      if (checkpointLocation.isEmpty) db.nextBlockId(dbName, coll)
+      else {
+        val p = java.nio.file.Paths.get(checkpointLocation, "graft_block_base")
+        if (java.nio.file.Files.exists(p))
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
+        else {
+          val base = db.nextBlockId(dbName, coll)
+          java.nio.file.Files.createDirectories(p.getParent)
+          val tmp = p.resolveSibling("graft_block_base.tmp")
+          java.nio.file.Files.write(tmp, base.toString.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          base
+        }
+      }
+    val writer = withTtl(readEventStream(spark, dir, glob, filesPerTrigger), ttlNanos, nowNanos).toDF()
       .select(to_json(struct(col("event_id"), col("user_id"),
         col("event_type"), col("value"))).as("doc"))
       .writeStream
@@ -438,7 +463,8 @@ object Streaming {
           db.rollup(dbName, coll, maxBatchBytes)
         ()
       }
-      .start()
+    (if (checkpointLocation.isEmpty) writer
+     else writer.option("checkpointLocation", checkpointLocation)).start()
   }
 
   private[streaming] def updateDocState(
