@@ -168,13 +168,18 @@ object DocQueries {
     * by user_id, ordered by (ts, event_id) ≈ (block_id, order_id). One
     * shuffle on the doc key; row_number (not groupBy-max + rejoin). */
   def docStateLatest(spark: SparkSession, dir: String): DataFrame = {
+    // latest-per-key as an ARGMAX AGGREGATION, not a window: max_by gets
+    // partial aggregation, so a hot key (one user emitting half the
+    // corpus — the skew ScaleSmoke profile) reduces to one row per map
+    // partition BEFORE the shuffle. A row_number window would sort the
+    // hot key's entire history in a single task. (ts, event_id) is the
+    // total order ((event_id unique ⇒ deterministic under ts ties).
     val ev = Tables.events(spark, dir)
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    ev.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type").as("last_type"),
-        col("value").as("last_value"))
+    ev.groupBy(col("user_id"))
+      .agg(max_by(struct(col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"))
   }
 
   val docStateLatestSql: String =

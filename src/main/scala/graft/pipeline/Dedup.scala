@@ -69,30 +69,84 @@ object Dedup {
   }
 
   private[pipeline] def dedupNgramJaccardPlan(spark: SparkSession, dir: String): DataFrame = {
-    // Exact set-similarity join via inverted index: explode distinct
-    // shingles, join on (lang, shingle) so only pairs sharing content ever
-    // materialize, |∩| = co-occurrence count, |∪| = |a|+|b|-|∩|. Same
-    // exact result as the naive pairwise form but O(co-occurrences)
-    // instead of O(n² · set-size) — the shape that survives 100 TB.
+    // Exact set-similarity join via inverted index, over UNIQUE content:
+    // explode distinct shingles, join on (lang, shingle) so only pairs
+    // sharing content ever materialize, |∩| = co-occurrence count,
+    // |∪| = |a|+|b|-|∩|. Same exact result as the naive pairwise form but
+    // O(co-occurrences) instead of O(n² · set-size).
+    //
+    // Duplicate-heavy corpora are the 100 TB hazard this plan must
+    // survive: a k-duplicate cluster (mirrored pages, boilerplate) would
+    // put k copies of every shingle into the same inverted-index bucket —
+    // k² join rows PER SHINGLE. So identical texts collapse to one
+    // representative per (lang, md5(text)) BEFORE the index: the shingle
+    // join runs over distinct contents only, and cluster members
+    // re-attach afterward by content key. The quadratic part of the
+    // answer that duplicate clusters genuinely imply (all-pairs within a
+    // cluster, jaccard exactly 1.0) is emitted by one membership×
+    // membership equi-join — a single skewed key AQE splits — never
+    // through the shingle index. Output is row-identical to the direct
+    // form.
+    //
     // join key = distinct 64-bit shingle hashes straight off the token
     // array (no shingle strings ever materialize; collision odds ~1e-10
     // at 1e6 distinct shingles — below the noise floor).
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        shingle_hashes(split(trim(col("text")), "\\s+"), 3).as("ng"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), trim(col("text")).as("t"))
+      .withColumn("tk", md5(col("t")))
+    val members = docs.select(col("lang"), col("tk"), col("doc_id"))
+    val reps = docs.groupBy(col("lang"), col("tk"))
+      .agg(min(col("doc_id")).as("rid"), first(col("t")).as("t"))
+      .withColumn("ng", shingle_hashes(split(col("t"), "\\s+"), 3))
       .withColumn("sz", size(col("ng")).cast("long"))
-    val ex = d.select(col("lang"), col("doc_id"), col("sz"),
+      .drop("t")
+    val ex = reps.select(col("lang"), col("tk"), col("rid"), col("sz"),
       explode(col("ng")).as("sh"))
-    val x = ex.select(col("lang"), col("sh"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
-    val y = ex.select(col("lang"), col("sh"), col("doc_id").as("b_id"), col("sz").as("b_sz"))
-    x.join(y, Seq("lang", "sh"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+    val x = ex.select(col("lang"), col("sh"), col("tk").as("a_tk"),
+      col("rid").as("a_rid"), col("sz").as("a_sz"))
+    val y = ex.select(col("lang"), col("sh"), col("tk").as("b_tk"),
+      col("rid").as("b_rid"), col("sz").as("b_sz"))
+    // similar pairs between DISTINCT contents (each unordered pair once)
+    val repPairs = x.join(y, Seq("lang", "sh"))
+      .filter(col("a_rid") < col("b_rid"))
+      .groupBy(col("lang"), col("a_tk"), col("b_tk"), col("a_sz"), col("b_sz"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"), col("inter"), col("uni"), col("jaccard"))
+    // expand cross-content pairs to member ids (ids of the two clusters
+    // interleave, so re-normalize the orientation per member pair)
+    val ma = members.select(col("lang"), col("tk").as("a_tk"), col("doc_id").as("aid"))
+    val mb = members.select(col("lang"), col("tk").as("b_tk"), col("doc_id").as("bid"))
+    val cross = repPairs
+      .join(ma, Seq("lang", "a_tk"))
+      .join(mb, Seq("lang", "b_tk"))
+      .select(least(col("aid"), col("bid")).as("a_id"),
+        greatest(col("aid"), col("bid")).as("b_id"),
+        col("inter"), col("uni"), col("jaccard"))
+    // all-pairs within each duplicate cluster: identical shingle sets,
+    // jaccard exactly 1.0 (empty shingle sets pair with nothing — the
+    // direct form never indexes them). Structured as a PLAIN self-join
+    // of two scan-fed shuffles — the only SMJ shape AQE's
+    // OptimizeSkewedJoin can split (an aggregate or join between shuffle
+    // and join disqualifies the stage) — so the one genuinely hot key a
+    // duplicate cluster creates is runtime-split, not serialized. The
+    // shingle COUNT rides each member row (recomputed per doc, exactly
+    // what the pre-collapse form paid per doc anyway) instead of being
+    // attached by a third join on the quadratic output.
+    val wmem = docs
+      .withColumn("sz",
+        size(shingle_hashes(split(col("t"), "\\s+"), 3)).cast("long"))
+      .filter(col("sz") > 0)
+    val wa = wmem.select(col("lang"), col("tk"), col("doc_id").as("aid"),
+      col("sz"))
+    val wb = wmem.select(col("lang"), col("tk"), col("doc_id").as("bid"))
+    val within = wa.join(wb, Seq("lang", "tk"))
+      .filter(col("aid") < col("bid"))
+      .select(col("aid").as("a_id"), col("bid").as("b_id"),
+        col("sz").as("inter"), col("sz").as("uni"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   val dedupNgramJaccardSql: String =

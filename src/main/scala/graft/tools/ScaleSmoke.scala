@@ -54,11 +54,23 @@ object ScaleSmoke {
     // the windowed percentile gate
     "q21_waiting_supplier", "text_search_bm25", "pipeline_quality_percentile")
 
+  /** Skew profile (mode=skew): the shapes whose shuffle keys the skewed
+    * corpus hammers. The skewed 10× corpus re-maps HALF of all events to
+    * ONE user and makes 10% of all documents ONE identical text — the
+    * hot-user / mirrored-boilerplate hazards of a real 100 TB corpus.
+    * Pass = skew/uniform cold ratio ≤ 2× per shape (the work is the same
+    * volume, only its key distribution changed) and the duplicate-cluster
+    * membership join runs AQE-skew-split. */
+  val SkewShapes: Seq[String] = Seq(
+    "doc_state_latest", "evt_sessionize", "dedup_exact",
+    "dedup_ngram_jaccard", "pipeline_e2e")
+
   private val IdShift = 10_000_000L
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    if (args.drop(2).headOption.contains("skew")) { runSkew(base, copies); return }
     val passes = sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "3").toInt.max(1)
     val scaled = s"/tmp/graft_scale_${copies}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -143,6 +155,162 @@ object ScaleSmoke {
       sys.exit(1)
     }
     println(s"[scale-smoke] all shapes near-linear at ${copies}x, no new exchanges, pruning holds")
+  }
+
+  /** Skew-amplified smoke: same 10× volume as the uniform corpus but with
+    * adversarial KEY DISTRIBUTIONS — one user owns 50% of all events
+    * (every per-user shuffle/window/fold key goes hot) and one text is
+    * shared by 10% of all documents (a 5k-member exact-duplicate cluster
+    * through every dedup path). Times each SkewShape cold on the uniform
+    * 10× corpus vs the skewed 10× corpus; the volumes are identical so a
+    * shape passes when skew costs ≤ 2× uniform. Also proves the
+    * mitigation is real, not incidental: the duplicate-cluster membership
+    * join (the one quadratic-output stage) must be marked skew-handled by
+    * AQE under cluster-realistic thresholds. */
+  def runSkew(base: String, copies: Int): Unit = {
+    val uniform = s"/tmp/graft_scale_${copies}x"
+    val skewed = s"/tmp/graft_skew_${copies}x"
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildCorpus(spark, base, uniform, copies)
+    buildSkewCorpus(spark, uniform, skewed, copies)
+
+    // JVM/codegen warmup off the timed corpora
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_WARMDIR", "/root/testdata/sf0.01")
+    SkewShapes.foreach { n =>
+      try graft.SparkEntry.queries(n)(spark, warmDir).count()
+      catch { case NonFatal(_) => }
+    }
+
+    println(f"%nshape                     uniform${copies}x  skew${copies}x   ratio  verdict")
+    var failures = 0
+    val shapes = if (sys.env.contains("SPARK_GRAFT_SMOKE_JOINONLY")) Nil else SkewShapes
+    shapes.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def cold(dir: String): Double = {
+        graft.pipeline.Dedup.clearResultCaches()
+        graft.pipeline.Curation.clearResultCaches()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        // alternate dirs so box-load spikes cannot poison one side; keep
+        // the per-dir MINIMUM cold time (closest to true cost on a noisy
+        // shared box)
+        val us = (1 to passes).map(_ => cold(uniform))
+        val ss = (1 to passes).map(_ => cold(skewed))
+        val (u, s) = (us.min, ss.min)
+        val ratio = s / u
+        val ok = ratio <= 2.0
+        if (!ok) failures += 1
+        println(f"$name%-24s $u%8.2f  $s%8.2f  $ratio%5.2fx  ${if (ok) "ok" else "FAIL"}")
+      } catch {
+        case NonFatal(e) =>
+          failures += 1
+          println(s"$name FAILED: ${e.getMessage}")
+      }
+    }
+
+    if (!skewJoinEngages(spark, skewed)) failures += 1
+    spark.stop()
+    if (failures > 0) {
+      System.err.println(s"[skew-smoke] $failures failure(s)")
+      sys.exit(1)
+    }
+    println(s"[skew-smoke] all shapes within 2x of uniform at ${copies}x; AQE skew-split engaged")
+  }
+
+  /** The duplicate-cluster membership join must be AQE-skew-split under
+    * cluster-realistic thresholds (test-sized data needs the thresholds
+    * scaled down, exactly as AqeSkewSpec does — on a real cluster the
+    * 256 MB defaults fire on the same key). */
+  def skewJoinEngages(spark: SparkSession, skewDir: String): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val confs = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      // cluster-realistic partition count: skew detection reads
+      // COMPRESSED map sizes, and a duplicate cluster's identical join
+      // keys compress away — at 16 local partitions the hot partition
+      // hides inside the median, at a cluster's partition count the
+      // median drops and the hot key stands out (44KB vs 11KB median
+      // at 200 parts here)
+      "spark.sql.shuffle.partitions" -> "200")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      graft.pipeline.Dedup.clearResultCaches()
+      val df = graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, skewDir)
+      df.queryExecution.toRdd.count() // execute THIS plan (no derived agg)
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec        => allNodes(q.plan)
+        case _                        => p.children.flatMap(allNodes)
+      })
+      val smj = allNodes(df.queryExecution.executedPlan)
+        .collect { case j: SortMergeJoinExec => j }
+      val ok = smj.exists(_.isSkewJoin)
+      println(s"[skew-smoke] dup-cluster membership join AQE-skew-split: " +
+        s"${if (ok) "ok" else "FAIL"} (${smj.count(_.isSkewJoin)} of ${smj.length} SMJs split)")
+      if (!ok && sys.env.contains("SPARK_GRAFT_SMOKE_DEBUG"))
+        println(df.queryExecution.executedPlan.toString.take(8000))
+      ok
+    } finally {
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      saved.foreach { case (k, v) => v.foreach(spark.conf.set(k, _)) }
+    }
+  }
+
+  /** Skewed 10× corpus: identical VOLUME to the uniform scaled corpus,
+    * adversarial KEYS. Events: half of all rows re-keyed to user 0 (ids
+    * stay unique). Documents: every 10th doc gets one shared 40-token
+    * text — a corpus-wide exact-duplicate cluster with real shingles.
+    * All other tables symlink to the uniform corpus. */
+  def buildSkewCorpus(spark: SparkSession, uniform: String, out: String,
+      copies: Int): Unit = {
+    val marker = Paths.get(out, s"_SKEW_${copies}X_V1_OK")
+    if (Files.exists(marker)) { println(s"[skew-smoke] reusing $out"); return }
+    println(s"[skew-smoke] building skewed ${copies}x corpus at $out")
+    Files.createDirectories(Paths.get(out))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "embeddings")) {
+      val link = Paths.get(out, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(uniform, s"$t.parquet"))
+    }
+    graft.sources.Tables.eventsRaw(spark, uniform)
+      .withColumn("user_id",
+        when(col("event_id") % 2 === 0, lit(0L)).otherwise(col("user_id")))
+      .repartition(copies)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val dupText = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    graft.sources.Tables.documents(spark, uniform)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 0, lit(dupText)).otherwise(col("text")))
+      // one lang too — a mirrored-boilerplate cluster shares language, and
+      // splitting it across langs would hide the hot (lang, content) key
+      .withColumn("lang",
+        when(col("doc_id") % 10 === 0, lit("en")).otherwise(col("lang")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(copies)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Files.write(marker, Array.emptyByteArray)
   }
 
   /** Write the scaled corpus (idempotent — skipped when the marker file
