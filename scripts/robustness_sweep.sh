@@ -12,8 +12,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 W="${1:-/tmp/altdata}"
 
-declare -a NAMES=(skew skew2 edge edge_noevents)
-declare -a SPECS=("20260814 skew" "777 skew" "123 edge" "99 edge,events+lineitem")
+declare -a NAMES=(skew skew2 edge edge_noevents dupheavy)
+declare -a SPECS=("20260814 skew" "777 skew" "123 edge" "99 edge,events+lineitem" "555 dupheavy")
 
 fail=0
 for i in "${!NAMES[@]}"; do

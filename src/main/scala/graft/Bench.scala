@@ -9,19 +9,23 @@ import scala.util.control.NonFatal
   * printed, unprefixed (build.sbt sets `run / outputStrategy :=
   * StdoutOutput` so sbt does not wrap it in `[info] `).
   *
-  * Each query runs SPARK_GRAFT_BENCH_PASSES times (default 3) and the
+  * Each query runs SPARK_GRAFT_BENCH_PASSES times (default 5) and the
   * headline number is the per-query MEDIAN: single-pass timings on a
   * shared local[32] box whipsawed 10× between same-code runs (r3/r4
   * verdicts), so one noisy pass must never masquerade as a plan
-  * regression. The full per-pass record is persisted to bench_out.json
-  * next to the repo (stdout keeps only the medians — the driver tails
-  * it to 2000 chars).
+  * regression. The full per-pass record (plus per-query min–max spread,
+  * a normalized physical-plan hash, and round-over-round regression
+  * flags vs the previous committed bench_out.json) is persisted to
+  * bench_out.json next to the repo (stdout keeps only the medians — the
+  * driver tails it to 2000 chars). A query whose median moved >2× is
+  * auto-explained: "plan" says whether its normalized plan hash changed
+  * since the previous record or the move is pure box jitter.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,6 +79,66 @@ object Bench {
     val results = names.map { case (name, _) =>
       name -> median(perPass.toSeq.map(_(name)))
     }
+
+    // ---- regression hygiene -------------------------------------------
+    // normalized physical-plan hash per query (expr ids / plan ids / scan
+    // listings stripped): lets the NEXT round tell a real plan change
+    // from box jitter. Result caches cleared so cache state can't leak
+    // InMemoryRelations into the hash.
+    graft.pipeline.Dedup.clearResultCaches()
+    graft.pipeline.Curation.clearResultCaches()
+    val planHashes: Map[String, String] = names.map { case (name, fn) =>
+      val h = try {
+        val s = fn(spark, sfDir).queryExecution.executedPlan.toString
+          .replaceAll("#\\d+", "#")
+          .replaceAll("plan_id=\\d+", "plan_id=")
+          .replaceAll("Location: [^,\\]]+", "Location:")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      } catch { case NonFatal(_) => "error" }
+      name -> h
+    }.toMap
+    // previous committed record (the prior round's bench_out.json)
+    val outPath = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "bench_out.json")
+    val (prevMed, prevHash): (Map[String, Double], Map[String, String]) =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val j = JsonMethods.parse(java.nio.file.Files.readString(outPath))
+        def strMap(field: String): Map[String, String] = j \ field match {
+          case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+          case _ => Map.empty
+        }
+        // only comparable against a record from the SAME corpus dir
+        val sameSf = j \ "sf" match {
+          case JString(s) => s == sfDir
+          case _ => false
+        }
+        val med = if (!sameSf) Map.empty[String, Double] else j \ "queries" match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        (med, if (sameSf) strMap("plan_hashes") else Map.empty[String, String])
+      } catch { case NonFatal(_) => (Map.empty, Map.empty) }
+    // flag >2× moves either way, and explain them: same plan hash = box
+    // jitter; different = a real plan change to audit
+    val regressions = results.collect {
+      case (name, now) if now > 0.0 && prevMed.get(name).exists(p =>
+          p > 0.0 && (now / p > 2.0 || p / now > 2.0)) =>
+        val prev = prevMed(name)
+        val plan = (prevHash.get(name), planHashes.get(name)) match {
+          case (Some(a), Some(b)) if a == b => "same"
+          case (Some(_), Some(_)) => "changed"
+          case _ => "unknown"
+        }
+        (name, prev, now, plan)
+    }
+
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -87,17 +151,31 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0.0 => v }.sum
     spark.stop()
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // regressions ride the STDOUT line too (at the end, inside the
+    // driver's 2000-char tail): a >2× round-over-round move is loud in
+    // BENCH_r{N}.json itself, already explained
+    val regJson = regressions.map { case (n, p, now, plan) =>
+      s"""{"q":"$n","prev":${r3(p)},"now":${r3(now)},"plan":"$plan"}"""
+    }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"regressions":$regJson}"""
     // the driver keeps only a 2000-char tail of stdout — persist the full
     // per-pass record so timings survive for every round. Path resolved
     // against the repo (user.dir), not whatever cwd the forked JVM got.
     val passesJson = names.map { case (name, _) =>
       s"\"" + name + "\":" + perPass.map(p => r3(p(name))).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val fileLine = line.dropRight(1) + s""","per_pass":$passesJson}"""
-    val outPath = java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."), "bench_out.json")
+    // per-query min–max spread across passes (variance at a glance)
+    val spreadJson = names.map { case (name, _) =>
+      val good = perPass.toSeq.map(_(name)).filter(_ >= 0.0)
+      val sp = if (good.isEmpty) -1.0 else good.max - good.min
+      s"\"" + name + "\":" + r3(sp)
+    }.mkString("{", ",", "}")
+    val hashJson = names.map { case (name, _) =>
+      s"\"" + name + "\":\"" + planHashes.getOrElse(name, "error") + "\""
+    }.mkString("{", ",", "}")
+    val fileLine = line.dropRight(1) +
+      s""","per_pass":$passesJson,"spread":$spreadJson,"plan_hashes":$hashJson}"""
     try java.nio.file.Files.write(outPath, (fileLine + "\n").getBytes("UTF-8"))
     catch {
       case NonFatal(e) =>

@@ -95,8 +95,11 @@ object Dedup {
       .select(col("doc_id"), col("lang"), trim(col("text")).as("t"))
       .withColumn("tk", md5(col("t")))
     val members = docs.select(col("lang"), col("tk"), col("doc_id"))
+    // min(t), not first(t): every t in a (lang, md5(t)) group is the same
+    // string, and min keeps the aggregate hash-based (first() is
+    // order-sensitive and forces a sort-based aggregate)
     val reps = docs.groupBy(col("lang"), col("tk"))
-      .agg(min(col("doc_id")).as("rid"), first(col("t")).as("t"))
+      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
       .withColumn("ng", shingle_hashes(split(col("t"), "\\s+"), 3))
       .withColumn("sz", size(col("ng")).cast("long"))
       .drop("t")

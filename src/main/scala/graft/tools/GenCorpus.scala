@@ -25,6 +25,10 @@ import scala.util.Random
   *  - `skew` (default): full-size corpus (~sf0.01) with the hazards above
   *  - `edge`: near-minimal tables (0–6 rows) — empty-input hardening;
   *    `edge,<t1+t2>` empties the named tables entirely
+  *  - `fuzz`: small TPC-H-only corpus for the decorrelation sweep
+  *    (DecorrFuzzSpec) — hazard rates themselves drawn per seed
+  *  - `dupheavy`: the skew corpus plus 30% of all documents sharing one
+  *    (text, lang) — adversarial duplication through every dedup oracle
   *
   * Usage: GenCorpus <outDir> [seed] [profile]
   */
@@ -87,9 +91,33 @@ object GenCorpus {
     import spark.implicits._
     val parts = profile.split(",", 2)
     val edge = parts(0) == "edge"
+    val fuzz = parts(0) == "fuzz"
+    // `dupheavy`: the skew corpus plus a corpus-wide duplicate cluster —
+    // 30% of ALL documents share one (text, lang). Oracle-checks the
+    // dedup paths (rep-collapsed jaccard, exact, clusters, keep-list,
+    // e2e) under adversarial duplication, where a collapse bug would
+    // change pair output massively.
+    val dupheavy = parts(0) == "dupheavy"
     val emptied: Set[String] = // '+' or ';' separated ('+' survives sbt quoting)
       if (parts.length > 1) parts(1).split("[;+]").toSet else Set.empty
     val rnd = new Random(seed)
+
+    // `fuzz` profile (DecorrFuzzSpec): MANY small TPC-H-only corpora —
+    // hazard RATES themselves are drawn per seed, so across a sweep some
+    // corpora have no nulls and some are null-heavy, some tie everywhere,
+    // some have empty predicate windows (every order in one year, no
+    // giant orders, all-zero discounts). One knob set per corpus keeps
+    // each corpus internally coherent while the sweep covers the space.
+    val (nCust, nSupp, nPart, nOrd) =
+      if (fuzz) (120, 30, 150, 400) else (1500, 100, 2000, 15000)
+    val pNullBal = if (fuzz) rnd.nextDouble() * 0.25 else 0.03
+    val pZeroBal = if (fuzz) rnd.nextDouble() * 0.3 else 0.10
+    val pHotCust = if (fuzz) rnd.nextDouble() * 0.6 else 0.3
+    val pTiePrice = if (fuzz) rnd.nextDouble() * 0.5 else 0.2
+    val pBrandHoard = if (fuzz) rnd.nextDouble() * 0.5 else 0.25
+    val discZeroAll = fuzz && rnd.nextInt(10) == 0
+    val oneYearOnly = fuzz && rnd.nextInt(10) == 0
+    val noGiants = fuzz && rnd.nextBoolean()
 
     // ---- region / nation --------------------------------------------------
     val regions = Seq(Region(0, "AFRICA"), Region(1, "AMERICA"),
@@ -112,7 +140,7 @@ object GenCorpus {
       if (edge) (0L until 5L).map(i => Customer(i, f"Customer#$i%09d",
         (i % 2).toInt * 2, if (i == 3) None else Some(round2(i * 10.0 - 20)),
         if (i < 3) "BUILDING" else "AUTOMOBILE"))
-      else (0L until 1500L).map { i =>
+      else (0L until nCust.toLong).map { i =>
         val nk =
           if (rnd.nextDouble() < 0.4) 2
           else {
@@ -121,8 +149,8 @@ object GenCorpus {
             k
           }
         val bal =
-          if (rnd.nextDouble() < 0.03) None
-          else if (rnd.nextDouble() < 0.10) Some(0.0)
+          if (rnd.nextDouble() < pNullBal) None
+          else if (rnd.nextDouble() < pZeroBal) Some(0.0)
           else Some(round2(rnd.nextDouble() * 11000.0 - 1000.0))
         val seg = pick(rnd, Seq("BUILDING" -> 0.45, "AUTOMOBILE" -> 0.30,
           "FURNITURE" -> 0.20, "HOUSEHOLD" -> 0.05))
@@ -134,7 +162,7 @@ object GenCorpus {
     val suppliers =
       if (edge) Seq(Supplier(0L, "Supplier#000000000", 0, 0.0),
         Supplier(1L, "Supplier#000000001", 2, -10.5))
-      else (0L until 100L).map { i =>
+      else (0L until nSupp.toLong).map { i =>
         val nk = nationKeys.filter(_ <= 9)(rnd.nextInt(10))
         val bal = if (rnd.nextDouble() < 0.1) round2(-rnd.nextDouble() * 500)
           else if (rnd.nextDouble() < 0.1) 0.0
@@ -150,9 +178,9 @@ object GenCorpus {
       if (edge) Seq(Part(0L, "red bolt", "Brand#23", "PROMO", 1, 1.0),
         Part(1L, "small ring", "Brand#12", "SMALL", 5, 10.0),
         Part(2L, "blue gear", "Brand#3", "LARGE", 15, 100.0))
-      else (0L until 2000L).map { i =>
+      else (0L until nPart.toLong).map { i =>
         // Brand#23 hoards 25% of parts (q17/q19's brand)
-        val brand = if (rnd.nextDouble() < 0.25) "Brand#23"
+        val brand = if (rnd.nextDouble() < pBrandHoard) "Brand#23"
           else s"Brand#${1 + rnd.nextInt(20)}"
         val ptype = pick(rnd, Seq("PROMO" -> 0.3, "STANDARD" -> 0.3,
           "SMALL" -> 0.15, "MEDIUM" -> 0.1, "LARGE" -> 0.1, "ECONOMY" -> 0.05))
@@ -172,12 +200,14 @@ object GenCorpus {
       if (edge) (0L until 4L).map(i => Order(i, i % 3,
         if (i == 0) "F" else "O", 1000.0,
         LocalDateTime.of(1996, 7, 1 + i.toInt, 0, 0), "1-URGENT"))
-      else (0L until 15000L).map { i =>
-        val ck = if (rnd.nextDouble() < 0.3) 7L else 100L + rnd.nextInt(1100)
-        val price = if (rnd.nextDouble() < 0.2) 1000.0
+      else (0L until nOrd.toLong).map { i =>
+        val ck = if (rnd.nextDouble() < pHotCust) 7L
+          else (nCust / 15).toLong + rnd.nextInt(nCust * 4 / 5 - nCust / 15)
+        val price = if (rnd.nextDouble() < pTiePrice) 1000.0
           else round2(rnd.nextDouble() * 300000)
-        val year = pick(rnd, Seq(1995 -> 0.1, 1996 -> 0.55, 1997 -> 0.15,
-          1998 -> 0.1, 1999 -> 0.05, 2000 -> 0.05))
+        val year = if (oneYearOnly) 1996
+          else pick(rnd, Seq(1995 -> 0.1, 1996 -> 0.55, 1997 -> 0.15,
+            1998 -> 0.1, 1999 -> 0.05, 2000 -> 0.05))
         val date = LocalDateTime.of(year, 1 + rnd.nextInt(12),
           1 + rnd.nextInt(28), 0, 0)
         Order(i, ck, pick(rnd, statuses), price, date, pick(rnd, prios))
@@ -186,21 +216,22 @@ object GenCorpus {
     // ---- lineitem ---------------------------------------------------------
     // 10 giant orders (60 lines, qty 50 → q18's >300 buyers); part 42 in
     // 20% of lines; tie-heavy quantities and discounts at q6/q19 bounds
-    val nParts = partsTbl.length
-    val nSupp = suppliers.length
+    val nPartRows = partsTbl.length
+    val nSuppRows = suppliers.length
     val lineitems = orders.flatMap { o =>
-      val giant = !edge && o.o_orderkey < 10
+      val giant = !edge && !noGiants && o.o_orderkey < (if (fuzz) 3 else 10)
       val nLines = if (giant) 60 else 1 + rnd.nextInt(if (edge) 3 else 7)
       (1 to nLines).map { ln =>
-        val pk = if (rnd.nextDouble() < 0.2) 42L % nParts
-          else rnd.nextInt(nParts).toLong
-        val sk = if (rnd.nextDouble() < 0.15) 3L % nSupp
-          else rnd.nextInt(nSupp).toLong
+        val pk = if (rnd.nextDouble() < 0.2) 42L % nPartRows
+          else rnd.nextInt(nPartRows).toLong
+        val sk = if (rnd.nextDouble() < 0.15) 3L % nSuppRows
+          else rnd.nextInt(nSuppRows).toLong
         val qty = if (giant) 50.0
           else if (rnd.nextDouble() < 0.3) 50.0
           else (1 + rnd.nextInt(50)).toDouble
-        val disc = pick(rnd, Seq(0.05 -> 0.2, 0.06 -> 0.2, 0.07 -> 0.2,
-          0.0 -> 0.2, 0.01 -> 0.05, 0.02 -> 0.05, 0.08 -> 0.05, 0.1 -> 0.05))
+        val disc = if (discZeroAll) 0.0
+          else pick(rnd, Seq(0.05 -> 0.2, 0.06 -> 0.2, 0.07 -> 0.2,
+            0.0 -> 0.2, 0.01 -> 0.05, 0.02 -> 0.05, 0.08 -> 0.05, 0.1 -> 0.05))
         val tax = pick(rnd, Seq(0.0 -> 0.5, 0.04 -> 0.25, 0.08 -> 0.25))
         val rf = pick(rnd, Seq("N" -> 0.6, "A" -> 0.25, "R" -> 0.15))
         val ls = if (o.o_orderstatus == "O") "O" else pick(rnd, Seq("F" -> 0.7, "O" -> 0.3))
@@ -219,7 +250,8 @@ object GenCorpus {
     val etypes = Seq("view" -> 0.6, "click" -> 0.3, "purchase" -> 0.05,
       "signup" -> 0.04, "error" -> 0.01)
     val events =
-      if (edge) (0L until 5L).map(i => Event(i,
+      if (fuzz) Seq.empty[Event]
+      else if (edge) (0L until 5L).map(i => Event(i,
         LocalDateTime.of(2024, 1, 9, 12, 0, i.toInt), 0L, "view",
         if (i == 2) None else Some(1.0), if (i == 4) "{}" else s"""{"k": $i}"""))
       else (0L until 10000L).map { i =>
@@ -249,12 +281,13 @@ object GenCorpus {
       (0 until n).map(_ => Words(rnd.nextInt(Words.length))).mkString(" ")
     val boiler = "subscribe to our newsletter today"
     val docs: Seq[Document] =
-      if (edge) Seq.empty
+      if (edge || fuzz) Seq.empty
       else {
         val dupText = sent(40)
         val nearBase = sent(40).split(" ")
         (0L until 600L).map { i =>
           val text: String = i match {
+            case x if dupheavy && x % 3 == 0 => dupText // 30% one text
             case x if x < 10 => dupText // exact-duplicate cluster of 10
             case x if x < 20 => // near-dups: one word flipped per doc
               val w = nearBase.clone(); w((x - 10).toInt % w.length) = "flip"
@@ -271,7 +304,8 @@ object GenCorpus {
             case _ => sent(5 + rnd.nextInt(75))
           }
           // fr absent from the corpus; zh only on the unicode docs
-          val lang = if (i >= 40 && i < 45) "zh"
+          val lang = if (dupheavy && i % 3 == 0) "en" // cluster shares lang
+            else if (i >= 40 && i < 45) "zh"
             else pick(rnd, Seq("en" -> 0.8, "de" -> 0.12, "es" -> 0.08))
           val src = if (rnd.nextDouble() < 0.5) "src0" else s"src${rnd.nextInt(10)}"
           Document(i, text, lang, src, text.length.toLong)
@@ -282,7 +316,8 @@ object GenCorpus {
     val dim = 64
     val centroids = Array.fill(9, dim)(rnd.nextGaussian().toFloat)
     val embs: Seq[Embedding] =
-      if (edge) Seq(Embedding(0L, Array.fill(dim)(1.0f), 0))
+      if (fuzz) Seq.empty[Embedding]
+      else if (edge) Seq(Embedding(0L, Array.fill(dim)(1.0f), 0))
       else {
         val base = (0L until 600L).map { i =>
           val c = rnd.nextInt(9) // label 9 absent
@@ -313,12 +348,14 @@ object GenCorpus {
       emptyIf("lineitem", lineitems).toDF()
         .withColumn("l_shipdate", org.apache.spark.sql.functions
           .col("l_shipdate").cast("timestamp_ntz")), outDir, "lineitem")
-    writeOne(spark,
+    if (!fuzz) writeOne(spark,
       emptyIf("events", events).toDF()
         .withColumn("ts", org.apache.spark.sql.functions
           .col("ts").cast("timestamp_ntz")), outDir, "events")
-    writeOne(spark, emptyIf("documents", docs).toDF(), outDir, "documents")
-    writeOne(spark, emptyIf("embeddings", embs).toDF(), outDir, "embeddings")
+    if (!fuzz) {
+      writeOne(spark, emptyIf("documents", docs).toDF(), outDir, "documents")
+      writeOne(spark, emptyIf("embeddings", embs).toDF(), outDir, "embeddings")
+    }
   }
 
   /** Write a df as ONE parquet FILE at `<out>/<name>.parquet` (the driver
