@@ -211,6 +211,62 @@ object EventQueries {
         (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
   }
 
+  /** Skew-resilient sessionize: identical output to `evtSessionize`
+    * (same oracle SQL), different shape for hot users. The direct form
+    * sorts a user's ENTIRE history in one window task — a bot user
+    * emitting half the corpus serializes the stage. Two phases instead:
+    *
+    *  1. local sessionization inside (user, 6h-bucket) windows — the
+    *     hot user's sort splits across buckets — aggregated to one
+    *     summary row per local session (n, min_us, max_us);
+    *  2. an order-preserving merge over the per-session SUMMARY rows:
+    *     per user in (bucket, local session) order, a session starts a
+    *     new global session iff its first event is > gap after the
+    *     previous session's last event. That boundary pair is exactly
+    *     the inter-event gap the direct form tests (within a bucket the
+    *     local split already proved gap > threshold), so the running
+    *     count reproduces the direct numbering 1:1. Sessions spanning
+    *     buckets re-merge; chains spanning many buckets merge
+    *     transitively through the running sum.
+    *
+    * The phase-2 window is over session summaries, not events — for the
+    * dense/bursty hot keys that cause event skew, sessions ≪ events
+    * (a user whose every event is > gap apart degenerates back to
+    * per-event rows, but such a user has no dense hot partition in
+    * phase 1 either). Requires bucket > gap so empty buckets imply a
+    * session break — 6h vs 30min. */
+  def evtSessionizeBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val bucketUs = 6L * 3600 * 1000 * 1000
+    val local = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val sessions = Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("bucket", expr(s"ts_us div $bucketUs"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(local))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("lsid", sum(col("is_new")).over(
+        local.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("bucket"), col("lsid"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts_us")).as("min_us"), max(col("ts_us")).as("max_us"))
+    val byUserSessions = Window.partitionBy(col("user_id"))
+      .orderBy(col("bucket").asc, col("lsid").asc)
+    sessions
+      .withColumn("prev_max_us", lag(col("max_us"), 1).over(byUserSessions))
+      .withColumn("starts_session",
+        when(col("prev_max_us").isNull ||
+          col("min_us") - col("prev_max_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("starts_session")).over(
+        byUserSessions.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("n")).as("n_events"),
+        min(col("min_us")).as("start_us"),
+        (max(col("max_us")) - min(col("min_us"))).as("dur_us"))
+  }
+
   val evtSessionizeSql: String =
     """WITH g AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us,
@@ -901,6 +957,7 @@ object EventQueries {
     "evt_approx_topk" -> (evtApproxTopk _),
     "evt_latest_per_key" -> (evtLatestPerKey _),
     "evt_sessionize" -> (evtSessionize _),
+    "evt_sessionize_buckets" -> (evtSessionizeBuckets _),
     "evt_join_dims" -> (evtJoinDims _),
     "evt_ttl_retention" -> (evtTtlRetention _),
     "rollup_batches" -> (rollupBatches _),
@@ -933,6 +990,7 @@ object EventQueries {
     "evt_approx_topk" -> evtApproxTopkSql,
     "evt_latest_per_key" -> evtLatestPerKeySql,
     "evt_sessionize" -> evtSessionizeSql,
+    "evt_sessionize_buckets" -> evtSessionizeSql, // identical output contract
     "evt_join_dims" -> evtJoinDimsSql,
     "evt_ttl_retention" -> evtTtlRetentionSql,
     "rollup_batches" -> rollupBatchesSql,

@@ -62,8 +62,8 @@ object ScaleSmoke {
     * volume, only its key distribution changed) and the duplicate-cluster
     * membership join runs AQE-skew-split. */
   val SkewShapes: Seq[String] = Seq(
-    "doc_state_latest", "evt_sessionize", "dedup_exact",
-    "dedup_ngram_jaccard", "pipeline_e2e")
+    "doc_state_latest", "evt_sessionize", "evt_sessionize_buckets",
+    "dedup_exact", "dedup_ngram_jaccard", "pipeline_e2e")
 
   private val IdShift = 10_000_000L
 
