@@ -194,12 +194,19 @@ object EventQueries {
   /** Gap-based sessionization (30-min idle gap). Session id = running
     * count of gap-breaks per user; all epoch-microsecond integer math so
     * the oracle hash is exact. Shuffles once on user_id. */
-  def evtSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def evtSessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeDirect(Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts"))), SessionGapUs)
+
+  private val SessionGapUs = 30L * 60 * 1000 * 1000
+  private val SessionBucketUs = 6L * 3600 * 1000 * 1000
+
+  /** Core direct sessionize over (user_id, ts_us, event_id) rows —
+    * factored out so SessionizeFuzzSpec can feed adversarial streams. */
+  private[events] def sessionizeDirect(ev: DataFrame, gapUs: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val gapUs = 30L * 60 * 1000 * 1000
-    Tables.events(spark, dir)
-      .withColumn("ts_us", unix_micros(col("ts")))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    ev
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
@@ -235,13 +242,19 @@ object EventQueries {
     * per-event rows, but such a user has no dense hot partition in
     * phase 1 either). Requires bucket > gap so empty buckets imply a
     * session break — 6h vs 30min. */
-  def evtSessionizeBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
-    val bucketUs = 6L * 3600 * 1000 * 1000
+  def evtSessionizeBuckets(spark: SparkSession, dir: String): DataFrame =
+    sessionizeBuckets(Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts"))),
+      SessionGapUs, SessionBucketUs)
+
+  /** Core two-phase sessionize over (user_id, ts_us, event_id) rows.
+    * Requires bucketUs > gapUs (empty bucket ⇒ session break). */
+  private[events] def sessionizeBuckets(ev: DataFrame, gapUs: Long,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > gapUs, s"bucket ($bucketUs) must exceed gap ($gapUs)")
     val local = Window.partitionBy(col("user_id"), col("bucket"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
-    val sessions = Tables.events(spark, dir)
-      .withColumn("ts_us", unix_micros(col("ts")))
+    val sessions = ev
       .withColumn("bucket", expr(s"ts_us div $bucketUs"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(local))
       .withColumn("is_new",
