@@ -177,13 +177,17 @@ object EventQueries {
   /** Latest event per (key, type) — the per-event-table "current row"
     * view. row_number over one shuffle, never groupBy-max + self-join. */
   def evtLatestPerKey(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+    // argmax AGGREGATION, not a row_number window: max_by gets partial
+    // aggregation, so a hot (user, type) key collapses to one row per
+    // map partition before the shuffle instead of sorting its whole
+    // history in a single window task (same skew rationale as
+    // doc_state_latest; event_id is the unique tiebreak)
     Tables.events(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type"), col("value").as("last_value"),
-        col("ts").as("last_ts"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(struct(col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.value").as("last_value"), col("m.ts").as("last_ts"))
   }
 
   val evtLatestPerKeySql: String =

@@ -16,11 +16,16 @@ object OperatorQueries {
     * time. Right side deduped to one order per (custkey, date) so the
     * match is deterministic in both engines. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
-      .orderBy(col("o_orderkey").desc)
+    // one order per (custkey, date) via max_by argmax (partial agg — a
+    // hot customer collapses map-side) instead of a row_number window;
+    // row_number desc rn=1 ⇔ max o_orderkey, and o_orderkey is unique
     val ord = Tables.orders(spark, dir)
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")),
+        col("o_orderkey")).as("m"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("m.o_orderkey").as("o_orderkey"),
+        col("m.o_totalprice").as("o_totalprice"))
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "ts", "value")
     AsOfJoin.asOf(ev, ord,

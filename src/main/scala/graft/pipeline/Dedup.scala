@@ -174,49 +174,100 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val bands = 16
     val rows = 4
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        shingle_minhash(split(trim(col("text")), "\\s+"), 3, bands * rows).as("sig"))
-    // candidate generation ships (band, bucket, id) only — the 512-byte
-    // signatures never ride the ×bands bucket shuffle; they re-attach to
-    // the deduped candidate pairs below (identical scan subtrees, so the
-    // second attach reuses the first's exchange)
-    val banded = d.select(col("doc_id"),
+    // Identical texts collapse to one representative per md5(text)
+    // BEFORE banding: identical text ⇒ identical signature ⇒ the same
+    // bucket in EVERY band, so a k-duplicate cluster would emit k²
+    // candidate rows per band (the jaccard-index hazard; same fix).
+    // Cluster members re-attach afterward: cross-content pairs by
+    // content key, within-cluster pairs (est exactly 1.0 — 64/64
+    // matching rows, what the direct form computes for equal sigs) from
+    // a member self-join. Unlike exact jaccard, empty/short texts still
+    // carry a (constant) signature and pair with each other in the
+    // direct form, so the within expansion has no size guard.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .withColumn("tk", md5(col("t")))
+    val members = docs.select(col("tk"), col("doc_id"))
+    val reps = docs.groupBy(col("tk"))
+      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
+      .select(col("tk"), col("rid"),
+        shingle_minhash(split(col("t"), "\\s+"), 3, bands * rows).as("sig"))
+    // candidate generation ships (band, bucket, content-key) only — the
+    // 512-byte signatures never ride the ×bands bucket shuffle; they
+    // re-attach to the deduped candidate pairs below
+    val banded = reps.select(col("tk"), col("rid"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+      .select(col("tk"), col("rid"), col("pos").as("band"), col("col").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("tk").as("a_tk"),
+      col("rid").as("a_rid"))
+    val r = banded.select(col("band"), col("bucket"), col("tk").as("b_tk"),
+      col("rid").as("b_rid"))
+    val repPairs = l.join(r, Seq("band", "bucket"))
+      .filter(col("a_rid") < col("b_rid"))
+      .select(col("a_tk"), col("b_tk"))
       .distinct()
-      .join(d.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
-      .join(d.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .join(reps.select(col("tk").as("a_tk"), col("sig").as("a_sig")), Seq("a_tk"))
+      .join(reps.select(col("tk").as("b_tk"), col("sig").as("b_sig")), Seq("b_tk"))
+      .select(col("a_tk"), col("b_tk"),
         (aggregate(zip_with(col("a_sig"), col("b_sig"),
             (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m)
           .cast("double") / (bands * rows)).as("est_jaccard"))
+    val ma = members.select(col("tk").as("a_tk"), col("doc_id").as("aid"))
+    val mb = members.select(col("tk").as("b_tk"), col("doc_id").as("bid"))
+    val cross = repPairs
+      .join(ma, Seq("a_tk")).join(mb, Seq("b_tk"))
+      .select(least(col("aid"), col("bid")).as("a_id"),
+        greatest(col("aid"), col("bid")).as("b_id"), col("est_jaccard"))
+    val within = members.select(col("tk"), col("doc_id").as("aid"))
+      .join(members.select(col("tk"), col("doc_id").as("bid")), Seq("tk"))
+      .filter(col("aid") < col("bid"))
+      .select(col("aid").as("a_id"), col("bid").as("b_id"),
+        lit(1.0).as("est_jaccard"))
+    cross.unionByName(within)
   }
 
   /** SimHash near-dup: 64-bit fingerprint, banded into 4×16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), candidates
     * verified by exact hamming distance. Rows-only check. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash64(split(trim(col("text")), "\\s+")).as("sh"))
-    val banded = d.select(col("doc_id"), col("sh"),
+    // same rep-collapse as dedupMinhash: identical text ⇒ identical
+    // 64-bit fingerprint ⇒ all four chunks collide, k² rows per band
+    // for a k-duplicate cluster. Within-cluster pairs have hamming
+    // exactly 0 (equal fingerprints), what the direct form computes.
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .withColumn("tk", md5(col("t")))
+    val members = docs.select(col("tk"), col("doc_id"))
+    val reps = docs.groupBy(col("tk"))
+      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
+      .select(col("tk"), col("rid"), simhash64(split(col("t"), "\\s+")).as("sh"))
+    val banded = reps.select(col("tk"), col("rid"), col("sh"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("chunk"))
-    val l = banded.select(col("band"), col("chunk"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val r = banded.select(col("band"), col("chunk"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("tk"), col("rid"), col("sh"), col("pos").as("band"), col("col").as("chunk"))
+    val l = banded.select(col("band"), col("chunk"), col("tk").as("a_tk"),
+      col("rid").as("a_rid"), col("sh").as("a_sh"))
+    val r = banded.select(col("band"), col("chunk"), col("tk").as("b_tk"),
+      col("rid").as("b_rid"), col("sh").as("b_sh"))
+    val repPairs = l.join(r, Seq("band", "chunk"))
+      .filter(col("a_rid") < col("b_rid"))
+      .select(col("a_tk"), col("b_tk"),
         bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+    val ma = members.select(col("tk").as("a_tk"), col("doc_id").as("aid"))
+    val mb = members.select(col("tk").as("b_tk"), col("doc_id").as("bid"))
+    val cross = repPairs
+      .join(ma, Seq("a_tk")).join(mb, Seq("b_tk"))
+      .select(least(col("aid"), col("bid")).as("a_id"),
+        greatest(col("aid"), col("bid")).as("b_id"), col("hamming"))
+    val within = members.select(col("tk"), col("doc_id").as("aid"))
+      .join(members.select(col("tk"), col("doc_id").as("bid")), Seq("tk"))
+      .filter(col("aid") < col("bid"))
+      .select(col("aid").as("a_id"), col("bid").as("b_id"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Embedding near-dup: cosine ≥ threshold pairs behind an IVF-cell
@@ -527,11 +578,16 @@ object Dedup {
     val exactCorpus = batch
       .join(corpus.select(col("h")).distinct(), Seq("h"), "left_semi")
       .select(col("doc_id")).withColumn("exact_corpus", lit(1L))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("doc_id").asc)
+    // batch-internal losers: everyone above the min doc_id of their
+    // content group. An aggregation + self-join instead of a row_number
+    // window: partial agg collapses a duplicate cluster map-side and the
+    // h-keyed join is the AQE-splittable shape (same skew rationale as
+    // the jaccard rep-collapse; rn > 1 ⇔ doc_id > min(doc_id), ids
+    // unique)
+    val minIds = batch.groupBy(col("h")).agg(min(col("doc_id")).as("min_id"))
     val exactBatch = batch.select(col("h"), col("doc_id"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") > 1)
+      .join(minIds, Seq("h"))
+      .filter(col("doc_id") > col("min_id"))
       .select(col("doc_id")).withColumn("exact_batch", lit(1L))
     val cx = corpus.select(col("lang"), col("doc_id").as("c_id"),
       col("sz").as("c_sz"), explode(col("ng")).as("sh"))

@@ -62,8 +62,10 @@ object ScaleSmoke {
     * volume, only its key distribution changed) and the duplicate-cluster
     * membership join runs AQE-skew-split. */
   val SkewShapes: Seq[String] = Seq(
-    "doc_state_latest", "evt_sessionize", "evt_sessionize_buckets",
-    "dedup_exact", "dedup_ngram_jaccard", "pipeline_e2e")
+    "doc_state_latest", "evt_latest_per_key", "evt_sessionize",
+    "evt_sessionize_buckets", "dedup_exact", "dedup_ngram_jaccard",
+    "dedup_minhash", "dedup_simhash", "dedup_incremental", "asof_join",
+    "pipeline_e2e")
 
   private val IdShift = 10_000_000L
 
