@@ -154,18 +154,35 @@ object Multimodal {
         val decoder = new Object // per-partition codec instantiation point
         ids.map { d => val _ = decoder; (d, phashStub(d)) }
       }.toDF("doc_id", "ph")
-    val banded = hashed.select(col("doc_id"), col("ph"),
+    // collapse to DISTINCT hashes before banding (the duplicate-cluster
+    // guard, cf. Dedup.dedupSimhash — identical images have identical
+    // dHashes, so every chunk of a k-duplicate cluster collides: k²
+    // candidate rows per band). Banding runs over unique hashes;
+    // identical-hash members expand afterward with hamming exactly 0.
+    val members = hashed.select(col("ph"), col("doc_id"))
+    val reps = hashed.groupBy(col("ph")).agg(min(col("doc_id")).as("rid"))
+    val banded = reps.select(col("ph"), col("rid"),
         posexplode(array((0 until 4).map(b =>
           shiftrightunsigned(col("ph"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
-      .select(col("doc_id"), col("ph"), col("pos").as("band"), col("col").as("chunk"))
-    val l = banded.select(col("band"), col("chunk"), col("doc_id").as("a_id"), col("ph").as("a_ph"))
-    val r = banded.select(col("band"), col("chunk"), col("doc_id").as("b_id"), col("ph").as("b_ph"))
-    l.join(r, Seq("band", "chunk"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .select(col("ph"), col("rid"), col("pos").as("band"), col("col").as("chunk"))
+    val l = banded.select(col("band"), col("chunk"), col("ph").as("a_ph"), col("rid").as("a_rid"))
+    val r = banded.select(col("band"), col("chunk"), col("ph").as("b_ph"), col("rid").as("b_rid"))
+    val repPairs = l.join(r, Seq("band", "chunk"))
+      .filter(col("a_rid") < col("b_rid"))
+      .select(col("a_ph"), col("b_ph"),
         bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
+    val cross = repPairs
+      .join(members.select(col("ph").as("a_ph"), col("doc_id").as("aid")), Seq("a_ph"))
+      .join(members.select(col("ph").as("b_ph"), col("doc_id").as("bid")), Seq("b_ph"))
+      .select(least(col("aid"), col("bid")).as("a_id"),
+        greatest(col("aid"), col("bid")).as("b_id"), col("hamming"))
+    val within = members.select(col("ph"), col("doc_id").as("aid"))
+      .join(members.select(col("ph"), col("doc_id").as("bid")), Seq("ph"))
+      .filter(col("aid") < col("bid"))
+      .select(col("aid").as("a_id"), col("bid").as("b_id"), lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Deterministic stub for decode→resize→grayscale→dHash: the pixel
