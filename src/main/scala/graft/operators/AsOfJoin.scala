@@ -44,4 +44,80 @@ object AsOfJoin {
       rightCols.map(c => col(s"__m_$c").as(c))
     matched.select(out.toIndexedSeq: _*)
   }
+
+  /** Skew-resilient as-of: same result as `asOf` (same per-column
+    * ignoreNulls carry semantics), different shape for hot keys. The
+    * direct form sorts a key's ENTIRE timeline in one window task; here
+    * the carry runs inside (key, time-bucket) windows — the hot key's
+    * sort splits across buckets — and state crosses buckets through ONE
+    * summary row per (key, bucket, column): the bucket's last non-null
+    * right value. A bucket-ordered window over those summaries (rows ≪
+    * events) gives the state entering each bucket; a left row matches
+    * its in-bucket carry, falling back to the entering state. The same
+    * two-phase trick as `evt_sessionize_buckets`.
+    *
+    * Times must be timestamps or integral epochs (needed for the bucket
+    * division); `bucketUs` is in the time column's own units for
+    * integral times. */
+  def asOfBucketed(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String],
+      bucketUs: Long = 6L * 3600 * 1000 * 1000): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType,
+      LongType, IntegerType, ShortType}
+    def toLong(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case TimestampType | TimestampNTZType =>
+          unix_micros(col(c).cast("timestamp"))
+        case LongType | IntegerType | ShortType => col(c).cast("long")
+        case dt => throw new IllegalArgumentException(
+          s"asOfBucketed needs timestamp or integral time, got $dt for $c")
+      }
+    val lTagged = left
+      .withColumn("__k", col(leftKey)).withColumn("__tb", toLong(left, leftTime))
+      .withColumn("__side", lit(1))
+    val rTagged = right
+      .withColumn("__k", col(rightKey)).withColumn("__tb", toLong(right, rightTime))
+      .withColumn("__side", lit(0))
+    val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
+      .withColumn("__bucket", expr(s"__tb div $bucketUs"))
+    // phase 1: in-bucket carry (right rows sort before left at equal t)
+    val wLocal = Window.partitionBy(col("__k"), col("__bucket"))
+      .orderBy(col("__tb").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = rightCols.foldLeft(u) { (df, c) =>
+      df.withColumn(s"__lm_$c",
+        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wLocal))
+    }
+    // phase 2: state entering each bucket — per column, the last
+    // non-null right value of any EARLIER bucket (summaries are one row
+    // per (key, bucket); the window is over buckets, not events)
+    val sumCols = rightCols.map { c =>
+      u.filter(col("__side") === 0 && col(c).isNotNull)
+        .groupBy(col("__k"), col("__bucket"))
+        .agg(max_by(col(c), col("__tb")).as(s"__s_$c"))
+    }
+    val allBuckets = u.select(col("__k"), col("__bucket")).distinct()
+    val summed = sumCols.foldLeft(allBuckets)(
+      (acc, s) => acc.join(s, Seq("__k", "__bucket"), "left"))
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = rightCols.foldLeft(summed) { (df, c) =>
+      df.withColumn(s"__in_$c",
+        last(col(s"__s_$c"), ignoreNulls = true).over(wB))
+    }.select(Seq(col("__k"), col("__bucket")) ++
+      rightCols.map(c => col(s"__in_$c")): _*)
+    // combine: in-bucket match, else the entering state
+    val matched = local.filter(col("__side") === 1)
+      .join(carryIn, Seq("__k", "__bucket"), "left")
+    val withM = rightCols.foldLeft(matched) { (df, c) =>
+      df.withColumn(s"__m_$c", coalesce(col(s"__lm_$c"), col(s"__in_$c")))
+    }
+    val out = left.columns.map(col) ++
+      rightCols.map(c => col(s"__m_$c").as(c))
+    withM.filter(col(s"__m_${rightCols.head}").isNotNull)
+      .select(out.toIndexedSeq: _*)
+  }
 }

@@ -36,6 +36,29 @@ object OperatorQueries {
         col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** Skew-resilient twin of `asofJoin` on `AsOfJoin.asOfBucketed` —
+    * registered with the SAME DuckDB ASOF oracle, so the two-phase carry
+    * is hash-pinned on real data every round (the sessionize-buckets
+    * pattern). Under the skew smoke it runs 0.65× where the direct form
+    * pays 1.45×; the direct form stays cheaper on uniform keys. */
+  def asofJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")),
+        col("o_orderkey")).as("m"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("m.o_orderkey").as("o_orderkey"),
+        col("m.o_totalprice").as("o_totalprice"))
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "value")
+    AsOfJoin.asOfBucketed(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightCols = Seq("o_orderkey", "o_totalprice"))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("o_orderkey"), col("o_totalprice"))
+  }
+
   val asofJoinSql: String =
     """WITH o1 AS (
       |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
@@ -78,12 +101,14 @@ object OperatorQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (asofJoin _),
+    "asof_join_bucketed" -> (asofJoinBucketed _),
     "approx_stats" -> (approxStats _),
     "q_window_running" -> (qWindowRunning _),
   )
 
   val oracles: Map[String, String] = Map(
     "asof_join" -> asofJoinSql,
+    "asof_join_bucketed" -> asofJoinSql, // identical output contract
     "q_window_running" -> qWindowRunningSql,
   )
 }

@@ -47,6 +47,16 @@ class AsOfFuzzSpec extends SparkSpec {
 
       assert(got === want, s"iter=$iter nKeys=$nKeys tMax=$tMax " +
         s"nLeft=$nLeft nRight=$nRight")
+
+      // the skew-resilient bucketed form must agree too — tiny buckets
+      // (2 time units) force matches to cross MANY empty and non-empty
+      // bucket boundaries, the carry path's hard case
+      val gotBucketed = AsOfJoin.asOfBucketed(left, right, "k", "rk",
+          "t", "rt", Seq("rt", "rv"), bucketUs = 2L)
+        .select($"lid", $"rt", $"rv")
+        .as[(Long, Long, String)].collect().toSeq.sorted
+      assert(gotBucketed === want,
+        s"bucketed: iter=$iter nKeys=$nKeys tMax=$tMax nLeft=$nLeft nRight=$nRight")
     }
   }
 }
