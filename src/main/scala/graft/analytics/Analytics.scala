@@ -823,15 +823,20 @@ object Analytics {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
-  /** Q15 shape — aggregate view compared against its own max: the
-    * quarter's per-supplier revenue aggregates once in exact decimal,
-    * then the max rides a GLOBAL window over the AGGREGATED table — one
-    * narrow row per supplier, so the single-partition window holds
-    * #suppliers rows, not fact rows — and the winners filter by decimal
-    * EQUALITY (exact, so the set is engine-identical even on ties). One
-    * fact scan total: the naive scalar-subquery form re-reads lineitem
-    * for the max (verified: two FileScans, no ReusedExchange), which at
-    * 100 TB doubles the dominant cost. */
+  /** Q15 shape — aggregate view compared against its own max, with the
+    * max computed as an ARG-MAX-WITH-TIES aggregation instead of a
+    * window or a re-scan: per-supplier revenue aggregates once in exact
+    * decimal, suppliers then group BY the revenue value itself (decimal
+    * ties collapse into one row's supplier list), and a global `max_by`
+    * picks the winning (value, suppliers) pair. Partial `max_by` ships
+    * ONE candidate row per partition into the final reduce, so no task
+    * ever holds the whole supplier table — unlike the previous
+    * `Window.partitionBy()` form, which funneled every supplier into a
+    * single task. One fact scan total (the crossJoin-broadcast-max
+    * alternative re-scans lineitem: AQE does not reuse the aggregation
+    * exchange across the two branches); the tiny winner set broadcasts
+    * into the supplier scan for names. Tie semantics stay exact: equal
+    * decimals land in the same group, so the full tied set survives. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rev = Tables.lineitem(spark, dir)
@@ -840,10 +845,12 @@ object Analytics {
       .groupBy($"l_suppkey")
       .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
         .as("total_rev"))
-    rev.withColumn("max_rev", max($"total_rev").over(Window.partitionBy()))
-      .filter($"total_rev" === $"max_rev")
-      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
-        $"l_suppkey" === $"s_suppkey")
+    val winners = rev.groupBy($"total_rev")
+      .agg(collect_list($"l_suppkey").as("ks"))
+      .agg(max_by(struct($"total_rev", $"ks"), $"total_rev").as("w"))
+      .select(explode($"w.ks").as("l_suppkey"), $"w.total_rev".as("total_rev"))
+    Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
+      .join(broadcast(winners), $"s_suppkey" === $"l_suppkey")
       .select($"s_suppkey", $"s_name", $"total_rev".cast("double").as("total_revenue"))
   }
 

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Global plan audit: no query may plan an UNPARTITIONED Window over
+  * unbounded input. `Window.partitionBy()` funnels every row into ONE
+  * task — the single-executor bottleneck class that kills a plan at
+  * 100 TB regardless of how green its oracle is. A window with empty
+  * partitioning is acceptable only when its input is provably bounded:
+  * below a Limit, or fed by an aggregation whose grouping keys have
+  * fixed small cardinality (exempt-listed here with the bound).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose empty-partition window reads provably bounded input
+    * that the structural Limit check can't see. Each entry documents the
+    * bound; adding a name here requires one. */
+  private val boundedByConstruction: Map[String, String] = Map(
+    "pipeline_dsir" ->
+      "window input is groupBy(bucket) over a 16-bit hash → ≤65536 rows"
+  )
+
+  /** True when every path below `p` passes through a row-bounding node
+    * (Limit / GlobalLimit / LocalLimit) before reaching a leaf. */
+  private def boundedInput(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit | _: LocalLimit => true
+    case l: LeafNode => false
+    case other => other.children.nonEmpty && other.children.forall(boundedInput)
+  }
+
+  private def emptyPartitionWindows(plan: LogicalPlan): Seq[Window] =
+    plan.collect { case w: Window if w.partitionSpec.isEmpty => w }
+
+  test("no query plans an unpartitioned Window over unbounded input") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      emptyPartitionWindows(plan).flatMap { w =>
+        if (boundedInput(w.child)) None
+        else if (boundedByConstruction.contains(name)) None
+        else Some(s"$name: unpartitioned Window over unbounded input:\n$w")
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n\n"))
+  }
+
+  test("exempt list stays minimal: every exempted query still has the window") {
+    // an entry whose window disappeared is stale — remove it so the
+    // audit's surface stays honest
+    boundedByConstruction.keys.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+      assert(emptyPartitionWindows(plan).nonEmpty,
+        s"stale exemption: $name no longer plans an unpartitioned window")
+    }
+  }
+}
