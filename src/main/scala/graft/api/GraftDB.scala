@@ -537,13 +537,23 @@ class GraftDB(spark: SparkSession, root: String,
     }
     val rowBytes = coalesce(length(col("doc")).cast("long"), lit(0L)) +
       coalesce(length(col("mask")).cast("long"), lit(0L)) + lit(24L)
-    val byBlock = Window.orderBy(col("block"))
+    // The running-size fold is keyed by a 4096-block epoch (the
+    // rollup_batches query's "batches never span days" pattern,
+    // EventQueries.rollupAssigned): batches never span epochs, so the
+    // fold parallelizes across epochs and an unbounded outage tail can
+    // never serialize into one window task. Batch id = epoch * 4096 +
+    // within-epoch cut — each batch holds ≥1 block so within-epoch cuts
+    // stay < 4096, ids stay monotone in block order (sparse is fine:
+    // they only name partition dirs and order the record list).
+    val epochBlocks = 4096L
+    val byEpoch = Window.partitionBy(col("epoch")).orderBy(col("block"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val assign = tail.groupBy(col("block"))
       .agg(sum(rowBytes).as("bytes"))
-      .withColumn("running", sum(col("bytes")).over(byBlock))
-      .withColumn("batch", ((col("running") - col("bytes")) / maxBatchBytes)
-        .cast("long"))
+      .withColumn("epoch", floor(col("block") / epochBlocks))
+      .withColumn("running", sum(col("bytes")).over(byEpoch))
+      .withColumn("batch", col("epoch") * epochBlocks +
+        ((col("running") - col("bytes")) / maxBatchBytes).cast("long"))
       .select(col("block"), col("batch"))
     val (lo, hi) = {
       val r = tail.agg(min(col("block")), max(col("block"))).head()

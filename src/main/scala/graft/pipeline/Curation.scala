@@ -286,7 +286,7 @@ object Curation {
     val totals = d.groupBy(col("source"))
       .agg(sum(col("toks")).as("total_tokens"))
     val rates = totals
-      .crossJoin(totals.agg(min(col("total_tokens")).as("min_toks")))
+      .crossJoin(broadcast(totals.agg(min(col("total_tokens")).as("min_toks"))))
       .select(col("source"), col("total_tokens"),
         expr("(min_toks * 1048576) div total_tokens").as("threshold"))
     d.join(broadcast(rates), Seq("source"))

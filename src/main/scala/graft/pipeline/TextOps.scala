@@ -216,7 +216,7 @@ object TextOps {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-    val lp = counts.crossJoin(counts.agg(sum(col("n")).as("total")))
+    val lp = counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
       .select(col("tok"),
         round(log(col("n").cast("double") / col("total").cast("double")), 9)
           .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lp"))

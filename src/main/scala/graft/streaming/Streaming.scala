@@ -444,6 +444,23 @@ object Streaming {
         if (java.nio.file.Files.exists(p))
           new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
         else {
+          // A checkpoint that has already committed offsets but lost its
+          // graft_block_base sidecar (manual deletion, partial copy)
+          // would silently reserve a FRESH base — and a crash-replayed
+          // uncommitted batch would then land under a new block id:
+          // exactly the duplicate the sidecar exists to prevent. Refuse
+          // to guess; the operator must restore the sidecar or start a
+          // clean checkpoint.
+          val hasCommits = Seq("offsets", "commits").exists { d =>
+            val dp = java.nio.file.Paths.get(checkpointLocation, d)
+            java.nio.file.Files.isDirectory(dp) &&
+              java.nio.file.Files.list(dp).findFirst().isPresent
+          }
+          if (hasCommits) throw new IllegalStateException(
+            s"checkpoint $checkpointLocation has committed offsets but no " +
+              "graft_block_base sidecar; refusing to reserve a fresh block " +
+              "base (replayed batches would duplicate under new block ids). " +
+              "Restore the sidecar or use a fresh checkpoint location.")
           val base = db.nextBlockId(dbName, coll)
           java.nio.file.Files.createDirectories(p.getParent)
           val tmp = p.resolveSibling("graft_block_base.tmp")

@@ -27,7 +27,7 @@ import scala.util.Random
   *    `edge,<t1+t2>` empties the named tables entirely
   *  - `fuzz`: small TPC-H-only corpus for the decorrelation sweep
   *    (DecorrFuzzSpec) — hazard rates themselves drawn per seed
-  *  - `dupheavy`: the skew corpus plus 30% of all documents sharing one
+  *  - `dupheavy`: the skew corpus plus ~30% of all documents sharing one
   *    (text, lang) — adversarial duplication through every dedup oracle
   *
   * Usage: GenCorpus <outDir> [seed] [profile]
@@ -93,7 +93,7 @@ object GenCorpus {
     val edge = parts(0) == "edge"
     val fuzz = parts(0) == "fuzz"
     // `dupheavy`: the skew corpus plus a corpus-wide duplicate cluster —
-    // 30% of ALL documents share one (text, lang). Oracle-checks the
+    // ~30% of ALL documents share one (text, lang). Oracle-checks the
     // dedup paths (rep-collapsed jaccard, exact, clusters, keep-list,
     // e2e) under adversarial duplication, where a collapse bug would
     // change pair output massively.
@@ -287,7 +287,10 @@ object GenCorpus {
         val nearBase = sent(40).split(" ")
         (0L until 600L).map { i =>
           val text: String = i match {
-            case x if dupheavy && x % 3 == 0 => dupText // 30% one text
+            // ~30% of docs share ONE text (180/600); the 40–44 unicode
+            // range is excluded so the dupheavy profile keeps its
+            // zh/accent hazard coverage
+            case x if dupheavy && x % 10 < 3 && !(x >= 40 && x < 45) => dupText
             case x if x < 10 => dupText // exact-duplicate cluster of 10
             case x if x < 20 => // near-dups: one word flipped per doc
               val w = nearBase.clone(); w((x - 10).toInt % w.length) = "flip"

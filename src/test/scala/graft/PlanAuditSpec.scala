@@ -43,6 +43,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n\n"))
   }
 
+  test("API paths never construct an unpartitioned Window (source audit)") {
+    // GraftDB & friends build plans inside methods the query sweep can't
+    // enumerate, so audit at the source level: every `Window.orderBy(...)`
+    // (no partitionBy) or `Window.partitionBy()` call site in src/main
+    // must be on the allow-list below, each with a boundedness argument.
+    val allowed = Map(
+      "pipeline/TextOps.scala" ->
+        "textSearchRank ranks AFTER .limit(20) — 20-row window input"
+    )
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val rel = root.relativize(p).toString
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.zipWithIndex.collect {
+          case (l, i)
+            if (l.contains("Window.orderBy(") || l.contains("Window.partitionBy()")) &&
+              !l.trim.startsWith("*") && !l.trim.startsWith("//") &&
+              !allowed.keys.exists(k => rel.endsWith(k)) =>
+            s"$rel:${i + 1}: ${l.trim}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      "unpartitioned Window constructor outside the allow-list:\n" +
+        offenders.mkString("\n"))
+  }
+
   test("exempt list stays minimal: every exempted query still has the window") {
     // an entry whose window disappeared is stale — remove it so the
     // audit's surface stays honest

@@ -123,5 +123,21 @@ class StreamingScaleRestartSpec extends SparkSpec {
 
     // the persisted base survives for any further restart
     assert(Files.exists(Paths.get(cp, "graft_block_base")))
+
+    // ---- sidecar-loss fail-fast: a checkpoint with committed offsets
+    // but NO graft_block_base (manual deletion, partial copy) must
+    // refuse to start — silently reserving a fresh base would re-land a
+    // replayed batch under a new block id, the exact duplicate the
+    // sidecar prevents
+    Files.delete(Paths.get(cp, "graft_block_base"))
+    val crcSidecar = Paths.get(cp, ".graft_block_base.crc")
+    if (Files.exists(crcSidecar)) Files.delete(crcSidecar)
+    val ex = intercept[IllegalStateException] {
+      Streaming.ingestWithRollup(spark, srcDir, db, "rt", "events",
+        maxTailBytes = 1L, maxBatchBytes = 256L * 1024,
+        glob = "events*.parquet", filesPerTrigger = 1,
+        checkpointLocation = cp)
+    }
+    assert(ex.getMessage.contains("graft_block_base"))
   }
 }
