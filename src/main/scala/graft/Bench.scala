@@ -58,6 +58,7 @@ object Bench {
       // input-fixture caches (session doc collection) stay warm on purpose
       graft.pipeline.Dedup.clearResultCaches()
       graft.pipeline.Curation.clearResultCaches()
+      graft.operators.OperatorQueries.clearResultCaches()
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -87,6 +88,7 @@ object Bench {
     // InMemoryRelations into the hash.
     graft.pipeline.Dedup.clearResultCaches()
     graft.pipeline.Curation.clearResultCaches()
+    graft.operators.OperatorQueries.clearResultCaches()
     val planHashes: Map[String, String] = names.map { case (name, fn) =>
       val h = try {
         val s = fn(spark, sfDir).queryExecution.executedPlan.toString

@@ -35,9 +35,11 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(u) { (df, c) =>
-      df.withColumn(s"__m_$c", last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
+    // all carries in ONE select → one Window operator (foldLeft over
+    // withColumn stacks one Window node per column)
+    val carried = u.select(u.columns.map(col) ++ rightCols.map(c =>
+      last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w)
+        .as(s"__m_$c")): _*)
     val matched = carried.filter(col("__side") === 1)
       .filter(col(s"__m_${rightCols.head}").isNotNull)
     val out = left.columns.map(col) ++
@@ -58,7 +60,10 @@ object AsOfJoin {
     *
     * Times must be timestamps or integral epochs (needed for the bucket
     * division); `bucketUs` is in the time column's own units for
-    * integral times. */
+    * integral times. A NULL right time means "since forever" in the
+    * direct form (nulls sort first), so here null times coalesce to
+    * Long.MinValue — same ordering, and the value still crosses bucket
+    * boundaries. */
   def asOfBucketed(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
@@ -66,14 +71,17 @@ object AsOfJoin {
       bucketUs: Long = 6L * 3600 * 1000 * 1000): DataFrame = {
     import org.apache.spark.sql.types.{TimestampType, TimestampNTZType,
       LongType, IntegerType, ShortType}
-    def toLong(df: DataFrame, c: String): Column =
-      df.schema(c).dataType match {
+    def toLong(df: DataFrame, c: String): Column = {
+      val t = df.schema(c).dataType match {
         case TimestampType | TimestampNTZType =>
           unix_micros(col(c).cast("timestamp"))
         case LongType | IntegerType | ShortType => col(c).cast("long")
         case dt => throw new IllegalArgumentException(
           s"asOfBucketed needs timestamp or integral time, got $dt for $c")
       }
+      // null time = -inf, matching the direct form's nulls-first sort
+      coalesce(t, lit(Long.MinValue))
+    }
     val lTagged = left
       .withColumn("__k", col(leftKey)).withColumn("__tb", toLong(left, leftTime))
       .withColumn("__side", lit(1))
@@ -86,29 +94,38 @@ object AsOfJoin {
     val wLocal = Window.partitionBy(col("__k"), col("__bucket"))
       .orderBy(col("__tb").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = rightCols.foldLeft(u) { (df, c) =>
-      df.withColumn(s"__lm_$c",
-        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wLocal))
-    }
+    val local = u.select(u.columns.map(col) ++ rightCols.map(c =>
+      last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(wLocal)
+        .as(s"__lm_$c")): _*)
     // phase 2: state entering each bucket — per column, the last
-    // non-null right value of any EARLIER bucket (summaries are one row
-    // per (key, bucket); the window is over buckets, not events)
-    val sumCols = rightCols.map { c =>
-      u.filter(col("__side") === 0 && col(c).isNotNull)
-        .groupBy(col("__k"), col("__bucket"))
-        .agg(max_by(col(c), col("__tb")).as(s"__s_$c"))
+    // non-null right value of any EARLIER bucket. Built WITHOUT touching
+    // the phase-1 branch (under AQE the two uses of the union would each
+    // re-run the heavy windowed scan): per-bucket summaries aggregate
+    // the RIGHT side alone (one max(struct(t, v)) per column, map-side
+    // collapsible), then a full-outer join with the LEFT side's observed
+    // (key, bucket) pairs densifies the grid so left-only buckets get an
+    // entering-state row too. Both inputs collapse to bucket cardinality
+    // before their (tiny) shuffles, and the cross-bucket window runs
+    // over summary rows, never events.
+    val aggExprs = rightCols.map { c =>
+      max(when(col(c).isNotNull, struct(col("__tb").as("t"), col(c).as("v"))))
+        .as(s"__sv_$c")
     }
-    val allBuckets = u.select(col("__k"), col("__bucket")).distinct()
-    val summed = sumCols.foldLeft(allBuckets)(
-      (acc, s) => acc.join(s, Seq("__k", "__bucket"), "left"))
+    val rightSum = rTagged
+      .withColumn("__bucket", expr(s"__tb div $bucketUs"))
+      .groupBy(col("__k"), col("__bucket"))
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    val leftBuckets = lTagged
+      .withColumn("__bucket", expr(s"__tb div $bucketUs"))
+      .select(col("__k"), col("__bucket")).distinct()
+    val summed = leftBuckets.join(rightSum, Seq("__k", "__bucket"), "full_outer")
     val wB = Window.partitionBy(col("__k"))
       .orderBy(col("__bucket").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = rightCols.foldLeft(summed) { (df, c) =>
-      df.withColumn(s"__in_$c",
-        last(col(s"__s_$c"), ignoreNulls = true).over(wB))
-    }.select(Seq(col("__k"), col("__bucket")) ++
-      rightCols.map(c => col(s"__in_$c")): _*)
+    val carryIn = summed.select(Seq(col("__k"), col("__bucket")) ++
+      rightCols.map(c =>
+        last(col(s"__sv_$c").getField("v"), ignoreNulls = true).over(wB)
+          .as(s"__in_$c")): _*)
     // combine: in-bucket match, else the entering state
     val matched = local.filter(col("__side") === 1)
       .join(carryIn, Seq("__k", "__bucket"), "left")

@@ -12,6 +12,34 @@ import graft.sources.Tables
   */
 object OperatorQueries {
 
+  /** The as-of right side: one order per (custkey, date). Primitive
+    * max/max_by (not max_by over a struct) keeps the dedup a
+    * HashAggregate. */
+  private def ordDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+
+  /** Persisted variant for the bucketed as-of, which consumes the right
+    * side TWICE (phase-1 union + phase-2 bucket summaries) — without the
+    * persist each use re-derives the whole dedup lineage. The direct
+    * form reads it once and takes the plain aggregation (a persist there
+    * is pure materialization overhead). Input-materialization, the
+    * e2eBase pattern (Curation.scala); Bench drops it between passes. */
+  private val ordCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def ordDedupShared(spark: SparkSession, dir: String): DataFrame =
+    ordCache.computeIfAbsent((spark, dir), _ =>
+      ordDedup(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private[graft] def clearResultCaches(): Unit = {
+    ordCache.forEach((_, df) => df.unpersist())
+    ordCache.clear()
+  }
+
   /** Each event joined to the user's latest order at or before the event
     * time. Right side deduped to one order per (custkey, date) so the
     * match is deterministic in both engines. */
@@ -19,13 +47,7 @@ object OperatorQueries {
     // one order per (custkey, date) via max_by argmax (partial agg — a
     // hot customer collapses map-side) instead of a row_number window;
     // row_number desc rn=1 ⇔ max o_orderkey, and o_orderkey is unique
-    val ord = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")),
-        col("o_orderkey")).as("m"))
-      .select(col("o_custkey"), col("o_orderdate"),
-        col("m.o_orderkey").as("o_orderkey"),
-        col("m.o_totalprice").as("o_totalprice"))
+    val ord = ordDedup(spark, dir)
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "ts", "value")
     AsOfJoin.asOf(ev, ord,
@@ -42,13 +64,7 @@ object OperatorQueries {
     * pattern). Under the skew smoke it runs 0.65× where the direct form
     * pays 1.45×; the direct form stays cheaper on uniform keys. */
   def asofJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables.orders(spark, dir)
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")),
-        col("o_orderkey")).as("m"))
-      .select(col("o_custkey"), col("o_orderdate"),
-        col("m.o_orderkey").as("o_orderkey"),
-        col("m.o_totalprice").as("o_totalprice"))
+    val ord = ordDedupShared(spark, dir)
     val ev = Tables.events(spark, dir)
       .select("event_id", "user_id", "ts", "value")
     AsOfJoin.asOfBucketed(ev, ord,

@@ -59,4 +59,48 @@ class AsOfFuzzSpec extends SparkSpec {
         s"bucketed: iter=$iter nKeys=$nKeys tMax=$tMax nLeft=$nLeft nRight=$nRight")
     }
   }
+
+  test("null times mean 'since forever' in BOTH forms (30 corpora)") {
+    // the direct form sorts null __t FIRST (nulls-first asc), so a
+    // null-time right row's value carries into every later left row and
+    // a null-time left row matches only null-time right state; the
+    // bucketed form must agree (null coalesces to Long.MinValue before
+    // bucketing). Reference: brute force on MinValue-coalesced times.
+    val rnd = new Random(9157)
+    val MIN = Long.MinValue
+    for (iter <- 1 to 30) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val tMax = 3 + rnd.nextInt(10)
+      val nLeft = 1 + rnd.nextInt(30)
+      val nRight = rnd.nextInt(20)
+      val left = (1 to nLeft).map { i =>
+        val t = if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(tMax).toLong)
+        (i.toLong, rnd.nextInt(nKeys).toLong, t)
+      }.toDF("lid", "k", "t")
+      val right = (1 to nRight).map { _ =>
+        val t = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(tMax).toLong)
+        (rnd.nextInt(nKeys).toLong, t)
+      }.distinct // unique per (key, time), ≤1 null-time row per key
+        .map { case (k, t) => (k, t, s"v${k}_${t.getOrElse(-1L)}") }
+        .toDF("rk", "rt", "rv")
+
+      val want = left.join(right,
+          $"k" === $"rk" && coalesce($"rt", lit(MIN)) <= coalesce($"t", lit(MIN)))
+        .groupBy($"lid")
+        .agg(max(struct(coalesce($"rt", lit(MIN)).as("ord"), $"rv".as("v"))).as("best"))
+        .select($"lid", $"best.v")
+        .as[(Long, String)].collect().toSeq.sorted
+
+      val got = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("rv"))
+        .select($"lid", $"rv")
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(got === want, s"direct/null: iter=$iter")
+
+      val gotBucketed = AsOfJoin.asOfBucketed(left, right, "k", "rk",
+          "t", "rt", Seq("rv"), bucketUs = 2L)
+        .select($"lid", $"rv")
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(gotBucketed === want, s"bucketed/null: iter=$iter")
+    }
+  }
 }
