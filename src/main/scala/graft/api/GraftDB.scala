@@ -148,6 +148,35 @@ class GraftDB(spark: SparkSession, root: String,
     }
   }
 
+  /** Serialize the collection's write protocol — block assignment
+    * (read-state → data append → state commit), rollup drain, snapshot —
+    * against BOTH same-JVM instances and other processes on the same
+    * filesystem. Without it two writers read the same lastBlock and
+    * stamp the SAME block twice (the reference serializes block
+    * assignment through its store — mutation_store.rs:444
+    * increase_block_return_last_state). Same two-level scheme as the
+    * nonce cell: a JVM monitor keyed by the canonical state-cell path
+    * plus an exclusive FileChannel lock on a sibling lock file (the
+    * monitor also keeps same-JVM threads from tripping
+    * OverlappingFileLockException). Never nested — rollup/snapshot call
+    * no locked method inside their critical sections. */
+  private def withCollLock[T](db: String, coll: String)(body: => T): T = {
+    val monitor = GraftDB.collMonitors.computeIfAbsent(
+      Paths.get(statePath(db, coll)).toAbsolutePath.normalize.toString,
+      _ => new Object)
+    monitor.synchronized {
+      val lockPath = Paths.get(s"${collPath(db, coll)}/state/state.lock")
+      Files.createDirectories(lockPath.getParent)
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try body finally lk.release()
+      } finally ch.close()
+    }
+  }
+
   private def readNonces(): Map[String, Long] = {
     val p = Paths.get(noncesPath)
     if (!Files.exists(p)) Map.empty
@@ -280,18 +309,19 @@ class GraftDB(spark: SparkSession, root: String,
 
   /** AddDocument: assigns monotonically increasing ids (doc_order analog).
     * Block/id come from the state cell — no log scan per batch. */
-  def addDocuments(db: String, coll: String, docs: Seq[String]): Seq[Long] = {
-    val st = currentState(db, coll)
-    val block = st.lastBlock + 1
-    val base = st.nextId
-    val ids = docs.indices.map(base + _)
-    append(db, coll, docs.zipWithIndex.map { case (d, i) =>
-      Row(block, i, ActionAdd, base + i, d, null)
-    })
-    failpoint("addDocuments:afterAppend")
-    writeState(db, coll, CollState(block, base + docs.length))
-    ids
-  }
+  def addDocuments(db: String, coll: String, docs: Seq[String]): Seq[Long] =
+    withCollLock(db, coll) {
+      val st = currentState(db, coll)
+      val block = st.lastBlock + 1
+      val base = st.nextId
+      val ids = docs.indices.map(base + _)
+      append(db, coll, docs.zipWithIndex.map { case (d, i) =>
+        Row(block, i, ActionAdd, base + i, d, null)
+      })
+      failpoint("addDocuments:afterAppend")
+      writeState(db, coll, CollState(block, base + docs.length))
+      ids
+    }
 
   /** UpdateDocument with DocumentMask: only `mask` fields are replaced;
     * fields in the mask but absent from `doc` are deleted (the proto's
@@ -300,25 +330,28 @@ class GraftDB(spark: SparkSession, root: String,
       docs: Seq[String], masks: Seq[Seq[String]]): Unit = {
     require(ids.length == docs.length && ids.length == masks.length,
       s"ids/docs/masks length mismatch: ${ids.length}/${docs.length}/${masks.length}")
-    val st = currentState(db, coll)
-    val block = st.lastBlock + 1
-    append(db, coll, ids.indices.map { i =>
-      Row(block, i, ActionUpdate, ids(i), docs(i),
-        if (masks(i).isEmpty) null else masks(i).mkString(","))
-    })
-    failpoint("updateDocuments:afterAppend")
-    writeState(db, coll, st.copy(lastBlock = block))
+    withCollLock(db, coll) {
+      val st = currentState(db, coll)
+      val block = st.lastBlock + 1
+      append(db, coll, ids.indices.map { i =>
+        Row(block, i, ActionUpdate, ids(i), docs(i),
+          if (masks(i).isEmpty) null else masks(i).mkString(","))
+      })
+      failpoint("updateDocuments:afterAppend")
+      writeState(db, coll, st.copy(lastBlock = block))
+    }
   }
 
   /** DeleteDocument tombstones. */
-  def deleteDocuments(db: String, coll: String, ids: Seq[Long]): Unit = {
-    val st = currentState(db, coll)
-    val block = st.lastBlock + 1
-    append(db, coll, ids.zipWithIndex.map { case (id, i) =>
-      Row(block, i, ActionDelete, id, null, null)
-    })
-    writeState(db, coll, st.copy(lastBlock = block))
-  }
+  def deleteDocuments(db: String, coll: String, ids: Seq[Long]): Unit =
+    withCollLock(db, coll) {
+      val st = currentState(db, coll)
+      val block = st.lastBlock + 1
+      append(db, coll, ids.zipWithIndex.map { case (id, i) =>
+        Row(block, i, ActionDelete, id, null, null)
+      })
+      writeState(db, coll, st.copy(lastBlock = block))
+    }
 
   /** Partition-parallel bulk append of one block: every input partition
     * stamps its own rows (order = partitionId·2^20 + rowIdx, the
@@ -345,9 +378,14 @@ class GraftDB(spark: SparkSession, root: String,
       .write.mode(SaveMode.Overwrite)
       .parquet(s"${mutPath(db, coll)}/block_$block")
     failpoint("appendAt:afterData")
-    val st = currentState(db, coll)
-    writeState(db, coll, CollState(math.max(st.lastBlock, block),
-      math.max(st.nextId, (block + 1) * IdStride)))
+    // data lands outside the lock (the block dir is caller-exclusive and
+    // Overwrite-idempotent); only the max-merge state bump needs
+    // serializing, or a concurrent bump's write could be lost
+    withCollLock(db, coll) {
+      val st = currentState(db, coll)
+      writeState(db, coll, CollState(math.max(st.lastBlock, block),
+        math.max(st.nextId, (block + 1) * IdStride)))
+    }
   }
 
   /** Live document state: distributed fold of the log.
@@ -369,16 +407,17 @@ class GraftDB(spark: SparkSession, root: String,
   /** Materialize the folded state as of `block` (defaults to the last
     * stamped block) under snapshots/ and record it in the manifest.
     * Returns (block, docCount). */
-  def snapshot(db: String, coll: String, block: Long = Long.MinValue): (Long, Long) = {
-    val at = if (block == Long.MinValue) currentState(db, coll).lastBlock else block
-    val dir = snapPath(db, coll, at)
-    foldLog(db, coll, at).write.mode(SaveMode.Overwrite).parquet(dir)
-    failpoint("snapshot:afterData")
-    val n = spark.read.parquet(dir).count()
-    appendManifest(s"${manifestPath(db, coll)}/snapshot",
-      Seq(Row(at, n, dir)), snapshotManifestSchema)
-    (at, n)
-  }
+  def snapshot(db: String, coll: String, block: Long = Long.MinValue): (Long, Long) =
+    withCollLock(db, coll) {
+      val at = if (block == Long.MinValue) currentState(db, coll).lastBlock else block
+      val dir = snapPath(db, coll, at)
+      foldLog(db, coll, at).write.mode(SaveMode.Overwrite).parquet(dir)
+      failpoint("snapshot:afterData")
+      val n = spark.read.parquet(dir).count()
+      appendManifest(s"${manifestPath(db, coll)}/snapshot",
+        Seq(Row(at, n, dir)), snapshotManifestSchema)
+      (at, n)
+    }
 
   /** Persisted snapshot history (block, n_docs, path). */
   def scanSnapshots(db: String, coll: String): DataFrame = {
@@ -511,11 +550,21 @@ class GraftDB(spark: SparkSession, root: String,
     * (block, order) — compaction parallelism = #batches, no
     * repartition(1) single-core gzip. */
   def rollup(db: String, coll: String,
-      maxBatchBytes: Long = 64L * 1024 * 1024): Seq[RollupRecord] = {
+      maxBatchBytes: Long = 64L * 1024 * 1024): Seq[RollupRecord] =
+    // the collection lock serializes racing rollups (two drains would
+    // write the same runDir and manifest the same blocks twice) and
+    // fences the tail FILE LISTING against writer appends: everything
+    // this run rolls and GCs is pinned to the listing below, so a writer
+    // queued on the lock can never lose its new block to the GC
+    withCollLock(db, coll) { rollupLocked(db, coll, maxBatchBytes) }
+
+  private def rollupLocked(db: String, coll: String,
+      maxBatchBytes: Long): Seq[RollupRecord] = {
     val tailDir = mutPath(db, coll)
     if (!hasParquet(tailDir)) return Seq.empty
     val rawTail = spark.read.schema(mutationSchema)
       .option("recursiveFileLookup", "true").parquet(tailDir)
+    val tailFiles = rawTail.inputFiles
     // idempotent re-entry: blocks already manifest-committed by a prior
     // (possibly crashed) run never roll twice — the manifest is the
     // commit point, the tail copy is redundant data awaiting GC
@@ -532,7 +581,7 @@ class GraftDB(spark: SparkSession, root: String,
       // every tail row is already rolled (crash landed between the
       // manifest append and the tail GC, or a replayed micro-batch
       // re-appended rolled blocks): finish the GC and stop
-      finishGc(db, coll, tailDir, rawLo, rawHi, rawN)
+      finishGc(db, coll, tailFiles, rawLo, rawHi, rawN)
       return Seq.empty
     }
     val rowBytes = coalesce(length(col("doc")).cast("long"), lit(0L)) +
@@ -588,14 +637,19 @@ class GraftDB(spark: SparkSession, root: String,
     // left behind) and is written BEFORE the delete: a crash between the
     // two leaves the record in place and the re-entry branch above skips
     // the duplicate append while finishing the delete.
-    finishGc(db, coll, tailDir, rawLo, rawHi, rawN)
+    finishGc(db, coll, tailFiles, rawLo, rawHi, rawN)
     records
   }
 
-  /** GC the tail dir, appending its GcRecord exactly once (idempotent
-    * under crash-retry: skips the append when (start, end) is already
-    * recorded). */
-  private def finishGc(db: String, coll: String, tailDir: String,
+  /** GC the rolled tail FILES — never the directory: a block appended
+    * after this rollup's tail listing (e.g. by a writer that queued on
+    * the collection lock, or a streaming micro-batch mid-write in its
+    * own block dir) must survive the sweep. Appends the GcRecord exactly
+    * once (idempotent under crash-retry: skips the append when
+    * (start, end) is already recorded); block subdirs emptied by the
+    * sweep are pruned, non-empty ones (including a concurrent writer's
+    * _temporary) are left alone. */
+  private def finishGc(db: String, coll: String, tailFiles: Array[String],
       lo: Long, hi: Long, n: Long): Unit = {
     val recorded = scanGcRecords(db, coll)
       .filter(col("start_block") === lo && col("end_block") === hi)
@@ -604,8 +658,24 @@ class GraftDB(spark: SparkSession, root: String,
       appendManifest(s"${manifestPath(db, coll)}/gc",
         Seq(Row(lo, hi, n)), gcManifestSchema)
     failpoint("rollup:afterGc")
-    deleteRecursively(Paths.get(tailDir))
-    Files.createDirectories(Paths.get(tailDir))
+    val parents = scala.collection.mutable.LinkedHashSet[java.nio.file.Path]()
+    tailFiles.foreach { f =>
+      val fp = Paths.get(new java.net.URI(f))
+      Files.deleteIfExists(fp)
+      Files.deleteIfExists(fp.resolveSibling("." + fp.getFileName + ".crc"))
+      parents += fp.getParent
+    }
+    parents.foreach { d =>
+      // drop write-commit litter, then the dir itself if truly empty
+      Seq("_SUCCESS", "._SUCCESS.crc").foreach(m =>
+        Files.deleteIfExists(d.resolve(m)))
+      val empty = {
+        val st = Files.list(d)
+        try !st.findFirst().isPresent finally st.close()
+      }
+      if (empty && d.getFileName.toString.startsWith("block_"))
+        Files.delete(d)
+    }
   }
 
   private def appendManifest(dir: String, rows: Seq[Row], schema: StructType): Unit =
@@ -1022,6 +1092,10 @@ object GraftDB {
     * second same-JVM lock() would throw OverlappingFileLockException,
     * not block). */
   private[api] val nonceMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** JVM-wide monitor per collection state cell (see nonceMonitors). */
+  private[api] val collMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   // the FULL MutationAction enum (db3_mutation_v2.proto:103-114)
