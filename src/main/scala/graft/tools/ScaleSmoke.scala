@@ -195,12 +195,15 @@ object ScaleSmoke {
 
     println(f"%nshape                     uniform${copies}x  skew${copies}x   ratio  verdict")
     var failures = 0
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val shapes = if (sys.env.contains("SPARK_GRAFT_SMOKE_JOINONLY")) Nil else SkewShapes
     shapes.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def cold(dir: String): Double = {
         graft.pipeline.Dedup.clearResultCaches()
         graft.pipeline.Curation.clearResultCaches()
+        graft.operators.OperatorQueries.clearResultCaches()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
@@ -213,23 +216,60 @@ object ScaleSmoke {
         val ss = (1 to passes).map(_ => cold(skewed))
         val (u, s) = (us.min, ss.min)
         val ratio = s / u
+        results(name) = (u, s)
         val ok = ratio <= 2.0
         if (!ok) failures += 1
         println(f"$name%-24s $u%8.2f  $s%8.2f  $ratio%5.2fx  ${if (ok) "ok" else "FAIL"}")
       } catch {
         case NonFatal(e) =>
           failures += 1
+          errors += name
           println(s"$name FAILED: ${e.getMessage}")
       }
     }
 
-    if (!skewJoinEngages(spark, skewed)) failures += 1
+    val skewSplit = skewJoinEngages(spark, skewed)
+    if (!skewSplit) failures += 1
+    writeSkewArtifact(copies, results.toSeq, errors.toList, skewSplit)
     spark.stop()
     if (failures > 0) {
       System.err.println(s"[skew-smoke] $failures failure(s)")
       sys.exit(1)
     }
     println(s"[skew-smoke] all shapes within 2x of uniform at ${copies}x; AQE skew-split engaged")
+  }
+
+  /** Persist the skew lane as a committed artifact (bench_skew.json) so
+    * skew-resilience regressions are caught round-over-round like the
+    * uniform lane's bench_out.json: per-shape uniform/skew minima, the
+    * ratio, the previous committed ratio (drift reading), a `flags` list
+    * (> 2x or errored — the same auto-flag rule the smoke enforces), and
+    * whether the AQE skew-split proof engaged. */
+  private def writeSkewArtifact(copies: Int,
+      results: Seq[(String, (Double, Double))], errors: List[String],
+      skewSplit: Boolean): Unit = {
+    val out = Paths.get("bench_skew.json")
+    val ratioRe = ("\"([a-z0-9_]+)\":\\{[^}]*\"ratio\":([0-9.]+)").r
+    val prev: Map[String, Double] =
+      if (Files.exists(out)) {
+        val txt = new String(Files.readAllBytes(out), "UTF-8")
+        ratioRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    def r3(d: Double): String = f"$d%.3f"
+    val flags = (results.collect {
+      case (n, (u, s)) if s / u > 2.0 => n
+    } ++ errors).distinct
+    val shapesJson = results.map { case (n, (u, s)) =>
+      val prevStr = prev.get(n).map(p => s""","ratio_prev":${r3(p)}""").getOrElse("")
+      s""""$n":{"uniform_s":${r3(u)},"skew_s":${r3(s)},"ratio":${r3(s / u)}$prevStr}"""
+    }.mkString(",")
+    def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString(",")
+    val json = s"""{"lane":"skew","copies":$copies,""" +
+      s""""skew_join_split":$skewSplit,""" +
+      s""""flags":[${strArr(flags)}],"errors":[${strArr(errors)}],""" +
+      s""""shapes":{$shapesJson}}"""
+    Files.write(out, json.getBytes("UTF-8"))
+    println(s"[skew-smoke] wrote ${out.toAbsolutePath}")
   }
 
   /** The duplicate-cluster membership join must be AQE-skew-split under
