@@ -61,8 +61,10 @@ object OperatorQueries {
   /** Skew-resilient twin of `asofJoin` on `AsOfJoin.asOfBucketed` —
     * registered with the SAME DuckDB ASOF oracle, so the two-phase carry
     * is hash-pinned on real data every round (the sessionize-buckets
-    * pattern). Under the skew smoke it runs 0.65× where the direct form
-    * pays 1.45×; the direct form stays cheaper on uniform keys. */
+    * pattern). Under the skew smoke (bench_skew.json) it runs 0.81×
+    * where the direct form degrades to 1.43×; the direct form stays
+    * cheaper on uniform keys (the twin's premium is its extra narrow
+    * scans — bounded, see AsOfJoin.asOfBucketed). */
   def asofJoinBucketed(spark: SparkSession, dir: String): DataFrame = {
     val ord = ordDedupShared(spark, dir)
     val ev = Tables.events(spark, dir)

@@ -73,6 +73,11 @@ object ScaleSmoke {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     if (args.drop(2).headOption.contains("skew")) { runSkew(base, copies); return }
+    if (args.drop(2).headOption.contains("probe")) {
+      runProbe(base, copies, args.drop(3).headOption
+        .map(_.split(",").toSeq).getOrElse(ProbeShapes))
+      return
+    }
     val passes = sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "3").toInt.max(1)
     val scaled = s"/tmp/graft_scale_${copies}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -157,6 +162,84 @@ object ScaleSmoke {
       sys.exit(1)
     }
     println(s"[scale-smoke] all shapes near-linear at ${copies}x, no new exchanges, pruning holds")
+  }
+
+  /** Default 100×-probe set: the three heaviest multi-stage chains — the
+    * shapes where a hidden super-linearity would hurt most at 100 TB. */
+  val ProbeShapes: Seq[String] =
+    Seq("pipeline_keep_list", "dedup_clusters", "pipeline_e2e")
+
+  /** Deep-scale spot probe (mode=probe): COPIES× (intended: 100×) on a
+    * small base (intended: sf0.01 — keeps the corpus build tractable),
+    * few shapes, cold ratios + exchange counts. The 10× smoke's ratios
+    * sit in the fixed-cost regime; at 100× the data term dominates, so a
+    * super-linear stage (a quadratic pair output, an unbounded driver
+    * collect, a plan that flips to nested-loop) shows up as ratio ≫
+    * copies or a changed exchange count. Pass = cold ratio ≤ 2·copies
+    * and no new exchanges at scale. */
+  def runProbe(base: String, copies: Int, shapes: Seq[String]): Unit = {
+    val scaled = s"/tmp/graft_scale_${copies}x"
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    buildCorpus(spark, base, scaled, copies)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    shapes.foreach { n => // JIT/codegen warmup off the timed corpora
+      try graft.SparkEntry.queries(n)(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SMOKE_WARMDIR", "/root/testdata/sf0.001")).count()
+      catch { case NonFatal(_) => }
+    }
+    def exchanges(df: DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      p.sliding("Exchange".length).count(_ == "Exchange")
+    }
+    println(f"%nshape                     cold base->${copies}x      ratio (/${copies})   exch  verdict")
+    var failures = 0
+    shapes.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def cold(dir: String): Double = {
+        graft.pipeline.Dedup.clearResultCaches()
+        graft.pipeline.Curation.clearResultCaches()
+        graft.operators.OperatorQueries.clearResultCaches()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val b = (1 to passes).map(_ => cold(base)).min
+        val big = (1 to passes).map(_ => cold(scaled)).min
+        val exB = exchanges(fn(spark, base))
+        val exS = exchanges(fn(spark, scaled))
+        // At a 100× jump the exchange COUNT legitimately grows: size
+        // estimates push planned broadcasts over the threshold and the
+        // join flips to a shuffle join (2 exchanges) — the correct move,
+        // a broadcast of the grown side would OOM. The scale hazard to
+        // refuse is a join degenerating to nested-loop/cartesian.
+        val pBig = fn(spark, scaled).queryExecution.executedPlan.toString
+        val degenerate = pBig.contains("CartesianProduct") ||
+          pBig.contains("BroadcastNestedLoop")
+        val ratio = big / b
+        val ok = ratio <= 2.0 * copies && !degenerate
+        if (!ok) failures += 1
+        println(f"$name%-24s $b%7.2f -> $big%8.2f  $ratio%7.1fx (${ratio / copies}%4.2f)  $exB%2d->$exS%2d  ${if (ok) "ok" else if (degenerate) "FAIL(degenerate join)" else "FAIL"}")
+      } catch {
+        case NonFatal(e) =>
+          failures += 1
+          println(s"$name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+    if (failures > 0) {
+      System.err.println(s"[scale-probe] $failures failure(s)")
+      sys.exit(1)
+    }
+    println(s"[scale-probe] all probed shapes ≲linear at ${copies}x with stable plans")
   }
 
   /** Skew-amplified smoke: same 10× volume as the uniform corpus but with
