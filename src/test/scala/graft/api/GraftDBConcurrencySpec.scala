@@ -182,6 +182,75 @@ class GraftDBConcurrencySpec extends SparkSpec {
     assert(dbA.collection("d", "c").df.count() === 11L)
   }
 
+  test("cross-PROCESS writers: the FileChannel lock serializes block assignment") {
+    // same-JVM races above are serialized by the monitor half of the
+    // lock; this one proves the FileChannel half: two SEPARATE JVMs
+    // (own SparkSessions) race addDocuments against this JVM's instance
+    // on one collection root. A ready/go file barrier aligns the write
+    // loops despite Spark-startup skew.
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    val db = new GraftDB(spark, s"$root/db")
+    db.createCollection("d", "c")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val opens = {
+      val b = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < in.length) {
+        if (in(i) == "--add-opens" && i + 1 < in.length) {
+          b += in(i); b += in(i + 1); i += 2
+        } else if (in(i).startsWith("--add-opens=")) { b += in(i); i += 1 }
+        else i += 1
+      }
+      b.toList
+    }
+    val batches = 4
+    val procs = Seq("p1", "p2").map { tag =>
+      val cmd = (Seq(javaBin) ++ opens ++ Seq("-Xmx1500m", "-cp", cp,
+        "graft.api.RaceWriter", root, tag, batches.toString)).asJava
+      new ProcessBuilder(cmd)
+        .redirectOutput(new java.io.File(root, s"out_$tag.log"))
+        .redirectErrorStream(true)
+        .start()
+    }
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!Seq("p1", "p2").forall(t =>
+          java.nio.file.Files.exists(java.nio.file.Paths.get(root, s"ready_$t")))) {
+        assert(System.nanoTime() < deadline, {
+          val logs = Seq("p1", "p2").map { t =>
+            val f = new java.io.File(root, s"out_$t.log")
+            s"--- $t ---\n" + (if (f.exists()) scala.io.Source.fromFile(f).mkString.takeRight(2000) else "(no log)")
+          }
+          "subprocess never became ready:\n" + logs.mkString("\n")
+        })
+        Thread.sleep(50)
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, "go"),
+        Array.emptyByteArray)
+      // this JVM races its own batches while the subprocesses write
+      for (b <- 0 until batches)
+        db.addDocuments("d", "c", Seq(s"""{"w":"parent","b":$b}"""))
+      procs.foreach { p =>
+        assert(p.waitFor(120, TimeUnit.SECONDS), "subprocess timed out")
+        assert(p.exitValue() === 0, "subprocess failed — see out_*.log")
+      }
+    } finally procs.foreach(p => if (p.isAlive) p.destroyForcibly())
+    val total = 3 * batches
+    val log = db.mutationLog("d", "c")
+    val blocks = log.select("block").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted
+    // one batch per block, blocks contiguous, nothing lost across JVMs
+    assert(blocks.toSeq === (0L until total.toLong),
+      s"cross-process blocks: ${blocks.mkString(",")}")
+    val ids = log.select("id").as[Long](spark.implicits.newLongEncoder).collect().sorted
+    assert(ids.toSeq === (0L until total.toLong))
+    assert(db.collection("d", "c").df.count() === total.toLong)
+  }
+
   test("mid-race readers: counts only grow, ids never duplicate") {
     val root = freshRoot()
     val dbA = new GraftDB(spark, root)
