@@ -95,6 +95,11 @@ object Bench {
           .replaceAll("#\\d+", "#")
           .replaceAll("plan_id=\\d+", "plan_id=")
           .replaceAll("Location: [^,\\]]+", "Location:")
+          // session-global counters / object identities that vary with
+          // RUN ORDER, not plan shape: lambda variable ids and literal
+          // array identity hashes (UnsafeArrayData@...)
+          .replaceAll("lambda [A-Za-z]+_\\d+", "lambda x_")
+          .replaceAll("@[0-9a-f]{6,}", "@")
         java.security.MessageDigest.getInstance("MD5")
           .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       } catch { case NonFatal(_) => "error" }
