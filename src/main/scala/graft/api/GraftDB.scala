@@ -269,7 +269,14 @@ class GraftDB(spark: SparkSession, root: String,
     * way, recover.rs over scan_rollup_records) — on an object store that
     * is one small manifest read instead of a huge eventually-consistent
     * prefix listing. Collections written before the manifest existed
-    * fall back to listing rollups/ recursively. */
+    * fall back to listing rollups/ recursively.
+    *
+    * Reader-vs-GC contract: a reader that listed tail files BEFORE a
+    * rollup's GC deleted them fails its job (FileNotFoundException) and
+    * must re-plan — fail-CLOSED, never silently dropped rows (the same
+    * failure mode a Delta reader has past checkpoint retention). A
+    * re-created DataFrame re-lists and sees the rolled batches via the
+    * manifest. */
   def mutationLog(db: String, coll: String): DataFrame = {
     val recs = scanRollupRecords(db, coll)
       .select(col("path"), col("end_block")).collect()

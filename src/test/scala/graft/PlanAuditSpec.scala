@@ -73,6 +73,53 @@ class PlanAuditSpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("driver materialization stays bounded: collect() budget per library file") {
+    // a `.collect()` that grows with the data is the anti-pattern the
+    // brief names ("if you're iterating over .collect() results, the
+    // operator isn't distributed"). Budget the library's collect sites
+    // per file, each with its boundedness argument; adding one fails
+    // here until it is reviewed and budgeted. Tools / Bench / Verify
+    // (driver-side diagnostics by design) are out of scope, as are
+    // .head()/.head(1) (one-row by construction).
+    val budget = Map(
+      "pipeline/Ann.scala" -> (1,
+        "quantizer training sample, capped at max(16384, 256*c) vectors"),
+      "pipeline/Bpe.scala" -> (1,
+        "BPE vocab candidates, capped by .limit(65536) upstream"),
+      "api/GraftDB.scala" -> (4,
+        "rollup-manifest listing (rows = rollup batches, the Delta-log " +
+          "analog), newest-snapshot probe (.headOption), per-batch rollup " +
+          "stats (rows = batches), index-probe capped at MaxPushedIds+1")
+    )
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val pat = java.util.regex.Pattern.compile(
+      "\\.collect\\(\\)|\\.collectAsList\\(|\\.toLocalIterator")
+    val counts = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .filterNot(p => p.toString.contains("/tools/") ||
+        p.toString.endsWith("Bench.scala") || p.toString.endsWith("Verify.scala"))
+      .flatMap { p =>
+        val rel = root.relativize(p).toString
+        val src = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val n = src.linesIterator.filterNot(_.trim.startsWith("//"))
+          .map(l => { val m = pat.matcher(l); var c = 0; while (m.find()) c += 1; c })
+          .sum
+        if (n > 0) Some(rel -> n) else None
+      }.toMap
+    val over = counts.filter { case (f, n) =>
+      n > budget.get(f).map(_._1).getOrElse(0)
+    }
+    assert(over.isEmpty,
+      s"unreviewed driver materialization (update the budget with a " +
+        s"boundedness argument): $over")
+    budget.foreach { case (f, (n, _)) =>
+      assert(counts.getOrElse(f, 0) <= n)
+      assert(counts.contains(f), s"stale collect budget for $f — remove it")
+    }
+  }
+
   test("exempt list stays minimal: every exempted query still has the window") {
     // an entry whose window disappeared is stale — remove it so the
     // audit's surface stays honest
