@@ -357,6 +357,7 @@ class GraftDB(spark: SparkSession, root: String,
       append(db, coll, ids.zipWithIndex.map { case (id, i) =>
         Row(block, i, ActionDelete, id, null, null)
       })
+      failpoint("deleteDocuments:afterAppend")
       writeState(db, coll, st.copy(lastBlock = block))
     }
 
