@@ -278,6 +278,19 @@ class GraftDB(spark: SparkSession, root: String,
     * re-created DataFrame re-lists and sees the rolled batches via the
     * manifest. */
   def mutationLog(db: String, coll: String): DataFrame = {
+    // Order matters: pin the tail FILE LISTING first (InMemoryFileIndex
+    // lists eagerly at DataFrame creation), THEN read the manifest. A
+    // rollup whose manifest append and GC both complete between the two
+    // steps then still surfaces via the manifest (the committedHi filter
+    // below dedups its now-redundant tail rows), and tail files its GC
+    // deleted fail the job CLOSED (FileNotFoundException, re-plan). The
+    // reverse order silently loses the freshly-rolled blocks: absent
+    // from the stale manifest snapshot AND from the post-GC listing.
+    val tailBase =
+      if (hasParquet(mutPath(db, coll)))
+        Some(spark.read.schema(mutationSchema)
+          .option("recursiveFileLookup", "true").parquet(mutPath(db, coll)))
+      else None
     val recs = scanRollupRecords(db, coll)
       .select(col("path"), col("end_block")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -298,12 +311,8 @@ class GraftDB(spark: SparkSession, root: String,
         Seq(spark.read.schema(mutationSchema)
           .option("recursiveFileLookup", "true").parquet(rollPath(db, coll)))
       else Seq.empty
-    val tailReads =
-      if (hasParquet(mutPath(db, coll))) {
-        val t = spark.read.schema(mutationSchema)
-          .option("recursiveFileLookup", "true").parquet(mutPath(db, coll))
-        Seq(if (committedHi >= 0) t.filter(col("block") > committedHi) else t)
-      } else Seq.empty
+    val tailReads = tailBase.map(t =>
+      if (committedHi >= 0) t.filter(col("block") > committedHi) else t).toSeq
     val reads = rollReads ++ tailReads
     if (reads.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mutationSchema)
@@ -572,7 +581,28 @@ class GraftDB(spark: SparkSession, root: String,
     if (!hasParquet(tailDir)) return Seq.empty
     val rawTail = spark.read.schema(mutationSchema)
       .option("recursiveFileLookup", "true").parquet(tailDir)
-    val tailFiles = rawTail.inputFiles
+    // Only blocks <= the state cell's lastBlock are fully committed: the
+    // state bump happens under this lock strictly AFTER the data commit,
+    // while appendDocumentsAt's data write (and Spark's non-atomic
+    // part-file commit renames) happen OUTSIDE it. A listing taken
+    // mid-commit would otherwise capture a SUBSET of the block's part
+    // files, roll that subset, and leave the late-renamed rest to be
+    // deleted as "redundant" by the next rollup's GC — silent row loss.
+    // Bounding BOTH the drained set and the GC file list to committed
+    // blocks closes the window: the mid-commit block stays untouched
+    // until its writer's state bump (under this same lock) commits it.
+    val lastCommitted = currentState(db, coll).lastBlock
+    val fileStats = rawTail
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("block")).as("lo"), max(col("block")).as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("hi") <= lastCommitted)
+      .collect() // rows = tail files being drained, bounded by the drain
+    if (fileStats.isEmpty) return Seq.empty
+    val tailFiles = fileStats.map(_.getString(0))
+    val (rawLo, rawHi, rawN) = (fileStats.map(_.getLong(1)).min,
+      fileStats.map(_.getLong(2)).max, fileStats.map(_.getLong(3)).sum)
+    val committedTail = rawTail.filter(col("block") <= lastCommitted)
     // idempotent re-entry: blocks already manifest-committed by a prior
     // (possibly crashed) run never roll twice — the manifest is the
     // commit point, the tail copy is redundant data awaiting GC
@@ -580,11 +610,7 @@ class GraftDB(spark: SparkSession, root: String,
       val r = scanRollupRecords(db, coll).agg(max(col("end_block"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
-    val tail = rawTail.filter(col("block") > committedHi)
-    val rawMm = rawTail.agg(min(col("block")), max(col("block")),
-      count(lit(1))).head()
-    val (rawLo, rawHi, rawN) =
-      (rawMm.getLong(0), rawMm.getLong(1), rawMm.getLong(2))
+    val tail = committedTail.filter(col("block") > committedHi)
     if (tail.isEmpty) {
       // every tail row is already rolled (crash landed between the
       // manifest append and the tail GC, or a replayed micro-batch
@@ -599,18 +625,25 @@ class GraftDB(spark: SparkSession, root: String,
     // EventQueries.rollupAssigned): batches never span epochs, so the
     // fold parallelizes across epochs and an unbounded outage tail can
     // never serialize into one window task. Batch id = epoch * 4096 +
-    // within-epoch cut — each batch holds ≥1 block so within-epoch cuts
-    // stay < 4096, ids stay monotone in block order (sparse is fine:
-    // they only name partition dirs and order the record list).
+    // dense_rank of the within-epoch size cut: the dense rank is
+    // provably <= #blocks in the epoch (<= 4096), so epoch id spaces
+    // never collide — a raw floor(running/maxBatchBytes) cut would
+    // overflow its epoch whenever the epoch's tail bytes exceed
+    // 4096*maxBatchBytes (one oversized block suffices) and merge rows
+    // of different epochs into one partition dir. The rank inherits the
+    // cut's monotonicity in block order, so batch ids stay monotone.
     val epochBlocks = 4096L
     val byEpoch = Window.partitionBy(col("epoch")).orderBy(col("block"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byCut = Window.partitionBy(col("epoch")).orderBy(col("cut"))
     val assign = tail.groupBy(col("block"))
       .agg(sum(rowBytes).as("bytes"))
       .withColumn("epoch", floor(col("block") / epochBlocks))
       .withColumn("running", sum(col("bytes")).over(byEpoch))
-      .withColumn("batch", col("epoch") * epochBlocks +
+      .withColumn("cut",
         ((col("running") - col("bytes")) / maxBatchBytes).cast("long"))
+      .withColumn("batch", col("epoch") * epochBlocks +
+        dense_rank().over(byCut) - 1)
       .select(col("block"), col("batch"))
     val (lo, hi) = {
       val r = tail.agg(min(col("block")), max(col("block"))).head()
@@ -668,7 +701,10 @@ class GraftDB(spark: SparkSession, root: String,
     failpoint("rollup:afterGc")
     val parents = scala.collection.mutable.LinkedHashSet[java.nio.file.Path]()
     tailFiles.foreach { f =>
-      val fp = Paths.get(new java.net.URI(f))
+      // inputFile strings are Hadoop Path renderings, NOT URI-encoded:
+      // java.net.URI would throw on a space or other reserved char and
+      // abort the GC after its GcRecord was already appended
+      val fp = Paths.get(new org.apache.hadoop.fs.Path(f).toUri.getPath)
       Files.deleteIfExists(fp)
       Files.deleteIfExists(fp.resolveSibling("." + fp.getFileName + ".crc"))
       parents += fp.getParent

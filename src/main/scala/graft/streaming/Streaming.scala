@@ -453,8 +453,10 @@ object Streaming {
           // clean checkpoint.
           val hasCommits = Seq("offsets", "commits").exists { d =>
             val dp = java.nio.file.Paths.get(checkpointLocation, d)
-            java.nio.file.Files.isDirectory(dp) &&
-              java.nio.file.Files.list(dp).findFirst().isPresent
+            java.nio.file.Files.isDirectory(dp) && {
+              val st = java.nio.file.Files.list(dp)
+              try st.findFirst().isPresent finally st.close()
+            }
           }
           if (hasCommits) throw new IllegalStateException(
             s"checkpoint $checkpointLocation has committed offsets but no " +

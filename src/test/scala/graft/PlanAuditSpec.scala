@@ -86,10 +86,11 @@ class PlanAuditSpec extends SparkSpec {
         "quantizer training sample, capped at max(16384, 256*c) vectors"),
       "pipeline/Bpe.scala" -> (1,
         "BPE vocab candidates, capped by .limit(65536) upstream"),
-      "api/GraftDB.scala" -> (4,
+      "api/GraftDB.scala" -> (5,
         "rollup-manifest listing (rows = rollup batches, the Delta-log " +
           "analog), newest-snapshot probe (.headOption), per-batch rollup " +
-          "stats (rows = batches), index-probe capped at MaxPushedIds+1")
+          "stats (rows = batches), rollup drain file stats (rows = tail " +
+          "files being compacted), index-probe capped at MaxPushedIds+1")
     )
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")

@@ -53,16 +53,25 @@ class GraftDBChaosSpec extends SparkSpec {
       var crashes = 0
 
       /** Run `op`; with ~40% probability first run it once with a
-        * randomly chosen window armed (expect the injected crash), then
-        * retry clean. Returns the CLEAN run's result — the crashed
-        * attempt must contribute nothing the retry doesn't. */
+        * randomly chosen window armed. If the armed run reaches the
+        * failpoint it crashes and is retried clean — the crashed
+        * attempt must contribute nothing the retry doesn't. An armed
+        * window is NOT guaranteed reachable (rollup legitimately
+        * no-ops on an empty or already-rolled tail before any
+        * failpoint fires): a clean completion of the armed run IS the
+        * result — re-running a non-idempotent op would double-apply. */
       def chaotic[T](windows: Seq[String])(op: => T): T = {
         if (windows.nonEmpty && r.nextInt(10) < 4) {
           val w = windows(r.nextInt(windows.length))
           db.failpoint = l => if (l == w) throw new Boom
-          intercept[Boom](op)
+          val armed =
+            try Right(op)
+            catch { case _: Boom => Left(()) }
           db.failpoint = _ => ()
-          crashes += 1
+          armed match {
+            case Right(result) => return result // failpoint never reached
+            case Left(_)       => crashes += 1
+          }
         }
         op
       }
