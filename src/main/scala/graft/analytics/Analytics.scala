@@ -824,19 +824,18 @@ object Analytics {
       |GROUP BY 1""".stripMargin
 
   /** Q15 shape — aggregate view compared against its own max, with the
-    * max computed as an ARG-MAX-WITH-TIES aggregation instead of a
-    * window or a re-scan: per-supplier revenue aggregates once in exact
-    * decimal, suppliers then group BY the revenue value itself (decimal
-    * ties collapse into one row's supplier list), and a global `max_by`
-    * picks the winning (value, suppliers) pair. Partial `max_by` ships
-    * ONE candidate row per partition into the final reduce, so no task
-    * ever holds the whole supplier table — unlike the previous
-    * `Window.partitionBy()` form, which funneled every supplier into a
-    * single task. One fact scan total (the crossJoin-broadcast-max
+    * max computed as ONE arg-max-with-ties aggregation (the custom
+    * `ArgMaxTies` TypedImperativeAggregate) instead of a window, a
+    * re-scan, or the two-step groupBy(value)+collect_list+max_by form:
+    * per-supplier revenue aggregates once in exact decimal, then a
+    * single global aggregate keeps (best value, every tied supplier) —
+    * partial state is ONE candidate per partition, so no task ever
+    * holds the whole supplier table and nothing shuffles on the
+    * revenue value. One fact scan total (the crossJoin-broadcast-max
     * alternative re-scans lineitem: AQE does not reuse the aggregation
     * exchange across the two branches); the tiny winner set broadcasts
-    * into the supplier scan for names. Tie semantics stay exact: equal
-    * decimals land in the same group, so the full tied set survives. */
+    * into the supplier scan for names. Tie semantics stay exact: the
+    * aggregate compares decimals, so the full tied set survives. */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val rev = Tables.lineitem(spark, dir)
@@ -845,10 +844,10 @@ object Analytics {
       .groupBy($"l_suppkey")
       .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
         .as("total_rev"))
-    val winners = rev.groupBy($"total_rev")
-      .agg(collect_list($"l_suppkey").as("ks"))
-      .agg(max_by(struct($"total_rev", $"ks"), $"total_rev").as("w"))
-      .select(explode($"w.ks").as("l_suppkey"), $"w.total_rev".as("total_rev"))
+    val winners = rev
+      .agg(graft.functions.GraftFunctions
+        .argmax_ties($"total_rev", $"l_suppkey").as("w"))
+      .select(explode($"w.keys").as("l_suppkey"), $"w.value".as("total_rev"))
     Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")
       .join(broadcast(winners), $"s_suppkey" === $"l_suppkey")
       .select($"s_suppkey", $"s_name", $"total_rev".cast("double").as("total_revenue"))

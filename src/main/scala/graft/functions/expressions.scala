@@ -33,6 +33,8 @@ object GraftFunctions {
     column(HeavyHitters(expression(c), capacity, k).toAggregateExpression())
   def bottom_k_sample(h: Column, id: Column, k: Int): Column =
     column(BottomKSample(expression(h), expression(id), k).toAggregateExpression())
+  def argmax_ties(value: Column, key: Column): Column =
+    column(ArgMaxTies(expression(value), expression(key)).toAggregateExpression())
 
   def hyperplane_buckets(v: Column, bits: Int, tables: Int): Column =
     column(HyperplaneBuckets(expression(v), Literal(bits), Literal(tables)))
@@ -557,6 +559,117 @@ case class BottomKSample(left: Expression, right: Expression, k: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Exact arg-max WITH TIES in one aggregation: the single best value
+  * seen so far plus EVERY key attaining it. The q15 "top supplier(s)"
+  * shape needs the full tied set, which plain `max_by` drops; deriving
+  * it via groupBy(value) + collect_list + max_by costs an extra shuffle
+  * over the distinct values. Here the partial state is one
+  * (value, tied-keys) candidate per partition — merge keeps the larger
+  * value and unions keys on exact equality — so the final reduce ships
+  * one candidate per partition regardless of input size, and no task
+  * ever materializes more than the tied set. Value comparison uses the
+  * type's interpreted ordering (decimal-EXACT for decimal revenue:
+  * ties are equal decimals, never almost-equal doubles). Output:
+  * struct(value, keys ascending) — deterministic; null on empty input. */
+case class ArgMaxTies(left: Expression, right: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[ArgMaxTies.Buf]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  // analysis-time contract: any ORDERABLE value, BIGINT keys — fail in
+  // analysis, not with an executor-side ClassCastException in update()
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (right.dataType != LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName key must be BIGINT, got ${right.dataType.catalogString}")
+    else org.apache.spark.sql.catalyst.util.TypeUtils
+      .checkForOrderingExpr(left.dataType, prettyName)
+  }
+
+  @transient private lazy val ordering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(left.dataType)
+
+  import ArgMaxTies.Buf
+
+  override def createAggregationBuffer(): Buf =
+    new Buf(null, scala.collection.mutable.ArrayBuffer.empty[Long])
+
+  override def update(b: Buf, input: InternalRow): Buf = {
+    val v = left.eval(input)
+    if (v != null) {
+      val k = right.eval(input)
+      if (k != null) {
+        if (b.value == null) { b.value = v; b.keys += k.asInstanceOf[Long] }
+        else {
+          val c = ordering.compare(v, b.value)
+          if (c > 0) { b.value = v; b.keys.clear(); b.keys += k.asInstanceOf[Long] }
+          else if (c == 0) b.keys += k.asInstanceOf[Long]
+        }
+      }
+    }
+    b
+  }
+
+  override def merge(b: Buf, o: Buf): Buf = {
+    if (o.value != null) {
+      if (b.value == null) { b.value = o.value; b.keys ++= o.keys }
+      else {
+        val c = ordering.compare(o.value, b.value)
+        if (c > 0) { b.value = o.value; b.keys.clear(); b.keys ++= o.keys }
+        else if (c == 0) b.keys ++= o.keys
+      }
+    }
+    b
+  }
+
+  override def eval(b: Buf): Any =
+    if (b.value == null) null
+    else {
+      val ks = b.keys.toArray
+      java.util.Arrays.sort(ks)
+      InternalRow(b.value, new GenericArrayData(ks))
+    }
+
+  // partial state is tiny (one value + tied keys); Java serialization
+  // handles every Catalyst value type (Decimal, UTF8String, boxed
+  // primitives) without a per-type codec
+  override def serialize(b: Buf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(b.value)
+    oos.writeObject(b.keys.toArray)
+    oos.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val ois = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bytes))
+    val v = ois.readObject()
+    val ks = ois.readObject().asInstanceOf[Array[Long]]
+    ois.close()
+    new Buf(v, scala.collection.mutable.ArrayBuffer.empty[Long] ++= ks)
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("value", left.dataType, nullable = false),
+    StructField("keys", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArgMaxTies =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArgMaxTies =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object ArgMaxTies {
+  /** (best value, every key tied at it); value null = empty. */
+  final class Buf(var value: Any,
+      val keys: scala.collection.mutable.ArrayBuffer[Long])
 }
 
 /** Distinct 64-bit FNV-1a hashes of the word n-gram shingles of a token

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ArgMaxTies: one-aggregation arg-max keeping the FULL tied key set,
+  * partition-count invariant (the merge is associative/commutative up
+  * to key-set union, and eval sorts keys). */
+class ArgMaxTiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keeps every tied key, exact decimal comparison, sorted output") {
+    val df = Seq(
+      (1L, "10.10"), (2L, "10.10"), (3L, "9.99"), (4L, "10.10"), (5L, "0.01"))
+      .toDF("k", "v")
+      .select($"k", $"v".cast("decimal(18,2)").as("v"))
+    val r = df.agg(GraftFunctions.argmax_ties($"v", $"k").as("w"))
+      .select($"w.value".cast("string"), $"w.keys").head()
+    assert(r.getString(0) === "10.10")
+    assert(r.getSeq[Long](1) === Seq(1L, 2L, 4L))
+  }
+
+  test("invariant under repartitioning; null on empty; nulls skipped") {
+    val base = spark.range(0, 1000).select(
+      col("id").as("k"), (col("id") % 7).cast("double").as("v"))
+    val expected = base.repartition(1)
+      .agg(GraftFunctions.argmax_ties($"v", $"k").as("w"))
+      .select($"w.value", $"w.keys").head()
+    for (p <- Seq(3, 13, 64)) {
+      val got = base.repartition(p)
+        .agg(GraftFunctions.argmax_ties($"v", $"k").as("w"))
+        .select($"w.value", $"w.keys").head()
+      assert(got === expected, s"p=$p")
+    }
+    val empty = spark.range(0).select(col("id").as("k"),
+      col("id").cast("double").as("v"))
+      .agg(GraftFunctions.argmax_ties($"v", $"k").as("w")).head()
+    assert(empty.isNullAt(0))
+    val withNulls = Seq((1L, Some(5.0)), (2L, None), (3L, Some(5.0)))
+      .toDF("k", "v")
+      .agg(GraftFunctions.argmax_ties($"v", $"k").as("w"))
+      .select($"w.keys").head()
+    assert(withNulls.getSeq[Long](0) === Seq(1L, 3L))
+  }
+
+  test("q15 equals the two-step groupBy(value)+collect_list+max_by form") {
+    val dir = sf
+    val D = org.apache.spark.sql.types.DecimalType(18, 2)
+    val rev = graft.sources.Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D)))
+        .as("total_rev"))
+    val twoStep = rev.groupBy($"total_rev")
+      .agg(collect_list($"l_suppkey").as("ks"))
+      .agg(max_by(struct($"total_rev", $"ks"), $"total_rev").as("w"))
+      .select(explode($"w.ks").as("k"), $"w.total_rev".as("v"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).sortBy(_._1)
+    val oneStep = rev.agg(GraftFunctions.argmax_ties($"total_rev", $"l_suppkey").as("w"))
+      .select(explode($"w.keys").as("k"), $"w.value".as("v"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).sortBy(_._1)
+    assert(oneStep.nonEmpty && oneStep.sameElements(twoStep))
+  }
+}
