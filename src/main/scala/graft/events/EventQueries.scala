@@ -251,6 +251,19 @@ object EventQueries {
       .withColumn("ts_us", unix_micros(col("ts"))),
       SessionGapUs, SessionBucketUs)
 
+  /** Dispatched sessionize: `SkewDispatch` probes the user_id histogram
+    * (one Misra-Gries pass) and picks the direct form on uniform keys —
+    * where the bucketed twin's two-phase machinery costs ~2× — or the
+    * bucketed form when a hot user would overfill one window task. Same
+    * output contract and oracle as both twins: the engine-grade
+    * behavior at 100 TB, where the key histogram isn't known a priori
+    * and the caller shouldn't have to choose. */
+  def evtSessionizeAuto(spark: SparkSession, dir: String): DataFrame =
+    if (graft.operators.SkewDispatch.decide(
+        Tables.events(spark, dir), col("user_id")))
+      evtSessionizeBuckets(spark, dir)
+    else evtSessionize(spark, dir)
+
   /** Core two-phase sessionize over (user_id, ts_us, event_id) rows.
     * Requires bucketUs > gapUs (empty bucket ⇒ session break). */
   private[events] def sessionizeBuckets(ev: DataFrame, gapUs: Long,
@@ -975,6 +988,7 @@ object EventQueries {
     "evt_latest_per_key" -> (evtLatestPerKey _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_sessionize_buckets" -> (evtSessionizeBuckets _),
+    "evt_sessionize_auto" -> (evtSessionizeAuto _),
     "evt_join_dims" -> (evtJoinDims _),
     "evt_ttl_retention" -> (evtTtlRetention _),
     "rollup_batches" -> (rollupBatches _),
@@ -1008,6 +1022,7 @@ object EventQueries {
     "evt_latest_per_key" -> evtLatestPerKeySql,
     "evt_sessionize" -> evtSessionizeSql,
     "evt_sessionize_buckets" -> evtSessionizeSql, // identical output contract
+    "evt_sessionize_auto" -> evtSessionizeSql, // dispatches between the twins
     "evt_join_dims" -> evtJoinDimsSql,
     "evt_ttl_retention" -> evtTtlRetentionSql,
     "rollup_batches" -> rollupBatchesSql,

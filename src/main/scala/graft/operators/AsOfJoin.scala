@@ -47,6 +47,24 @@ object AsOfJoin {
     matched.select(out.toIndexedSeq: _*)
   }
 
+  /** Dispatching as-of: probes the LEFT key's histogram (one
+    * `SkewDispatch` Misra-Gries pass over the column-pruned key scan —
+    * the left/event side is where the hot-key hazard lives; the right
+    * side is typically the smaller dimension timeline) and runs
+    * `asOfBucketed` iff the hottest key would overfill one window
+    * task, else the ~3×-cheaper-at-uniform direct `asOf`. Identical
+    * output contract either way. */
+  def asOfAuto(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String],
+      bucketUs: Long = 6L * 3600 * 1000 * 1000,
+      skewFactor: Double = 4.0): DataFrame =
+    if (SkewDispatch.decide(left, col(leftKey), skewFactor))
+      asOfBucketed(left, right, leftKey, rightKey, leftTime, rightTime,
+        rightCols, bucketUs)
+    else asOf(left, right, leftKey, rightKey, leftTime, rightTime, rightCols)
+
   /** Skew-resilient as-of: same result as `asOf` (same per-column
     * ignoreNulls carry semantics), different shape for hot keys. The
     * direct form sorts a key's ENTIRE timeline in one window task; here

@@ -77,6 +77,17 @@ object OperatorQueries {
         col("o_orderkey"), col("o_totalprice"))
   }
 
+  /** Dispatched twin: `SkewDispatch` probes events.user_id (one
+    * HeavyHitters pass) and picks the direct or bucketed as-of
+    * automatically — same oracle, the twins share the output contract.
+    * On uniform corpora this is the direct plan plus the probe scan; on
+    * the ScaleSmoke hot-user corpus it switches to the bucketed form. */
+  def asofJoinAuto(spark: SparkSession, dir: String): DataFrame =
+    if (graft.operators.SkewDispatch.decide(
+        Tables.events(spark, dir), col("user_id")))
+      asofJoinBucketed(spark, dir)
+    else asofJoin(spark, dir)
+
   val asofJoinSql: String =
     """WITH o1 AS (
       |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
@@ -120,6 +131,7 @@ object OperatorQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> (asofJoin _),
     "asof_join_bucketed" -> (asofJoinBucketed _),
+    "asof_join_auto" -> (asofJoinAuto _),
     "approx_stats" -> (approxStats _),
     "q_window_running" -> (qWindowRunning _),
   )
@@ -127,6 +139,7 @@ object OperatorQueries {
   val oracles: Map[String, String] = Map(
     "asof_join" -> asofJoinSql,
     "asof_join_bucketed" -> asofJoinSql, // identical output contract
+    "asof_join_auto" -> asofJoinSql, // dispatches between the twins
     "q_window_running" -> qWindowRunningSql,
   )
 }

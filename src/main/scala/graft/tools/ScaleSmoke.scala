@@ -65,7 +65,8 @@ object ScaleSmoke {
     "doc_state_latest", "evt_latest_per_key", "evt_sessionize",
     "evt_sessionize_buckets", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash", "dedup_simhash", "dedup_incremental", "asof_join",
-    "asof_join_bucketed", "pipeline_e2e")
+    "asof_join_bucketed", "asof_join_auto", "evt_sessionize_auto",
+    "pipeline_e2e")
 
   private val IdShift = 10_000_000L
 
