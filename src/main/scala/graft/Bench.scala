@@ -52,13 +52,32 @@ object Bench {
     // its pass 1, so a transient box-load spike cannot poison every pass
     // of the same query
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    val perPass = Array.fill(passes) {
+    // Fixed calibration workload timed once per pass: data-INDEPENDENT
+    // (spark.range), pinned size/partitioning, a codegen'd hash + a 1M-key
+    // shuffle — the same resources the suite stresses. Its round-over-
+    // round ratio measures BOX drift (r9→r10 drifted a uniform 1.2× with
+    // zero code change, under the >2× per-query gate's radar), so the
+    // regression flags below run on calibration-NORMALIZED ratios and a
+    // uniform library regression can no longer hide inside box jitter.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 48L * 1000 * 1000, 1L, 32)
+        // pmod keeps the 48M-row double sum far from long overflow (ANSI)
+        .selectExpr("id % 1000000 AS k", "pmod(xxhash64(id), 1000003) AS h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h").as("s"))
+        .selectExpr("sum(s)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the calibration path itself before timing it
+    val calPerPass = new Array[Double](passes)
+    val perPass = Array.tabulate(passes) { pass =>
       // result-artifact caches must not leak across passes (each pass
       // must time the operator, not a prior pass's persisted output);
       // input-fixture caches (session doc collection) stay warm on purpose
       graft.pipeline.Dedup.clearResultCaches()
       graft.pipeline.Curation.clearResultCaches()
       graft.operators.OperatorQueries.clearResultCaches()
+      calPerPass(pass) = calibrate()
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -132,11 +151,29 @@ object Bench {
         }
         (med, if (sameSf) strMap("plan_hashes") else Map.empty[String, String])
       } catch { case NonFatal(_) => (Map.empty, Map.empty) }
-    // flag >2× moves either way, and explain them: same plan hash = box
-    // jitter; different = a real plan change to audit
+    // box-drift normalization: this round's calibration vs the previous
+    // committed record's. drift > 1 = the box got slower; each query's
+    // normalized time = raw / drift. 1.0 when no prior calibration exists.
+    val calMed = median(calPerPass.toIndexedSeq)
+    val prevCal: Double =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(java.nio.file.Files.readString(outPath)) \ "calibration" match {
+          case JDouble(v) => v
+          case JDecimal(v) => v.toDouble
+          case JInt(v) => v.toDouble
+          case _ => -1.0
+        }
+      } catch { case NonFatal(_) => -1.0 }
+    val drift = if (prevCal > 0.0 && calMed > 0.0) calMed / prevCal else 1.0
+    // flag >2× NORMALIZED moves either way (raw/drift vs prev — uniform
+    // box drift divides out, so it neither masks a real uniform library
+    // regression nor cries wolf on a slow box day), and explain them:
+    // same plan hash = residual jitter; different = a plan change to audit
     val regressions = results.collect {
       case (name, now) if now > 0.0 && prevMed.get(name).exists(p =>
-          p > 0.0 && (now / p > 2.0 || p / now > 2.0)) =>
+          p > 0.0 && { val n = now / drift; n / p > 2.0 || p / n > 2.0 }) =>
         val prev = prevMed(name)
         val plan = (prevHash.get(name), planHashes.get(name)) match {
           case (Some(a), Some(b)) if a == b => "same"
@@ -162,10 +199,12 @@ object Bench {
     // driver's 2000-char tail): a >2× round-over-round move is loud in
     // BENCH_r{N}.json itself, already explained
     val regJson = regressions.map { case (n, p, now, plan) =>
-      s"""{"q":"$n","prev":${r3(p)},"now":${r3(now)},"plan":"$plan"}"""
+      s"""{"q":"$n","prev":${r3(p)},"now":${r3(now)},"norm_now":${r3(now / drift)},"plan":"$plan"}"""
     }.mkString("[", ",", "]")
+    // calibration + drift ride the END of the line (the driver tails
+    // stdout to 2000 chars — trailing fields always survive)
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"regressions":$regJson}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"calibration":${r3(calMed)},"cal_drift":${r3(drift)},"total_norm":${r3(total / drift)},"regressions":$regJson}"""
     // the driver keeps only a 2000-char tail of stdout — persist the full
     // per-pass record so timings survive for every round. Path resolved
     // against the repo (user.dir), not whatever cwd the forked JVM got.
@@ -181,8 +220,15 @@ object Bench {
     val hashJson = names.map { case (name, _) =>
       s"\"" + name + "\":\"" + planHashes.getOrElse(name, "error") + "\""
     }.mkString("{", ",", "}")
+    // both series in the committed record: raw medians ("queries") and
+    // calibration-normalized ("queries_norm") — BASELINE comparisons read
+    // normalized, so a slow box day no longer poisons the rolling baseline
+    val qsNorm = results.map { case (k, v) =>
+      s"\"" + k + "\":" + r3(if (v >= 0.0) v / drift else v)
+    }.mkString("{", ",", "}")
+    val calPassesJson = calPerPass.map(r3).mkString("[", ",", "]")
     val fileLine = line.dropRight(1) +
-      s""","per_pass":$passesJson,"spread":$spreadJson,"plan_hashes":$hashJson}"""
+      s""","queries_norm":$qsNorm,"cal_per_pass":$calPassesJson,"per_pass":$passesJson,"spread":$spreadJson,"plan_hashes":$hashJson}"""
     try java.nio.file.Files.write(outPath, (fileLine + "\n").getBytes("UTF-8"))
     catch {
       case NonFatal(e) =>
