@@ -87,7 +87,11 @@ class GraftDB(spark: SparkSession, root: String,
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val p = Paths.get(statePath(db, coll))
     Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(s"state.json.tmp")
+    // unique tmp: the legacy-fallback persist in currentState can run
+    // OUTSIDE the collection lock (read paths), so two concurrent
+    // writers must not race one shared tmp name
+    val tmp = p.resolveSibling(
+      s"state.json.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
     Files.writeString(tmp, Serialization.write(s))
     Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -319,19 +323,45 @@ class GraftDB(spark: SparkSession, root: String,
     else reads.reduce(_ unionByName _)
   }
 
-  private def append(db: String, coll: String, rows: Seq[Row]): Unit =
+  /** One locked batch = one UNIQUE `blk_<block>_<token>` dir in the tail.
+    * The token makes a crashed attempt's data distinguishable garbage: a
+    * writer that dies between the data write and the state bump releases
+    * the collection lock with uncommitted rows at block N on disk, and
+    * the NEXT writer to stamp N (same or different process) must not let
+    * those rows ride its commit — same (block, order) stamps, different
+    * content, the fold would pick arbitrarily. `sweepOrphanBatchDirs`
+    * (called under the lock before every block assignment) deletes the
+    * orphan dirs by NAME — any blk_ dir whose block exceeds the
+    * committed lastBlock is a crashed locked-writer attempt, because a
+    * live one would be holding the lock we hold. A dir listing + name
+    * parse per write, no data read. */
+  private def append(db: String, coll: String, block: Long, rows: Seq[Row]): Unit =
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mutationSchema)
-      .write.mode(SaveMode.Append).parquet(mutPath(db, coll))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"${mutPath(db, coll)}/blk_${block}_${java.util.UUID.randomUUID.toString.take(8)}")
+
+  private def sweepOrphanBatchDirs(db: String, coll: String, lastCommitted: Long): Unit = {
+    val d = new java.io.File(mutPath(db, coll))
+    val kids = d.listFiles()
+    if (kids != null) kids.foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("blk_")) {
+        val b = f.getName.drop(4).takeWhile(_ != '_')
+        if (b.nonEmpty && b.forall(_.isDigit) && b.toLong > lastCommitted)
+          deleteRecursively(f.toPath)
+      }
+    }
+  }
 
   /** AddDocument: assigns monotonically increasing ids (doc_order analog).
     * Block/id come from the state cell — no log scan per batch. */
   def addDocuments(db: String, coll: String, docs: Seq[String]): Seq[Long] =
     withCollLock(db, coll) {
       val st = currentState(db, coll)
+      sweepOrphanBatchDirs(db, coll, st.lastBlock)
       val block = st.lastBlock + 1
       val base = st.nextId
       val ids = docs.indices.map(base + _)
-      append(db, coll, docs.zipWithIndex.map { case (d, i) =>
+      append(db, coll, block, docs.zipWithIndex.map { case (d, i) =>
         Row(block, i, ActionAdd, base + i, d, null)
       })
       failpoint("addDocuments:afterAppend")
@@ -348,8 +378,9 @@ class GraftDB(spark: SparkSession, root: String,
       s"ids/docs/masks length mismatch: ${ids.length}/${docs.length}/${masks.length}")
     withCollLock(db, coll) {
       val st = currentState(db, coll)
+      sweepOrphanBatchDirs(db, coll, st.lastBlock)
       val block = st.lastBlock + 1
-      append(db, coll, ids.indices.map { i =>
+      append(db, coll, block, ids.indices.map { i =>
         Row(block, i, ActionUpdate, ids(i), docs(i),
           if (masks(i).isEmpty) null else masks(i).mkString(","))
       })
@@ -362,8 +393,9 @@ class GraftDB(spark: SparkSession, root: String,
   def deleteDocuments(db: String, coll: String, ids: Seq[Long]): Unit =
     withCollLock(db, coll) {
       val st = currentState(db, coll)
+      sweepOrphanBatchDirs(db, coll, st.lastBlock)
       val block = st.lastBlock + 1
-      append(db, coll, ids.zipWithIndex.map { case (id, i) =>
+      append(db, coll, block, ids.zipWithIndex.map { case (id, i) =>
         Row(block, i, ActionDelete, id, null, null)
       })
       failpoint("deleteDocuments:afterAppend")
@@ -380,6 +412,20 @@ class GraftDB(spark: SparkSession, root: String,
     * block. */
   def appendDocumentsAt(db: String, coll: String, block: Long,
       docs: DataFrame, docCol: String = "doc"): Unit = {
+    // a crashed LOCKED writer may have left an uncommitted blk_<block>_*
+    // attempt at this caller-owned block (the caller's exclusivity
+    // contract means no LIVE writer can be stamping it); drop it before
+    // this block commits, or its rows would ride the commit. Targeted at
+    // EXACTLY this block — this runs outside the lock, and blk_ dirs of
+    // other blocks may belong to a live locked writer mid-section.
+    if (block > currentState(db, coll).lastBlock) {
+      val d = new java.io.File(mutPath(db, coll))
+      val kids = d.listFiles()
+      if (kids != null) kids.foreach { f =>
+        if (f.isDirectory && f.getName.startsWith(s"blk_${block}_"))
+          GraftDB.deleteRecursively(f.toPath)
+      }
+    }
     val stride = 1 << 20
     val rows = docs.select(col(docCol).cast("string")).rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -717,7 +763,8 @@ class GraftDB(spark: SparkSession, root: String,
         val st = Files.list(d)
         try !st.findFirst().isPresent finally st.close()
       }
-      if (empty && d.getFileName.toString.startsWith("block_"))
+      val n = d.getFileName.toString
+      if (empty && (n.startsWith("block_") || n.startsWith("blk_")))
         Files.delete(d)
     }
   }
@@ -941,15 +988,23 @@ class GraftDB(spark: SparkSession, root: String,
       .map(_.trim).filter((l: String) => l.nonEmpty)
     val n = lines.count()
     if (n == 0) return 0L
-    val st = currentState(db, coll)
-    val block = st.lastBlock + 1
-    val base = st.nextId
-    val rows = lines.rdd.zipWithIndex().map { case (doc, i) =>
-      Row(block, i.toInt, ActionAdd, base + i, doc, null)
+    // bulk-ingest is a (rare) admin op: the block/id range assignment AND
+    // the distributed write serialize under the collection lock, so a
+    // concurrent sequential writer can neither reuse the block nor
+    // observe the batch before its state bump publishes it
+    withCollLock(db, coll) {
+      val st = currentState(db, coll)
+      sweepOrphanBatchDirs(db, coll, st.lastBlock)
+      val block = st.lastBlock + 1
+      val base = st.nextId
+      val rows = lines.rdd.zipWithIndex().map { case (doc, i) =>
+        Row(block, i.toInt, ActionAdd, base + i, doc, null)
+      }
+      spark.createDataFrame(rows, mutationSchema)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"${mutPath(db, coll)}/blk_${block}_${java.util.UUID.randomUUID.toString.take(8)}")
+      writeState(db, coll, CollState(block, base + n))
     }
-    spark.createDataFrame(rows, mutationSchema)
-      .write.mode(SaveMode.Append).parquet(mutPath(db, coll))
-    writeState(db, coll, CollState(block, base + n))
     n
   }
 
@@ -975,11 +1030,14 @@ class GraftDB(spark: SparkSession, root: String,
       payload: String = null): Long = {
     require(!DocActions.contains(action),
       s"action $action is a document mutation; use add/update/deleteDocuments")
-    val st = currentState(db, coll)
-    val block = st.lastBlock + 1
-    append(db, coll, Seq(Row(block, 0, action, -1L, payload, null)))
-    writeState(db, coll, st.copy(lastBlock = block))
-    block
+    withCollLock(db, coll) {
+      val st = currentState(db, coll)
+      sweepOrphanBatchDirs(db, coll, st.lastBlock)
+      val block = st.lastBlock + 1
+      append(db, coll, block, Seq(Row(block, 0, action, -1L, payload, null)))
+      writeState(db, coll, st.copy(lastBlock = block))
+      block
+    }
   }
 
   /** CreateEventDB lifecycle record (db3_mutation_v2.proto:109): the

@@ -478,10 +478,15 @@ class GraftDBSpec extends SparkSpec {
     db.deleteDocuments("d1", "c", Seq(0L))
     // blow away the log: a state-cell implementation keeps assigning
     // correct fresh (block, id) without it; a log-scanning one would
-    // restart from zero
+    // restart from zero. Batches live in blk_<block>_<token> subdirs of
+    // mutations/ — delete those dirs wholesale.
     val mutDir = java.nio.file.Paths.get(new java.net.URI(
-      db.mutationLog("d1", "c").inputFiles.head)).getParent
-    mutDir.toFile.listFiles().foreach(f => if (f.isFile) f.delete())
+      db.mutationLog("d1", "c").inputFiles.head)).getParent.getParent
+    assert(mutDir.getFileName.toString === "mutations")
+    mutDir.toFile.listFiles().foreach { f =>
+      if (f.isDirectory && f.getName.startsWith("blk_"))
+        f.listFiles().foreach(_.delete())
+    }
     val ids = db.addDocuments("d1", "c", Seq("""{"v":3}"""))
     assert(ids === Seq(2L)) // dense continuation despite the missing log
     val blocks = db.mutationLog("d1", "c").select("block").distinct().collect()
@@ -493,9 +498,12 @@ class GraftDBSpec extends SparkSpec {
     val db = freshDb()
     db.createCollection("d1", "c")
     db.addDocuments("d1", "c", Seq("""{"v":1}"""))
-    // simulate a pre-state-cell layout by removing the cell
+    // simulate a pre-state-cell layout by removing the cell (input files
+    // sit at mutations/blk_<block>_<token>/part-*.parquet — three levels
+    // below the collection dir)
     val stateDir = java.nio.file.Paths.get(new java.net.URI(
-      db.mutationLog("d1", "c").inputFiles.head)).getParent.getParent.resolve("state")
+      db.mutationLog("d1", "c").inputFiles.head))
+      .getParent.getParent.getParent.resolve("state")
     assert(stateDir.toFile.isDirectory)
     stateDir.toFile.listFiles().foreach(_.delete())
     stateDir.toFile.delete()
