@@ -357,7 +357,12 @@ object Ann {
     * structure — same caveat as annLsh: corpora with genuine near-dup
     * tails sustain m=8 at the same recall. */
   def annPq(spark: SparkSession, dir: String): DataFrame =
-    annPqTuned(spark, dir, m = 16, ksub = 16, rescoreDepth = 64)
+    // rescoreDepth 128: at the bench corpus (sf0.1) depth 64 left recall
+    // at 0.79 — true neighbors fall below the ADC shortlist as the
+    // corpus grows. The rescore is over depth rows PER QUERY (the ADC
+    // scan dominates and is depth-independent), so doubling the depth
+    // buys recall 0.91 for noise-level cost. bench_recall.json tracks it.
+    annPqTuned(spark, dir, m = 16, ksub = 16, rescoreDepth = 128)
 
   def annPqTuned(spark: SparkSession, dir: String,
       m: Int, ksub: Int, rescoreDepth: Int): DataFrame = {

@@ -166,9 +166,19 @@ object ScaleSmoke {
   }
 
   /** Default 100×-probe set: the three heaviest multi-stage chains — the
-    * shapes where a hidden super-linearity would hurt most at 100 TB. */
+    * shapes where a hidden super-linearity would hurt most at 100 TB —
+    * plus the fact-join lane (dims stay FIXED while facts scale, the
+    * real 100 TB star shape; see FactLaneShapes' broadcast criterion). */
   val ProbeShapes: Seq[String] =
-    Seq("pipeline_keep_list", "dedup_clusters", "pipeline_e2e")
+    Seq("pipeline_keep_list", "dedup_clusters", "pipeline_e2e",
+      "q5_multijoin", "q9_product_profit", "q21_waiting_supplier")
+
+  /** Probe shapes whose joins against the UNCHANGED dimension tables
+    * must STAY broadcast at scale: a grown side legitimately flips
+    * broadcast→shuffle, but a fixed-size dim flipping is a planner
+    * regression (the fact shuffle it would add dominates at 100 TB). */
+  val FactLaneShapes: Set[String] =
+    Set("q5_multijoin", "q9_product_profit", "q21_waiting_supplier")
 
   /** Deep-scale spot probe (mode=probe): COPIES× (intended: 100×) on a
     * small base (intended: sf0.01 — keeps the corpus build tractable),
@@ -225,10 +235,20 @@ object ScaleSmoke {
         val pBig = fn(spark, scaled).queryExecution.executedPlan.toString
         val degenerate = pBig.contains("CartesianProduct") ||
           pBig.contains("BroadcastNestedLoop")
+        // fact-lane criterion: the dims did NOT grow, so every broadcast
+        // hash join planned at base scale must survive at fact scale
+        def bhj(p: String): Int =
+          p.linesIterator.count(_.contains("BroadcastHashJoin"))
+        val pBase = fn(spark, base).queryExecution.executedPlan.toString
+        val dimFlip = FactLaneShapes.contains(name) && bhj(pBig) < bhj(pBase)
         val ratio = big / b
-        val ok = ratio <= 2.0 * copies && !degenerate
+        val ok = ratio <= 2.0 * copies && !degenerate && !dimFlip
         if (!ok) failures += 1
-        println(f"$name%-24s $b%7.2f -> $big%8.2f  $ratio%7.1fx (${ratio / copies}%4.2f)  $exB%2d->$exS%2d  ${if (ok) "ok" else if (degenerate) "FAIL(degenerate join)" else "FAIL"}")
+        println(f"$name%-24s $b%7.2f -> $big%8.2f  $ratio%7.1fx (${ratio / copies}%4.2f)  $exB%2d->$exS%2d  ${
+          if (ok) (if (FactLaneShapes.contains(name)) s"ok (bhj ${bhj(pBase)}->${bhj(pBig)})" else "ok")
+          else if (degenerate) "FAIL(degenerate join)"
+          else if (dimFlip) s"FAIL(dim broadcast lost: ${bhj(pBase)}->${bhj(pBig)})"
+          else "FAIL"}")
       } catch {
         case NonFatal(e) =>
           failures += 1
