@@ -281,9 +281,10 @@ object Streaming {
     * unbounded stream instead of accumulating one open session per
     * ever-seen key. */
   def sessionizeWithTimeout(spark: SparkSession, dir: String,
-      watermarkDelay: String = "1 hour"): Dataset[SessionOut] = {
+      watermarkDelay: String = "1 hour",
+      glob: String = "events.parquet"): Dataset[SessionOut] = {
     import spark.implicits._
-    readEventStream(spark, dir).toDF()
+    readEventStream(spark, dir, glob).toDF()
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", watermarkDelay)
       .as[EvT]
