@@ -59,8 +59,9 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightCols: Seq[String],
       bucketUs: Long = 6L * 3600 * 1000 * 1000,
-      skewFactor: Double = 4.0): DataFrame =
-    if (SkewDispatch.decide(left, col(leftKey), skewFactor))
+      skewFactor: Double = 4.0,
+      minHotRows: Long = SkewDispatch.DefaultMinHotRows): DataFrame =
+    if (SkewDispatch.decide(left, col(leftKey), skewFactor, minHotRows))
       asOfBucketed(left, right, leftKey, rightKey, leftTime, rightTime,
         rightCols, bucketUs)
     else asOf(left, right, leftKey, rightKey, leftTime, rightTime, rightCols)

@@ -173,6 +173,14 @@ object ScaleSmoke {
     Seq("pipeline_keep_list", "dedup_clusters", "pipeline_e2e",
       "q5_multijoin", "q9_product_profit", "q21_waiting_supplier")
 
+  /** Skew-lane shapes that DISPATCH between twins (auto → (direct,
+    * bucketed)): their verdict compares against the better twin per
+    * corpus instead of the cross-plan skew/uniform ratio. Twins must
+    * precede their auto shape in SkewShapes so the timings exist. */
+  val DispatchedShapes: Map[String, (String, String)] = Map(
+    "asof_join_auto" -> ("asof_join", "asof_join_bucketed"),
+    "evt_sessionize_auto" -> ("evt_sessionize", "evt_sessionize_buckets"))
+
   /** Probe shapes whose joins against the UNCHANGED dimension tables
     * must STAY broadcast at scale: a grown side legitimately flips
     * broadcast→shuffle, but a fixed-size dim flipping is a planner
@@ -321,7 +329,18 @@ object ScaleSmoke {
         val (u, s) = (us.min, ss.min)
         val ratio = s / u
         results(name) = (u, s)
-        val ok = ratio <= 2.0
+        // dispatched shapes switch PLANS between the corpora, so the
+        // skew/uniform ratio compares different operators; the verdict
+        // that matters is "auto stays within margin of the BETTER twin
+        // on each corpus" (margin covers the probe pass + cold noise)
+        val ok = DispatchedShapes.get(name) match {
+          case Some((direct, bucketed))
+              if results.contains(direct) && results.contains(bucketed) =>
+            val (du, ds) = results(direct)
+            val (bu, bs) = results(bucketed)
+            u <= 1.5 * math.min(du, bu) && s <= 1.5 * math.min(ds, bs)
+          case _ => ratio <= 2.0
+        }
         if (!ok) failures += 1
         println(f"$name%-24s $u%8.2f  $s%8.2f  $ratio%5.2fx  ${if (ok) "ok" else "FAIL"}")
       } catch {

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.sources.Tables
 
-/** The skew-aware twin dispatcher: the probe's share estimate, the
-  * parallelism-relative decision rule, and the dispatched operators
-  * picking the right twin on a uniform vs a ScaleSmoke-style hot-key
-  * corpus — with the dispatched result still exactly equal to the
-  * direct form's (the twins share one output contract). */
+/** The skew-aware twin dispatcher: the probe's (share, count)
+  * estimate, the two-condition decision rule (parallelism-relative
+  * share cut AND an absolute straggler-row floor), and the dispatched
+  * operators picking the right twin on uniform vs ScaleSmoke-style
+  * hot-key corpora — with the dispatched result still exactly equal to
+  * the direct form's (the twins share one output contract). */
 class SkewDispatchSpec extends SparkSpec {
   import spark.implicits._
 
@@ -21,39 +22,54 @@ class SkewDispatchSpec extends SparkSpec {
       when(pmod(col("event_id"), lit(2)) === 0, lit(7L))
         .otherwise(col("user_id")))
 
-  test("maxKeyShare: near-exact on a planted hot key, small on uniform") {
-    val uniformShare = SkewDispatch.maxKeyShare(
+  test("hottestKey: near-exact on a planted hot key, small on uniform") {
+    val (uniShare, _, uniTotal) = SkewDispatch.hottestKey(
       Tables.events(spark, sf), col("user_id"))
-    val hotShare = SkewDispatch.maxKeyShare(hotEvents, col("user_id"))
+    val (hotShare, hotCount, hotTotal) =
+      SkewDispatch.hottestKey(hotEvents, col("user_id"))
     // MG error bound is n/257 of the count, far below these margins
     assert(hotShare > 0.45 && hotShare < 0.60, s"hot share $hotShare")
-    assert(uniformShare < 0.10, s"uniform share $uniformShare")
+    assert(uniShare < 0.10, s"uniform share $uniShare")
+    assert(hotTotal === uniTotal && hotTotal > 0)
+    assert(math.abs(hotCount - hotTotal / 2.0) < hotTotal * 0.06)
   }
 
-  test("decision is parallelism-relative: skewFactor / shuffle partitions") {
-    val ev = Tables.events(spark, sf) // P = 4 in tests → cut = 4/4 = 1.0
-    assert(!SkewDispatch.isSkewed(ev, 0.99))
-    assert(SkewDispatch.isSkewed(ev, 1.0))
-    assert(SkewDispatch.isSkewed(ev, 0.5, skewFactor = 2.0))
+  test("decision: relative share cut AND absolute straggler floor") {
+    val ev = Tables.events(spark, sf) // P = 4 in tests → share cut = 4/4 = 1.0
+    assert(!SkewDispatch.isSkewed(ev, 0.99, hotCount = Long.MaxValue))
+    assert(SkewDispatch.isSkewed(ev, 1.0, hotCount = Long.MaxValue))
+    assert(SkewDispatch.isSkewed(ev, 0.5, hotCount = Long.MaxValue, skewFactor = 2.0))
+    // the floor: a hot key below minHotRows is NOT a straggler — one
+    // task sorts it faster than the bucketed twin's machinery premium
+    // (measured: direct 1.20 s vs bucketed 1.73 s on the 10× hot corpus)
+    assert(!SkewDispatch.isSkewed(ev, 0.5, hotCount = 1000, skewFactor = 2.0))
     assert(!SkewDispatch.decide(ev, col("user_id"))) // uniform corpus
-    assert(SkewDispatch.decide(hotEvents, col("user_id"), skewFactor = 1.0))
+    // hot corpus: fires once the floor is below the planted key's count
+    assert(SkewDispatch.decide(hotEvents, col("user_id"),
+      skewFactor = 1.0, minHotRows = 100))
+    // default floor keeps a tiny hot corpus on the direct path
+    assert(!SkewDispatch.decide(hotEvents, col("user_id"), skewFactor = 1.0))
   }
 
-  test("asOfAuto picks direct on uniform, bucketed on the hot corpus, equal results") {
+  test("asOfAuto picks direct on uniform, bucketed past both cuts, equal results") {
     val ord = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max(col("o_orderkey")).as("o_orderkey"))
-    def run(ev: DataFrame, skewFactor: Double) =
+    def run(ev: DataFrame, skewFactor: Double, minHotRows: Long) =
       AsOfJoin.asOfAuto(ev.select("event_id", "user_id", "ts"), ord,
         "user_id", "o_custkey", "ts", "o_orderdate", Seq("o_orderkey"),
-        skewFactor = skewFactor)
+        skewFactor = skewFactor, minHotRows = minHotRows)
     // the bucketed plan is recognizable by its two-phase carry columns
-    val uni = run(Tables.events(spark, sf), 4.0)
+    val uni = run(Tables.events(spark, sf), 4.0, 100)
     assert(!uni.queryExecution.optimizedPlan.toString.contains("__bucket"),
       "uniform corpus should dispatch to the direct as-of")
-    val hot = run(hotEvents, 1.0)
+    val hot = run(hotEvents, 1.0, 100)
     assert(hot.queryExecution.optimizedPlan.toString.contains("__bucket"),
-      "hot corpus should dispatch to the bucketed as-of")
+      "hot corpus past both cuts should dispatch to the bucketed as-of")
+    // below the straggler floor the hot corpus stays direct
+    val hotSmall = run(hotEvents, 1.0, SkewDispatch.DefaultMinHotRows)
+    assert(!hotSmall.queryExecution.optimizedPlan.toString.contains("__bucket"),
+      "a hot key below the row floor should stay on the direct as-of")
     // dispatched output === direct output, on the corpus that dispatched
     // to the OTHER twin (the contract the shared oracle pins)
     val direct = AsOfJoin.asOf(hotEvents.select("event_id", "user_id", "ts"),
