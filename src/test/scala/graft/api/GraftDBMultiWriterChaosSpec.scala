@@ -39,6 +39,74 @@ class GraftDBMultiWriterChaosSpec extends SparkSpec {
     JsonMethods.compact(JsonMethods.render(JsonMethods.parse(doc)))
   }
 
+  test("cross-PROCESS crash mid-critical-section: orphan invisible, swept, block reused") {
+    // The in-process chaos below simulates crashes with exceptions; a
+    // REAL dead writer also releases its FileChannel lock via the OS.
+    // Spawn a separate JVM that Runtime.halt()s between its data append
+    // and state commit, then prove the parent sees no orphan rows,
+    // sweeps the orphan dir when it reuses the block, and the fold
+    // never mixes contents.
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_mwcrash").toString
+    val db = new GraftDB(spark, s"$root/db")
+    db.createCollection("d", "c")
+    db.addDocuments("d", "c", Seq("""{"seed":0}""", """{"seed":1}""")) // block 0
+    db.addDocuments("d", "c", Seq("""{"seed":2}""")) // block 1
+
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val in = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val opens = {
+      val b = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < in.length) {
+        if (in(i) == "--add-opens" && i + 1 < in.length) {
+          b += in(i); b += in(i + 1); i += 2
+        } else if (in(i).startsWith("--add-opens=")) { b += in(i); i += 1 }
+        else i += 1
+      }
+      b.toList
+    }
+    val p = new ProcessBuilder((Seq(javaBin) ++ opens ++ Seq("-Xmx1500m",
+      "-cp", cp, "graft.api.RaceWriter", root, "cw", "1", "crash")).asJava)
+      .redirectOutput(new java.io.File(root, "out_cw.log"))
+      .redirectErrorStream(true)
+      .start()
+    assert(p.waitFor(120, TimeUnit.SECONDS), "crashing writer timed out")
+    assert(p.exitValue() === 42, {
+      val f = new java.io.File(root, "out_cw.log")
+      "halt failpoint did not fire:\n" +
+        (if (f.exists()) scala.io.Source.fromFile(f).mkString.takeRight(2000) else "")
+    })
+
+    // the dead writer's data is on disk but UNCOMMITTED: invisible
+    val mutDir = new java.io.File(s"$root/db/d/c/mutations")
+    def blk2Dirs = mutDir.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("blk_2_"))
+    assert(blk2Dirs.nonEmpty, "crashed append left no blk_2 dir")
+    assert(db.nextBlockId("d", "c") === 2L, "state must not have advanced")
+    assert(db.collection("d", "c").df.count() === 3L, "orphan rows visible")
+
+    // the parent reuses block 2: the orphan is swept, never adopted
+    val ids = db.addDocuments("d", "c", Seq("""{"w":"parent"}"""))
+    assert(blk2Dirs.length === 1, "orphan blk_2 dir must be swept on reuse")
+    val docs = db.collection("d", "c").df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.size === 4)
+    assert(docs(ids.head).contains("parent"))
+    assert(!docs.values.exists(_.contains("crashed")),
+      "dead writer's uncommitted rows rode a later commit")
+    val dup = db.mutationLog("d", "c").groupBy(col("block"), col("order"))
+      .count().filter(col("count") > 1).count()
+    assert(dup === 0L, "duplicate (block, order) stamps")
+
+    // rollup + fresh-instance reread stay exact
+    db.rollup("d", "c", maxBatchBytes = 512)
+    val again = new GraftDB(spark, s"$root/db").collection("d", "c").df.count()
+    assert(again === 4L)
+  }
+
   test("two crashing writers converge to the merged per-writer models (4 seeds)") {
     for (seed <- 1 to 4) {
       val root = Files.createTempDirectory("graft_mwchaos").toString

@@ -17,6 +17,12 @@ object RaceWriter {
     val root = args(0)
     val tag = args(1)
     val batches = args(2).toInt
+    // "crash" = die HARD (Runtime.halt — no shutdown hooks, the OS
+    // releases the FileChannel lock) between the data append and the
+    // state commit of the FIRST batch: the cross-process version of the
+    // crashed-writer window, leaving an uncommitted blk_ dir on disk
+    // and the collection lock free
+    val crash = args.length > 3 && args(3) == "crash"
     val spark = SparkSession.builder()
       .master("local[2]")
       .appName(s"graft-race-$tag")
@@ -27,6 +33,12 @@ object RaceWriter {
     spark.sparkContext.setLogLevel("ERROR")
     val db = new GraftDB(spark, s"$root/db")
     db.createCollection("d", "c")
+    if (crash) {
+      db.failpoint = l =>
+        if (l == "addDocuments:afterAppend") Runtime.getRuntime.halt(42)
+      db.addDocuments("d", "c", Seq(s"""{"w":"$tag","crashed":true}"""))
+      sys.error("halt failpoint never fired") // unreachable when armed
+    }
     Files.write(Paths.get(root, s"ready_$tag"), Array.emptyByteArray)
     val go = Paths.get(root, "go")
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
