@@ -221,8 +221,12 @@ object Bench {
       s"\"" + name + "\":\"" + planHashes.getOrElse(name, "error") + "\""
     }.mkString("{", ",", "}")
     // both series in the committed record: raw medians ("queries") and
-    // calibration-normalized ("queries_norm") — BASELINE comparisons read
-    // normalized, so a slow box day no longer poisons the rolling baseline
+    // calibration-normalized ("queries_norm"). The regression gate above
+    // compares raw-now/drift against the PREVIOUS record's raw series —
+    // that is the round-over-round-comparable arithmetic. queries_norm
+    // is informational (this round's times in drift-corrected units);
+    // do NOT compare one round's queries_norm against another's — each
+    // is normalized to a different round's box.
     val qsNorm = results.map { case (k, v) =>
       s"\"" + k + "\":" + r3(if (v >= 0.0) v / drift else v)
     }.mkString("{", ",", "}")

@@ -412,20 +412,6 @@ class GraftDB(spark: SparkSession, root: String,
     * block. */
   def appendDocumentsAt(db: String, coll: String, block: Long,
       docs: DataFrame, docCol: String = "doc"): Unit = {
-    // a crashed LOCKED writer may have left an uncommitted blk_<block>_*
-    // attempt at this caller-owned block (the caller's exclusivity
-    // contract means no LIVE writer can be stamping it); drop it before
-    // this block commits, or its rows would ride the commit. Targeted at
-    // EXACTLY this block — this runs outside the lock, and blk_ dirs of
-    // other blocks may belong to a live locked writer mid-section.
-    if (block > currentState(db, coll).lastBlock) {
-      val d = new java.io.File(mutPath(db, coll))
-      val kids = d.listFiles()
-      if (kids != null) kids.foreach { f =>
-        if (f.isDirectory && f.getName.startsWith(s"blk_${block}_"))
-          GraftDB.deleteRecursively(f.toPath)
-      }
-    }
     val stride = 1 << 20
     val rows = docs.select(col(docCol).cast("string")).rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -446,6 +432,12 @@ class GraftDB(spark: SparkSession, root: String,
     // serializing, or a concurrent bump's write could be lost
     withCollLock(db, coll) {
       val st = currentState(db, coll)
+      // a max-merge commit can advance lastBlock PAST blocks a crashed
+      // locked writer left orphan dirs at (the caller's block may gap
+      // over them) — sweep before the bump, while the lock guarantees
+      // every blk_ dir above lastBlock is a dead attempt, or those
+      // uncommitted rows would become visible under the new bound
+      sweepOrphanBatchDirs(db, coll, st.lastBlock)
       writeState(db, coll, CollState(math.max(st.lastBlock, block),
         math.max(st.nextId, (block + 1) * IdStride)))
     }

@@ -602,11 +602,17 @@ case class ArgMaxTies(left: Expression, right: Expression,
     if (v != null) {
       val k = right.eval(input)
       if (k != null) {
-        if (b.value == null) { b.value = v; b.keys += k.asInstanceOf[Long] }
-        else {
+        // copyValue: eval may return a buffer-backed value (UTF8String,
+        // byte[], struct) that the NEXT row's read overwrites — a
+        // captured running max must own its bytes
+        if (b.value == null) {
+          b.value = InternalRow.copyValue(v); b.keys += k.asInstanceOf[Long]
+        } else {
           val c = ordering.compare(v, b.value)
-          if (c > 0) { b.value = v; b.keys.clear(); b.keys += k.asInstanceOf[Long] }
-          else if (c == 0) b.keys += k.asInstanceOf[Long]
+          if (c > 0) {
+            b.value = InternalRow.copyValue(v)
+            b.keys.clear(); b.keys += k.asInstanceOf[Long]
+          } else if (c == 0) b.keys += k.asInstanceOf[Long]
         }
       }
     }

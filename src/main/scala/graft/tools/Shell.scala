@@ -151,10 +151,10 @@ object Shell {
         readKey(root) match {
           case Some(k) => s"keystore exists (address ${keyAddress(k)})"
           case None =>
-            val k = new java.security.SecureRandom().nextLong() match {
-              case 0L => 1L
-              case v => math.abs(v)
-            }
+            // mask to a POSITIVE scalar (math.abs(Long.MinValue) stays
+            // negative and the signer requires key > 0)
+            val k = (new java.security.SecureRandom().nextLong()
+              & Long.MaxValue).max(1L)
             val p = java.nio.file.Paths.get(keystorePath(root))
             java.nio.file.Files.createDirectories(p.getParent)
             java.nio.file.Files.writeString(p, s"""{"key":$k}""")

@@ -107,6 +107,30 @@ class GraftDBMultiWriterChaosSpec extends SparkSpec {
     assert(again === 4L)
   }
 
+  test("appendDocumentsAt committing past a crashed block sweeps the gap orphan") {
+    // the max-merge bump can advance lastBlock OVER a crashed locked
+    // writer's block without that block ever being reused — the orphan
+    // must be swept at the bump, or its uncommitted rows become visible
+    // under the new bound
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_gap").toString
+    val db = new GraftDB(spark, root)
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", Seq("""{"seed":0}""")) // block 0
+    db.failpoint = l =>
+      if (l == "addDocuments:afterAppend") throw new Boom
+    intercept[Boom](
+      db.addDocuments("d1", "c", Seq("""{"crashed":true}"""))) // orphan at 1
+    db.failpoint = _ => ()
+    // caller-exclusive append at block 2: gaps over the orphan block
+    db.appendDocumentsAt("d1", "c", 2L, Seq("""{"late":1}""").toDF("doc"))
+    assert(db.nextBlockId("d1", "c") === 3L)
+    val docs = db.collection("d1", "c").df.collect().map(_.getString(1))
+    assert(docs.length === 2, s"got ${docs.mkString("|")}")
+    assert(!docs.exists(_.contains("crashed")),
+      "gap orphan's uncommitted rows became visible under the merged bound")
+  }
+
   test("two crashing writers converge to the merged per-writer models (4 seeds)") {
     for (seed <- 1 to 4) {
       val root = Files.createTempDirectory("graft_mwchaos").toString
@@ -198,6 +222,8 @@ class GraftDBMultiWriterChaosSpec extends SparkSpec {
       assert(pool.awaitTermination(240, TimeUnit.SECONDS),
         s"seed=$seed writers timed out")
       if (!fails.isEmpty) throw fails.peek()
+      assert(crashes.get() > 0,
+        s"seed=$seed never crashed — chaos rate too low to test anything")
 
       val want = (models(0) ++ models(1)).toMap
       val got = setupDb.collection("d1", "c").df.collect()

@@ -44,6 +44,23 @@ class ArgMaxTiesSpec extends SparkSpec {
     assert(withNulls.getSeq[Long](0) === Seq(1L, 3L))
   }
 
+  test("buffer-backed string values are copied, not aliased") {
+    // parquet scans hand eval() UTF8Strings that point into the reused
+    // read buffer; a captured running max must own its bytes or later
+    // rows corrupt it (the InternalRow.copyValue contract)
+    val dir = java.nio.file.Files.createTempDirectory("graft-argmax").toString
+    spark.range(0, 10000)
+      .selectExpr("id",
+        "concat('v', lpad(cast(id % 977 as string), 6, '0')) as s")
+      .write.mode("overwrite").parquet(dir)
+    val r = spark.read.parquet(dir)
+      .agg(GraftFunctions.argmax_ties(col("s"), col("id")).as("w"))
+      .select($"w.value".cast("string"), $"w.keys").head()
+    assert(r.getString(0) === "v000976")
+    assert(r.getSeq[Long](1) ===
+      (0 until 10000).filter(_ % 977 == 976).map(_.toLong))
+  }
+
   test("q15 equals the two-step groupBy(value)+collect_list+max_by form") {
     val dir = sf
     val D = org.apache.spark.sql.types.DecimalType(18, 2)
