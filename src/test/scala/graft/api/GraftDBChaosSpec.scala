@@ -42,8 +42,12 @@ class GraftDBChaosSpec extends SparkSpec {
     JsonMethods.compact(JsonMethods.render(JsonMethods.parse(doc)))
   }
 
-  test("random crash-retry schedules converge to the reference model (4 seeds)") {
-    for (seed <- 1 to 4) {
+  // default 4 seeds in-suite; SPARK_GRAFT_CHAOS_SEEDS raises it for soaks
+  private val Seeds =
+    sys.env.getOrElse("SPARK_GRAFT_CHAOS_SEEDS", "4").toInt.max(1)
+
+  test(s"random crash-retry schedules converge to the reference model ($Seeds seeds)") {
+    for (seed <- 1 to Seeds) {
       val r = new Random(31000 + seed)
       val root = Files.createTempDirectory("graft_chaos").toString
       val db = new GraftDB(spark, root)

@@ -131,8 +131,12 @@ class GraftDBMultiWriterChaosSpec extends SparkSpec {
       "gap orphan's uncommitted rows became visible under the merged bound")
   }
 
-  test("two crashing writers converge to the merged per-writer models (4 seeds)") {
-    for (seed <- 1 to 4) {
+  // default 4 seeds in-suite; SPARK_GRAFT_CHAOS_SEEDS raises it for soaks
+  private val Seeds =
+    sys.env.getOrElse("SPARK_GRAFT_CHAOS_SEEDS", "4").toInt.max(1)
+
+  test(s"two crashing writers converge to the merged per-writer models ($Seeds seeds)") {
+    for (seed <- 1 to Seeds) {
       val root = Files.createTempDirectory("graft_mwchaos").toString
       val setupDb = new GraftDB(spark, root)
       setupDb.createCollection("d1", "c")
