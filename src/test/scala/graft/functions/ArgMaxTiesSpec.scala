@@ -61,6 +61,69 @@ class ArgMaxTiesSpec extends SparkSpec {
       (0 until 10000).filter(_ % 977 == 976).map(_.toLong))
   }
 
+  test("fuzz: 30 random streams equal the driver-side model across types") {
+    // seeded random (value, key) streams with heavy tie rates, nulls,
+    // and random partition counts, checked against a plain driver-side
+    // fold — per value type (long, double, decimal, string)
+    val r = new scala.util.Random(41011)
+    for (round <- 1 to 30) {
+      val n = 1 + r.nextInt(2000)
+      val distinctVals = 1 + r.nextInt(1 + r.nextInt(20)) // often tie-heavy
+      val tpe = round % 4
+      val rows: Seq[(Option[Any], Long)] = (0 until n).map { i =>
+        val v: Option[Any] =
+          if (r.nextInt(10) == 0) None
+          else {
+            val base = r.nextInt(distinctVals)
+            Some(tpe match {
+              case 0 => base.toLong * 3 - 7
+              case 1 => base.toDouble / 8.0
+              case 2 => new java.math.BigDecimal(s"$base.25")
+              case _ => f"s$base%04d"
+            })
+          }
+        (v, i.toLong)
+      }
+      val model: Option[(Any, Seq[Long])] = {
+        val present = rows.collect { case (Some(v), k) => (v, k) }
+        if (present.isEmpty) None
+        else {
+          implicit val ord: Ordering[Any] = (a: Any, b: Any) => (a, b) match {
+            case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+            case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+            case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+            case (x: String, y: String) => x.compareTo(y)
+            case _ => fail(s"type mix: $a vs $b")
+          }
+          val best = present.map(_._1).max
+          Some((best, present.collect { case (v, k) if ord.equiv(v, best) => k }.sorted))
+        }
+      }
+      val df = (tpe match {
+        case 0 => rows.map { case (v, k) => (v.map(_.asInstanceOf[Long]), k) }.toDF("v", "k")
+        case 1 => rows.map { case (v, k) => (v.map(_.asInstanceOf[Double]), k) }.toDF("v", "k")
+        case 2 => rows.map { case (v, k) =>
+          (v.map(x => BigDecimal(x.asInstanceOf[java.math.BigDecimal])), k) }.toDF("v", "k")
+        case _ => rows.map { case (v, k) => (v.map(_.asInstanceOf[String]), k) }.toDF("v", "k")
+      }).repartition(1 + r.nextInt(8))
+      val got = df.agg(GraftFunctions.argmax_ties(col("v"), col("k")).as("w"))
+        .select($"w.value".cast("string"), $"w.keys").head()
+      model match {
+        case None => assert(got.isNullAt(0), s"round=$round: expected null")
+        case Some((bv, bks)) =>
+          assert(got.getSeq[Long](1) === bks, s"round=$round keys")
+          val gotV = got.getString(0)
+          bv match {
+            case s: String => assert(gotV === s, s"round=$round value")
+            case num => // numeric: compare scale-insensitively
+              assert(new java.math.BigDecimal(gotV)
+                .compareTo(new java.math.BigDecimal(num.toString)) === 0,
+                s"round=$round value $gotV vs $num")
+          }
+      }
+    }
+  }
+
   test("q15 equals the two-step groupBy(value)+collect_list+max_by form") {
     val dir = sf
     val D = org.apache.spark.sql.types.DecimalType(18, 2)
