@@ -241,13 +241,17 @@ object ScaleSmoke {
         // a broadcast of the grown side would OOM. The scale hazard to
         // refuse is a join degenerating to nested-loop/cartesian.
         val pBig = fn(spark, scaled).queryExecution.executedPlan.toString
-        val degenerate = pBig.contains("CartesianProduct") ||
-          pBig.contains("BroadcastNestedLoop")
+        val pBase = fn(spark, base).queryExecution.executedPlan.toString
+        // a nested-loop/cartesian that exists at BOTH scales is an
+        // intended one-row scalar broadcast (bm25's stats row); the
+        // scale hazard is a join that DEGENERATES to one at scale
+        def degen(p: String) =
+          p.contains("CartesianProduct") || p.contains("BroadcastNestedLoop")
+        val degenerate = degen(pBig) && !degen(pBase)
         // fact-lane criterion: the dims did NOT grow, so every broadcast
         // hash join planned at base scale must survive at fact scale
         def bhj(p: String): Int =
           p.linesIterator.count(_.contains("BroadcastHashJoin"))
-        val pBase = fn(spark, base).queryExecution.executedPlan.toString
         val dimFlip = FactLaneShapes.contains(name) && bhj(pBig) < bhj(pBase)
         val ratio = big / b
         val ok = ratio <= 2.0 * copies && !degenerate && !dimFlip
