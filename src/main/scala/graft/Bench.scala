@@ -77,6 +77,7 @@ object Bench {
       graft.pipeline.Dedup.clearResultCaches()
       graft.pipeline.Curation.clearResultCaches()
       graft.operators.OperatorQueries.clearResultCaches()
+      graft.operators.SkewDispatch.clearStatsCache()
       calPerPass(pass) = calibrate()
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -108,6 +109,7 @@ object Bench {
     graft.pipeline.Dedup.clearResultCaches()
     graft.pipeline.Curation.clearResultCaches()
     graft.operators.OperatorQueries.clearResultCaches()
+    graft.operators.SkewDispatch.clearStatsCache()
     val planHashes: Map[String, String] = names.map { case (name, fn) =>
       val h = try {
         val s = fn(spark, sfDir).queryExecution.executedPlan.toString

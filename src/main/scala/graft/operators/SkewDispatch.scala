@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-aware twin dispatch. The bucketed forms of the as-of join and
@@ -36,6 +36,33 @@ import org.apache.spark.sql.functions._
   */
 object SkewDispatch {
 
+  /** ANALYZE-style stats memo: the probe's result keyed by the
+    * canonicalized probe plan — an immutable corpus pays the probe scan
+    * once per session, and every later dispatched query decides from
+    * the cached histogram (exactly how engines reuse table statistics).
+    * Timing harnesses (Bench, ScaleSmoke) clear it between passes so
+    * the committed artifacts keep pricing the probe. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Double, Long, Long)]()
+
+  private[graft] def clearStatsCache(): Unit = statsCache.clear()
+
+  /** Entry cap: each value is three numbers but the key retains a plan
+    * string and a session ref; a runaway key space (many ad-hoc plans in
+    * one long-lived JVM) resets the memo instead of growing unbounded —
+    * the probe just re-runs, which is the uncached behavior anyway. */
+  private val MaxStatsEntries = 1024
+
+  /** `hottestKey` through the stats memo. */
+  def hottestKeyCached(df: DataFrame, key: Column,
+      capacity: Int = 256): (Double, Long, Long) = {
+    if (statsCache.size > MaxStatsEntries) statsCache.clear()
+    statsCache.computeIfAbsent(
+      (df.sparkSession,
+        s"$capacity|${df.select(key).queryExecution.analyzed.canonicalized}"),
+      _ => hottestKey(df, key, capacity))
+  }
+
   /** Hottest-key estimate over `key` (must cast to BIGINT):
     * (share, hotCount, total); zeros on empty input. One HeavyHitters +
     * count aggregate — a single job, single-row result. */
@@ -70,10 +97,10 @@ object SkewDispatch {
     share >= skewFactor / p.max(1) && hotCount >= minHotRows
   }
 
-  /** Probe + rule in one call. */
+  /** Probe (memoized) + rule in one call. */
   def decide(df: DataFrame, key: Column, skewFactor: Double = 4.0,
       minHotRows: Long = DefaultMinHotRows): Boolean = {
-    val (share, hot, _) = hottestKey(df, key)
+    val (share, hot, _) = hottestKeyCached(df, key)
     isSkewed(df, share, hot, skewFactor, minHotRows)
   }
 }

@@ -226,6 +226,7 @@ object ScaleSmoke {
         graft.pipeline.Dedup.clearResultCaches()
         graft.pipeline.Curation.clearResultCaches()
         graft.operators.OperatorQueries.clearResultCaches()
+        graft.operators.SkewDispatch.clearStatsCache()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
@@ -320,6 +321,7 @@ object ScaleSmoke {
         graft.pipeline.Dedup.clearResultCaches()
         graft.pipeline.Curation.clearResultCaches()
         graft.operators.OperatorQueries.clearResultCaches()
+        graft.operators.SkewDispatch.clearStatsCache()
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9

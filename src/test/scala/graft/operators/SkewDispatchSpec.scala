@@ -51,6 +51,56 @@ class SkewDispatchSpec extends SparkSpec {
     assert(!SkewDispatch.decide(hotEvents, col("user_id"), skewFactor = 1.0))
   }
 
+  test("stats memo: probe runs once per (plan, capacity), cleared on demand") {
+    SkewDispatch.clearStatsCache()
+    val ev = Tables.events(spark, sf)
+    val first = SkewDispatch.hottestKeyCached(ev, col("user_id"))
+    assert(first === SkewDispatch.hottestKey(ev, col("user_id")))
+    // a second probe over an equivalent plan is a pure memo hit: count
+    // Spark jobs to prove no scan happens
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sentinels = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(j.properties).map(_.getProperty("spark.jobGroup.id"))
+              .contains("skew-memo-sentinel")) sentinels.incrementAndGet()
+        else jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    // the listener bus is async; a sentinel job after each step bounds
+    // the drain (events are ordered, so seeing the sentinel's JobStart
+    // means every earlier JobStart was delivered)
+    def drainWithSentinel(): Unit = {
+      val before = sentinels.get()
+      sc.setJobGroup("skew-memo-sentinel", "listener drain")
+      try sc.parallelize(Seq(1), 1).count() finally sc.clearJobGroup()
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (sentinels.get() == before && System.nanoTime() < deadline)
+        Thread.sleep(10)
+    }
+    // build the second (equivalent-plan) DataFrame BEFORE zeroing the
+    // counter: spark.read.parquet itself runs a footer-reading job for
+    // schema inference, which is construction cost, not probe cost
+    val ev2 = Tables.events(spark, sf)
+    try {
+      // events posted before registration can still be queued and get
+      // delivered to the new listener — drain them and zero the count
+      drainWithSentinel()
+      jobs.set(0)
+      val again = SkewDispatch.hottestKeyCached(ev2, col("user_id"))
+      drainWithSentinel()
+      assert(again === first)
+      assert(jobs.get() === 0, "memo hit must not launch a Spark job")
+      // a different capacity is a different stats row → real probe
+      SkewDispatch.hottestKeyCached(ev, col("user_id"), capacity = 64)
+      drainWithSentinel()
+      assert(jobs.get() > 0, "distinct capacity must re-probe")
+    } finally sc.removeSparkListener(listener)
+    SkewDispatch.clearStatsCache()
+    }
+
   test("asOfAuto picks direct on uniform, bucketed past both cuts, equal results") {
     val ord = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"), col("o_orderdate"))
