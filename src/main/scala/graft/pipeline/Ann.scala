@@ -527,8 +527,89 @@ object Ann {
         col("label").cast("long").as("label"))
   }
 
+  /** HYBRID retrieval — reciprocal-rank fusion of a lexical arm and a
+    * vector arm, the shape every modern RAG/search stack serves ("BM25 +
+    * embeddings, fused"). Arms: the BM25 top-20 over documents
+    * (`text_search_bm25`'s scoring, zero data shuffle) and the exact
+    * cosine top-20 around a pinned query vector (vec_id 0; broadcast
+    * query × one corpus scan through the codegen CosineSim kernel,
+    * `ann_cosine_topk`'s shape), fused over the shared doc_id = vec_id
+    * key space. RRF score = Σ_arms 1/(60 + rank) over the arms that
+    * returned the doc (Cormack et al.'s k=60) — rank-based, so the
+    * fusion needs no score normalization across arms. At scale both
+    * arms end in TakeOrdered top-k; the fusion is a full-outer join of
+    * two ≤20-row sets (driver-free, broadcast-trivial), and the final
+    * rank is a window over ≤40 Limit-bounded rows. Cross-engine
+    * exactness: ranks are integers, each 1/(60+r) is one IEEE division
+    * of small ints rounded to 9dp and summed as DECIMAL(18,9). */
+  def annHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val lexW = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = TextOps.textSearchBm25(spark, dir)
+      .select(col("doc_id"),
+        row_number().over(lexW).cast("long").as("lex_rank"))
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
+    val vecW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val vec = broadcast(q)
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("c_v")),
+        col("query_id") =!= col("cand_id"))
+      .withColumn("cos",
+        graft.functions.GraftFunctions.cosine_sim(col("q_v"), col("c_v")))
+      .withColumn("vec_rank", row_number().over(vecW).cast("long"))
+      .filter(col("vec_rank") <= 20)
+      .select(col("cand_id").as("doc_id"), col("vec_rank"))
+      .limit(20)
+    def rrfTerm(rank: Column): Column =
+      when(rank.isNotNull, round(lit(1.0) / (lit(60) + rank), 9))
+        .otherwise(lit(0.0)).cast(d9)
+    val fused = lex.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        (rrfTerm(col("lex_rank")) + rrfTerm(col("vec_rank"))).cast("double"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        col("rrf"), col("rank"))
+  }
+
+  val annHybridRrfSql: String = {
+    val bm25 = TextOps.textSearchBm25Sql
+    s"""WITH lex0 AS ($bm25),
+       |lex AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS lex_rank
+       |  FROM lex0),
+       |q AS (SELECT vec_id AS query_id, embedding AS q_v FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    list_cosine_similarity(q_v, e.embedding) AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+       |vec AS (
+       |  SELECT doc_id, vec_rank FROM (
+       |    SELECT doc_id,
+       |      CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS vec_rank
+       |    FROM scored) t WHERE vec_rank <= 20),
+       |fused AS (
+       |  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+       |    CAST(
+       |      (CASE WHEN lex_rank IS NOT NULL
+       |         THEN CAST(round(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 9) AS DECIMAL(18,9))
+       |         ELSE CAST(0.0 AS DECIMAL(18,9)) END
+       |       + CASE WHEN vec_rank IS NOT NULL
+       |         THEN CAST(round(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 9) AS DECIMAL(18,9))
+       |         ELSE CAST(0.0 AS DECIMAL(18,9)) END) AS DOUBLE) AS rrf
+       |  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+       |SELECT doc_id, lex_rank, vec_rank, rrf,
+       |  CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+       |FROM fused""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_filtered_topk" -> (annFilteredTopk _),
+    "ann_hybrid_rrf" -> (annHybridRrf _),
     "ann_cosine_topk" -> (annCosineTopk _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
@@ -540,6 +621,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "ann_filtered_topk" -> annFilteredTopkSql,
+    "ann_hybrid_rrf" -> annHybridRrfSql,
     "ann_cosine_topk" -> annCosineTopkSql,
     "ann_range_search" -> annRangeSearchSql,
   )

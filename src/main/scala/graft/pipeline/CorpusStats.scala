@@ -126,8 +126,77 @@ object CorpusStats {
       |  min(dv) AS min_v, max(dv) AS max_v
       |FROM y GROUP BY dim""".stripMargin
 
+  /** INT8 scalar quantization of the embedding column — the storage
+    * scale lever below PQ (4× over float32 with a trivial decoder, the
+    * standard serving-index layout): per-dimension corpus [min, max]
+    * maps each value to a 0..255 code, and the operator reports the
+    * per-vector quantization quality (summed codes pin the exact integer
+    * codebook output; MSE pins the reconstruction error). Two corpus
+    * passes, the DSIR/bigram precedent: pass 1 folds per-dim min/max
+    * map-side into a dim-cardinality table (64 rows) that broadcasts
+    * back; pass 2 computes codes + error and folds per vector. Nothing
+    * driver-side, nothing quadratic; the per-dim table is O(dim)
+    * regardless of corpus size. Cross-engine exactness: codes are
+    * round()s of identical IEEE chains (float→double widening is exact),
+    * per-dim squared errors round once to 9dp and sum as DECIMAL(18,9).
+    * Degenerate dims (min = max, e.g. an all-zero dimension) code to 0
+    * and reconstruct to min exactly. */
+  def embQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    val d9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val d = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("xd"))
+    val stats = d.groupBy(col("dim"))
+      .agg(min(col("xd")).as("mn"), max(col("xd")).as("mx"))
+    val coded = d.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          least(greatest(round((col("xd") - col("mn")) /
+            (col("mx") - col("mn")) * 255, 0), lit(0.0)), lit(255.0)))
+          .otherwise(lit(0.0)).cast("long"))
+      .withColumn("recon",
+        col("mn") + col("code").cast("double") * (col("mx") - col("mn")) / 255)
+      .withColumn("sqerr",
+        round((col("xd") - col("recon")) * (col("xd") - col("recon")), 9)
+          .cast(d9))
+    // no final round: sum(sqerr) is an exact decimal, its double cast is
+    // correctly rounded in both engines, and ONE IEEE division by the
+    // dim count is deterministic — a 9dp round here would sit exactly on
+    // the .5 boundary whenever sum×10⁹ ≡ count/2 (mod count), where the
+    // engines' round implementations disagree (seen at sf0.1: 5/2000)
+    coded.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("code")).as("sum_code"),
+        (sum(col("sqerr")).cast("double") / count(lit(1))).as("mse"))
+  }
+
+  val embQuantizeInt8Sql: String =
+    """WITH d AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+      |    CAST(unnest(embedding) AS DOUBLE) AS xd
+      |  FROM embeddings),
+      |s AS (SELECT dim, min(xd) AS mn, max(xd) AS mx FROM d GROUP BY dim),
+      |c AS (
+      |  SELECT vec_id, xd, mn, mx,
+      |    CAST(CASE WHEN mx > mn
+      |      THEN least(greatest(round((xd - mn) / (mx - mn) * 255, 0), 0.0), 255.0)
+      |      ELSE 0.0 END AS BIGINT) AS code
+      |  FROM d JOIN s USING (dim)),
+      |r AS (
+      |  SELECT vec_id, code,
+      |    CAST(round((xd - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255))
+      |      * (xd - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255)), 9)
+      |      AS DECIMAL(18,9)) AS sqerr
+      |  FROM c)
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+      |  CAST(sum(code) AS BIGINT) AS sum_code,
+      |  CAST(sum(sqerr) AS DOUBLE) / count(*) AS mse
+      |FROM r GROUP BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_dim_stats" -> (embDimStats _),
+    "emb_quantize_int8" -> (embQuantizeInt8 _),
     "corpus_stats" -> (corpusStats _),
     "q_range_join" -> (qRangeJoin _),
     "evt_percentiles" -> (evtPercentiles _),
@@ -135,6 +204,7 @@ object CorpusStats {
 
   val oracles: Map[String, String] = Map(
     "emb_dim_stats" -> embDimStatsSql,
+    "emb_quantize_int8" -> embQuantizeInt8Sql,
     "corpus_stats" -> corpusStatsSql,
     "q_range_join" -> qRangeJoinSql,
     "evt_percentiles" -> evtPercentilesSql,

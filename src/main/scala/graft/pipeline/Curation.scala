@@ -671,7 +671,64 @@ object Curation {
       |  round(CAST(SUM(lam) AS DOUBLE) / COUNT(*), 6) AS dsir_score
       |FROM t JOIN lam USING (b) GROUP BY doc_id""".stripMargin
 
+  /** Domain OVERSAMPLING — the upward twin of `pipeline_mix`: instead of
+    * cutting every source down to the smallest budget, repeat documents
+    * so every source reaches the LARGEST source's token budget (the
+    * "epochs per domain" lever training mixtures actually turn — small
+    * high-quality domains run multiple epochs while the web crawl runs
+    * one). Each doc repeats `full_epochs = target div total` times, plus
+    * one more iff a decorrelated multiplicative hash lands under the
+    * fractional-epoch threshold — deterministic, repartition-stable, no
+    * RNG, and the expansion is exact in expectation per source. Epochs
+    * cap at 8 (the pinned guard against a pathologically tiny source
+    * exploding the corpus; real mixtures cap around 4-5 epochs before
+    * repetition hurts). Shape: per-source totals fold map-side, the
+    * ≤|sources|-row rate table broadcasts back, and the repeat expansion
+    * is a per-row `sequence` explode — output rows ≈ Σ copies, nothing
+    * shuffles wider than the rate table. */
+  def pipelineOversample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    val totals = d.groupBy(col("source"))
+      .agg(sum(col("toks")).as("total_tokens"))
+    val rates = totals
+      .crossJoin(broadcast(totals.agg(max(col("total_tokens")).as("target_toks"))))
+      .select(col("source"),
+        expr("target_toks div total_tokens").as("full_epochs"),
+        expr("((target_toks % total_tokens) * 1048576) div total_tokens")
+          .as("extra_threshold"))
+    d.join(broadcast(rates), Seq("source"))
+      .withColumn("copies", least(
+        col("full_epochs") +
+          when(pmod(col("doc_id") * 668265263L, lit(1L << 20)) <
+            col("extra_threshold"), 1L).otherwise(0L),
+        lit(8L)))
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(sequence(lit(1L), col("copies"))).as("epoch"))
+  }
+
+  val pipelineOversampleSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+      |  FROM documents),
+      |t AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS total_tokens FROM d GROUP BY 1),
+      |m AS (SELECT MAX(total_tokens) AS target_toks FROM t),
+      |r AS (SELECT source,
+      |        CAST(target_toks // total_tokens AS BIGINT) AS full_epochs,
+      |        CAST(((target_toks % total_tokens) * 1048576) // total_tokens AS BIGINT) AS extra_threshold
+      |      FROM t, m),
+      |c AS (SELECT doc_id, d.source AS source, toks,
+      |        least(full_epochs + CASE WHEN (doc_id * 668265263) % 1048576 < extra_threshold
+      |          THEN 1 ELSE 0 END, 8) AS copies
+      |      FROM d JOIN r USING (source))
+      |SELECT doc_id, source, toks,
+      |  CAST(unnest(generate_series(1, copies)) AS BIGINT) AS epoch
+      |FROM c""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_oversample" -> (pipelineOversample _),
     "pipeline_dsir" -> (pipelineDsir _),
     "pipeline_pack_spans" -> (pipelinePackSpans _),
     "pipeline_reservoir" -> (pipelineReservoir _),
@@ -690,6 +747,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "pipeline_oversample" -> pipelineOversampleSql,
     "pipeline_dsir" -> pipelineDsirSql,
     "pipeline_pack_spans" -> pipelinePackSpansSql,
     "pipeline_reservoir" -> pipelineReservoirSql,

@@ -50,7 +50,11 @@ class PlanAuditSpec extends SparkSpec {
     // must be on the allow-list below, each with a boundedness argument.
     val allowed = Map(
       "pipeline/TextOps.scala" ->
-        "textSearchRank ranks AFTER .limit(20) — 20-row window input"
+        "textSearchRank ranks AFTER .limit(20) — 20-row window input",
+      "pipeline/Ann.scala" ->
+        ("annHybridRrf ranks its two Limit-20 retrieval arms and their " +
+          "full-outer fusion — ≤40-row window inputs, Limit-bounded on " +
+          "every path (the structural sweep also verifies this)")
     )
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala")
