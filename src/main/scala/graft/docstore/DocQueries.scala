@@ -402,7 +402,38 @@ object DocQueries {
       |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 60
       |  AND event_type = 'click'""".stripMargin
 
+  /** Per-document VERSION HISTORY — the audit view of the mutation log
+    * the fold consumes (the reference replays the whole signed log on
+    * recovery, `recover.rs`; the shell's show-doc reads one point of it
+    * — this is the full chain): for each doc key, every mutation in
+    * (block, order) sequence with its version number, the value it
+    * replaced (lag), and whether it is the live head (lead IS NULL).
+    * ONE (key)-partitioned window frame serves row_number + lag + lead
+    * — one shuffle, one sort. A hot doc key serializes its own chain by
+    * definition (versions are sequential); the sessionize-style bucket
+    * split applies if a corpus ever needs it. */
+  def docHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id").as("mutation_id"),
+        col("event_type").as("action"), col("value"),
+        row_number().over(w).cast("long").as("version"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        when(lead(col("event_id"), 1).over(w).isNull, 1L).otherwise(0L)
+          .as("is_live"))
+  }
+
+  val docHistorySql: String =
+    """SELECT user_id, event_id AS mutation_id, event_type AS action, value,
+      |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+      |  LAG(value) OVER w AS prev_value,
+      |  CAST(CASE WHEN LEAD(event_id) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_live
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_history" -> (docHistory _),
     "doc_filter_nested" -> (docFilterNested _),
     "doc_group_agg" -> (docGroupAgg _),
     "doc_array_contains" -> (docArrayContains _),
@@ -429,6 +460,7 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_history" -> docHistorySql,
     "doc_filter_nested" -> docFilterNestedSql,
     "doc_group_agg" -> docGroupAggSql,
     "doc_array_contains" -> docArrayContainsSql,

@@ -313,6 +313,34 @@ object EventQueries {
       |  MIN(ts_us) AS start_us, MAX(ts_us) - MIN(ts_us) AS dur_us
       |FROM s GROUP BY user_id, session_id""".stripMargin
 
+  /** Sliding-window rate-limit audit — the abuse/quota check an event
+    * indexer runs over its write stream (the reference's storage node
+    * gates writes per sender; this is the analytical view of who would
+    * have tripped a per-key quota): for each event, the count of the
+    * same user's events in the trailing hour (RANGE frame over epoch-µs,
+    * so same-microsecond bursts are counted as peers identically in both
+    * engines), emitting only the violations. One shuffle on user_id; the
+    * frame is integer math end to end. A hot user concentrates in one
+    * window task — same hazard class as the direct sessionize, and the
+    * same bucket-summary mitigation applies if a corpus needs it. */
+  def evtRateLimit(spark: SparkSession, dir: String): DataFrame = {
+    val maxPerHour = 2L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3599999999L, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .filter(col("n_1h") > maxPerHour)
+  }
+
+  val evtRateLimitSql: String =
+    """SELECT event_id, user_id, ts_us, n_1h FROM (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
+      |  FROM events) t
+      |WHERE n_1h > 2""".stripMargin
+
   /** Event ⋈ dimension enrichment (broadcast the dim). */
   def evtJoinDims(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -987,6 +1015,7 @@ object EventQueries {
     "evt_approx_topk" -> (evtApproxTopk _),
     "evt_latest_per_key" -> (evtLatestPerKey _),
     "evt_sessionize" -> (evtSessionize _),
+    "evt_rate_limit" -> (evtRateLimit _),
     "evt_sessionize_buckets" -> (evtSessionizeBuckets _),
     "evt_sessionize_auto" -> (evtSessionizeAuto _),
     "evt_join_dims" -> (evtJoinDims _),
@@ -998,6 +1027,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "evt_rolling_dau" -> evtRollingDauSql,
+    "evt_rate_limit" -> evtRateLimitSql,
     "evt_decode_typed_table" -> evtDecodeTypedTableSql,
     "mutation_nonce_replay" -> mutationNonceReplaySql,
     "mutation_verify_sig" -> mutationVerifySigSql,

@@ -551,17 +551,19 @@ object Ann {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_v"))
-    val vecW = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("cand_id").asc)
+    // single-query top-k: TakeOrderedAndProject (per-partition partial
+    // top-20, tiny merge) — a window partitioned on the one query value
+    // would funnel the whole corpus through a single task
     val vec = broadcast(q)
       .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("c_v")),
         col("query_id") =!= col("cand_id"))
       .withColumn("cos",
         graft.functions.GraftFunctions.cosine_sim(col("q_v"), col("c_v")))
-      .withColumn("vec_rank", row_number().over(vecW).cast("long"))
-      .filter(col("vec_rank") <= 20)
-      .select(col("cand_id").as("doc_id"), col("vec_rank"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
       .limit(20)
+      .withColumn("vec_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("cand_id").asc)).cast("long"))
+      .select(col("cand_id").as("doc_id"), col("vec_rank"))
     def rrfTerm(rank: Column): Column =
       when(rank.isNotNull, round(lit(1.0) / (lit(60) + rank), 9))
         .otherwise(lit(0.0)).cast(d9)

@@ -52,7 +52,11 @@ object ScaleSmoke {
     // session-2 additions: the heaviest new TPC-H shape (two-level
     // aggregation over the fact join), the shuffle-free BM25 plan, and
     // the windowed percentile gate
-    "q21_waiting_supplier", "text_search_bm25", "pipeline_quality_percentile")
+    "q21_waiting_supplier", "text_search_bm25", "pipeline_quality_percentile",
+    // round-11 additions: the two-pass int8 quantizer (posexplode ×
+    // corpus × dims twice) and the repeat-expansion mixer (output rows
+    // multiply by the epoch factor)
+    "emb_quantize_int8", "pipeline_oversample")
 
   /** Skew profile (mode=skew): the shapes whose shuffle keys the skewed
     * corpus hammers. The skewed 10× corpus re-maps HALF of all events to
