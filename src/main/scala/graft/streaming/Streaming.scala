@@ -41,6 +41,9 @@ object Streaming {
   case class SessState(lastTsUs: Long, startUs: Long, n: Long, sessionId: Long)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, dur_us: Long)
+  case class RateState(recent: Seq[Long])
+  case class RateViolation(event_id: Long, user_id: Long, ts_us: Long,
+      n_1h: Long)
 
   def readEventStream(spark: SparkSession, dir: String,
       glob: String = "events.parquet", filesPerTrigger: Int = 0): Dataset[Ev] = {
@@ -291,6 +294,62 @@ object Streaming {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(updateSessionsWithTimeout)
+  }
+
+  /** Streaming RATE-LIMIT enforcement — the online twin of the batch
+    * `evt_rate_limit` audit (the per-sender write quota a storage node
+    * gates on, enforced as events arrive instead of analyzed after the
+    * fact): per user, the trailing-hour event count maintained as
+    * flatMapGroupsWithState state, emitting each violation the moment
+    * its event lands. Exactly the batch RANGE-frame semantics: same-µs
+    * events are counted as peers of each other (processed as one group),
+    * earlier events never see later ones. State per key = the trailing
+    * hour's event timestamps — bounded by the key's hourly rate (the
+    * quantity a quota bounds by construction) — and an event-time
+    * timeout drops a key entirely once the watermark passes its last
+    * event + 1h, when no in-horizon event can still look back at it. */
+  def rateLimit(spark: SparkSession, dir: String,
+      maxPerHour: Long = 2L, watermarkDelay: String = "1 hour",
+      glob: String = "events.parquet"): Dataset[RateViolation] = {
+    import spark.implicits._
+    readEventStream(spark, dir, glob).toDF()
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", watermarkDelay)
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateRateLimit(maxPerHour))
+  }
+
+  private val RateWindowUs = 3600L * 1000 * 1000
+
+  private[streaming] def updateRateLimit(maxPerHour: Long)(
+      userId: Long, events: Iterator[EvT],
+      state: GroupState[RateState]): Iterator[RateViolation] = {
+    if (!events.hasNext && state.hasTimedOut) {
+      state.remove(); return Iterator.empty
+    }
+    var recent = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
+    val out = Vector.newBuilder[RateViolation]
+    // same-µs events are RANGE-frame peers: fold them as one group so
+    // each gets the full group's count, like the batch window
+    val byTs = events.toSeq.map(e => (e.ts / 1000L, e.event_id))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    byTs.foreach { case (tsUs, grp) =>
+      recent = recent.dropWhile(_ < tsUs - (RateWindowUs - 1))
+      val n = recent.size + grp.size
+      if (n > maxPerHour)
+        grp.sortBy(_._2).foreach { case (_, eid) =>
+          out += RateViolation(eid, userId, tsUs, n)
+        }
+      recent = recent ++ Vector.fill(grp.size)(tsUs)
+    }
+    byTs.lastOption.foreach { case (lastUs, _) =>
+      val toMs = lastUs / 1000L + RateWindowUs / 1000L
+      if (state.getCurrentWatermarkMs() >= toMs) state.remove()
+      else { state.update(RateState(recent)); state.setTimeoutTimestamp(toMs) }
+    }
+    out.result().iterator
   }
 
   /** How long a flushed key retains its session COUNTER (a closed

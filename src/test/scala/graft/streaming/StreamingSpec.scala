@@ -231,6 +231,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate-limit emits exactly the batch violations") {
+    val q = Streaming.rateLimit(spark, sf).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rate_violations").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rate_violations")
+      val want = graft.events.EventQueries.evtRateLimit(spark, sf)
+      assert(want.count() > 0, "fixture must contain violations")
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+    } finally q.stop()
+  }
+
+  test("streaming rate-limit state stays bounded to the trailing hour") {
+    // model-level: the per-key fold retains only timestamps a future
+    // in-horizon event could still count, and same-µs peers share counts
+    val s = org.apache.spark.sql.streaming.TestGroupState.create[Streaming.RateState](
+      org.apache.spark.api.java.Optional.empty[Streaming.RateState](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+    val evs = Seq(0L, 10L, 3_599_000_000L, 3_600_000_000L, 7_300_000_000L)
+      .zipWithIndex.map { case (us, i) =>
+        Streaming.EvT(i.toLong, us * 1000L, 7L, "click", 0.0, "{}",
+          new java.sql.Timestamp(us / 1000L)) }
+    val out = Streaming.updateRateLimit(2L)(7L, evs.iterator, s).toList
+    // frames: [0,10] n=2; [0,10,3599e6] n=3 VIOLATION; 3600e6 sees
+    // (10, 3599e6, itself) n=3 VIOLATION (0 evicted: 3600e6-3599999999
+    // = 1 > 0); 7300e6 sees only itself
+    assert(out.map(v => (v.ts_us, v.n_1h)) ==
+      List((3_599_000_000L, 3L), (3_600_000_000L, 3L)))
+    assert(s.getOption.get.recent == Seq(7_300_000_000L),
+      "state must retain only the trailing hour of the last event")
+  }
+
   test("foreachBatch ingestion lands the stream in a GraftDB collection") {
     val db = new graft.api.GraftDB(spark,
       java.nio.file.Files.createTempDirectory("graft-ingest").toString)
