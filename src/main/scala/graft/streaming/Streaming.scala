@@ -336,16 +336,27 @@ object Streaming {
     val byTs = events.toSeq.map(e => (e.ts / 1000L, e.event_id))
       .groupBy(_._1).toSeq.sortBy(_._1)
     byTs.foreach { case (tsUs, grp) =>
+      // evict below the frame start — safe for any later frame, which
+      // can only start at or after this one within the key's retained
+      // horizon — and count ONLY the frame [tsUs-1h, tsUs]: a late
+      // event arriving after newer ones must not count its future
+      // (in-order streams never hit the upper bound; under lateness the
+      // verdict matches the batch frame over the events seen so far)
       recent = recent.dropWhile(_ < tsUs - (RateWindowUs - 1))
-      val n = recent.size + grp.size
+      val n = recent.count(_ <= tsUs) + grp.size
       if (n > maxPerHour)
         grp.sortBy(_._2).foreach { case (_, eid) =>
           out += RateViolation(eid, userId, tsUs, n)
         }
-      recent = recent ++ Vector.fill(grp.size)(tsUs)
+      // sorted insert keeps eviction a head-drop even when a batch
+      // interleaves with retained newer state
+      val (lo, hi) = recent.span(_ <= tsUs)
+      recent = lo ++ Vector.fill(grp.size)(tsUs) ++ hi
     }
-    byTs.lastOption.foreach { case (lastUs, _) =>
-      val toMs = lastUs / 1000L + RateWindowUs / 1000L
+    if (byTs.nonEmpty) {
+      // horizon from the NEWEST retained event (a late batch must not
+      // shorten a horizon an earlier batch already established)
+      val toMs = recent.last / 1000L + RateWindowUs / 1000L
       if (state.getCurrentWatermarkMs() >= toMs) state.remove()
       else { state.update(RateState(recent)); state.setTimeoutTimestamp(toMs) }
     }

@@ -265,6 +265,15 @@ class StreamingSpec extends SparkSpec {
       List((3_599_000_000L, 3L), (3_600_000_000L, 3L)))
     assert(s.getOption.get.recent == Seq(7_300_000_000L),
       "state must retain only the trailing hour of the last event")
+    // a LATE batch (older event than retained state, still in horizon)
+    // must not count the retained future in its own trailing frame, and
+    // must keep the state sorted for later evictions
+    val late = Streaming.EvT(99L, 7_000_000_000L * 1000L, 7L, "click", 0.0,
+      "{}", new java.sql.Timestamp(7_000_000L))
+    val out2 = Streaming.updateRateLimit(0L)(7L, Iterator(late), s).toList
+    assert(out2.map(v => (v.ts_us, v.n_1h)) == List((7_000_000_000L, 1L)),
+      "late event counts only events at or before its own ts")
+    assert(s.getOption.get.recent == Seq(7_000_000_000L, 7_300_000_000L))
   }
 
   test("foreachBatch ingestion lands the stream in a GraftDB collection") {
