@@ -310,9 +310,10 @@ object Streaming {
     * event + 1h, when no in-horizon event can still look back at it. */
   def rateLimit(spark: SparkSession, dir: String,
       maxPerHour: Long = 2L, watermarkDelay: String = "1 hour",
-      glob: String = "events.parquet"): Dataset[RateViolation] = {
+      glob: String = "events.parquet",
+      filesPerTrigger: Int = 0): Dataset[RateViolation] = {
     import spark.implicits._
-    readEventStream(spark, dir, glob).toDF()
+    readEventStream(spark, dir, glob, filesPerTrigger).toDF()
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", watermarkDelay)
       .as[EvT]

@@ -246,6 +246,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rate-limit across many micro-batches equals the batch audit") {
+    // time-ordered file slices → one micro-batch each: the watermark
+    // ADVANCES between batches, so event-time timeouts actually fire
+    // mid-stream and dropped keys must still produce every violation
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-rate-mb").toString
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val slices = 8
+    val ev = graft.sources.Tables.eventsRaw(spark, sf)
+    val sliced = ev
+      .withColumn("slice", ntile(slices).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts").asc, col("event_id").asc)))
+    (1 to slices).foreach { i =>
+      val tmp = s"$root/tmp$i"
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, f"events$i%02d.parquet")
+      Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000L * i) // deterministic pickup order
+    }
+    val q = Streaming.rateLimit(spark, srcDir,
+        glob = "events*.parquet", filesPerTrigger = 1).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rate_violations_mb").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rate_violations_mb")
+      val want = graft.events.EventQueries.evtRateLimit(spark, sf)
+      assert(want.count() > 0)
+      assert(got.count() === want.count())
+      assert(got.exceptAll(want).count() === 0)
+      assert(want.exceptAll(got).count() === 0)
+      // the stream really ran many micro-batches
+      assert(q.recentProgress.count(_.numInputRows > 0) >= slices - 1)
+    } finally q.stop()
+  }
+
   test("streaming rate-limit state stays bounded to the trailing hour") {
     // model-level: the per-key fold retains only timestamps a future
     // in-horizon event could still count, and same-µs peers share counts
