@@ -822,6 +822,81 @@ object EventQueries {
       |  a.n_events, a.volume
       |FROM a JOIN o USING (event_type, bar_ts) JOIN c USING (event_type, bar_ts)""".stripMargin
 
+  /** Moving-average CROSSOVER signals (golden/death cross) — the
+    * classic time-series alerting primitive over the event stream,
+    * computed the way it scales: the corpus first collapses to hourly
+    * close bars (ONE groupBy shuffle, `evt_ohlc`'s argmax close on the
+    * (ts, event_id) total order), and the short/long SMAs run as
+    * row-frame windows OVER BARS — window input cardinality is
+    * types × hours, never events, so a 100 TB tick stream still sorts
+    * only its bar table. Cross-engine exactness: closes cast to
+    * DECIMAL(18,2), SMA comparison done by width-controlled decimal
+    * cross-multiplication (s_sum·l_n vs l_sum·s_n — no float division
+    * decides a signal), crossings detected on the sign chain via lag.
+    * The reported MA values are one IEEE division each (deterministic). */
+  def evtSmaCross(spark: SparkSession, dir: String): DataFrame = {
+    val n2 = DecimalType(2, 0)
+    val ord = struct(col("ts"), col("event_id"))
+    val bars = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bar_ts"))
+      .agg(max_by(col("value"), ord).cast(D).as("close"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bar_ts").asc)
+    val ws = w.rowsBetween(-4, 0)
+    val wl = w.rowsBetween(-19, 0)
+    val d = sum(col("close")).over(ws).cast(D) * count(lit(1)).over(wl).cast(n2) -
+      sum(col("close")).over(wl).cast(D) * count(lit(1)).over(ws).cast(n2)
+    val scored = bars
+      .withColumn("s_ma", sum(col("close")).over(ws).cast("double") /
+        count(lit(1)).over(ws))
+      .withColumn("l_ma", sum(col("close")).over(wl).cast("double") /
+        count(lit(1)).over(wl))
+      .withColumn("cmp",
+        when(d > 0, 1L).when(d < 0, -1L).otherwise(0L))
+      .withColumn("prev_cmp", lag(col("cmp"), 1).over(w))
+    scored
+      .filter(col("prev_cmp").isNotNull &&
+        ((col("cmp") === 1L && col("prev_cmp") <= 0L) ||
+          (col("cmp") === -1L && col("prev_cmp") >= 0L)))
+      .select(col("event_type"), col("bar_ts"),
+        col("s_ma").as("short_ma"), col("l_ma").as("long_ma"),
+        when(col("cmp") === 1L, lit("golden")).otherwise(lit("death"))
+          .as("direction"))
+  }
+
+  val evtSmaCrossSql: String =
+    """WITH c AS (
+      |  SELECT event_type, bar_ts, CAST(value AS DECIMAL(18,2)) AS close FROM (
+      |    SELECT event_type, date_trunc('hour', ts) AS bar_ts, value,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) t WHERE rn = 1),
+      |m AS (
+      |  SELECT event_type, bar_ts,
+      |    CAST(SUM(close) OVER ws AS DECIMAL(18,2)) AS s_sum,
+      |    CAST(COUNT(*) OVER ws AS DECIMAL(2,0)) AS s_n,
+      |    CAST(SUM(close) OVER wl AS DECIMAL(18,2)) AS l_sum,
+      |    CAST(COUNT(*) OVER wl AS DECIMAL(2,0)) AS l_n
+      |  FROM c
+      |  WINDOW ws AS (PARTITION BY event_type ORDER BY bar_ts
+      |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+      |         wl AS (PARTITION BY event_type ORDER BY bar_ts
+      |           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+      |x AS (
+      |  SELECT *, CASE WHEN s_sum * l_n - l_sum * s_n > 0 THEN 1
+      |                 WHEN s_sum * l_n - l_sum * s_n < 0 THEN -1
+      |                 ELSE 0 END AS cmp
+      |  FROM m),
+      |y AS (
+      |  SELECT *, LAG(cmp) OVER (PARTITION BY event_type ORDER BY bar_ts) AS prev_cmp
+      |  FROM x)
+      |SELECT event_type, bar_ts,
+      |  CAST(s_sum AS DOUBLE) / CAST(s_n AS BIGINT) AS short_ma,
+      |  CAST(l_sum AS DOUBLE) / CAST(l_n AS BIGINT) AS long_ma,
+      |  CASE WHEN cmp = 1 THEN 'golden' ELSE 'death' END AS direction
+      |FROM y
+      |WHERE prev_cmp IS NOT NULL
+      |  AND ((cmp = 1 AND prev_cmp <= 0) OR (cmp = -1 AND prev_cmp >= 0))""".stripMargin
+
   /** Sliding (hopping) window aggregates: 1-hour windows every 15
     * minutes — each event lands in 4 overlapping windows. Spark's
     * `window(ts, dur, slide)` expands rows to their covering windows
@@ -1016,6 +1091,7 @@ object EventQueries {
     "evt_latest_per_key" -> (evtLatestPerKey _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_rate_limit" -> (evtRateLimit _),
+    "evt_sma_cross" -> (evtSmaCross _),
     "evt_sessionize_buckets" -> (evtSessionizeBuckets _),
     "evt_sessionize_auto" -> (evtSessionizeAuto _),
     "evt_join_dims" -> (evtJoinDims _),
@@ -1028,6 +1104,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "evt_rolling_dau" -> evtRollingDauSql,
     "evt_rate_limit" -> evtRateLimitSql,
+    "evt_sma_cross" -> evtSmaCrossSql,
     "evt_decode_typed_table" -> evtDecodeTypedTableSql,
     "mutation_nonce_replay" -> mutationNonceReplaySql,
     "mutation_verify_sig" -> mutationVerifySigSql,
