@@ -75,4 +75,62 @@ object Layout {
       .repartition(col("day"))
       .sortWithinPartitions(col("ts"))
       .write.mode("overwrite").partitionBy("day").parquet(path)
+
+  case class CompactStats(filesBefore: Long, bytesBefore: Long,
+      filesAfter: Long, bytesAfter: Long)
+
+  /** Small-file COMPACTION — the OPTIMIZE/bin-pack primitive every
+    * long-lived table needs (streaming intake and per-block appends
+    * write many small files; a 100 TB table fragmented into 4 MB files
+    * pays per-file open/footer cost thousands of times per scan and
+    * starves the scheduler with tiny splits). Rewrites `path` so output
+    * files target `targetBytes`: file count = ceil(inputBytes / target)
+    * (input size from the filesystem listing, so compression survives
+    * the estimate), optionally range-sorted on `sortCol` to restore
+    * locality for stats pruning while compacting. The rewrite is
+    * data-first / swap-second: the compacted copy lands in a sibling
+    * tmp dir and replaces the original via two renames, retaining the
+    * original as `.old` until the swap completes — a crash never leaves
+    * a missing table, at worst a stale `.old` sibling to sweep. For a
+    * hive-partitioned layout, compact each partition dir independently
+    * (partition dirs are the compaction unit, like OPTIMIZE WHERE). */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long = 128L * 1024 * 1024,
+      sortCol: Option[String] = None): CompactStats = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listStats(dir: Path): (Long, Long) = {
+      val it = fs.listFiles(dir, true)
+      var files = 0L; var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          files += 1; bytes += f.getLen
+        }
+      }
+      (files, bytes)
+    }
+    val (fb, bb) = listStats(p)
+    val nOut = math.max(1L, (bb + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val packed = sortCol match {
+      case Some(c) => df.repartitionByRange(nOut, col(c))
+        .sortWithinPartitions(col(c))
+      case None => df.repartition(nOut)
+    }
+    val tmp = new Path(p.getParent, p.getName + ".compact.tmp")
+    val old = new Path(p.getParent, p.getName + ".old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    packed.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: cannot retire $p")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back — original untouched
+      throw new java.io.IOException(s"compact: cannot publish $tmp")
+    }
+    fs.delete(old, true)
+    val (fa, ba) = listStats(p)
+    CompactStats(fb, bb, fa, ba)
+  }
 }

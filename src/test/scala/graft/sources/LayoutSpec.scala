@@ -70,4 +70,41 @@ class LayoutSpec extends SparkSpec {
       .groupBy("f").agg(count(lit(1)).as("n")).head()
     assert(seq.getLong(1) > 0)
   }
+
+  test("compactSmallFiles bin-packs fragments, preserves data, survives re-sort") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    val path = s"$root/frag"
+    // fragment: 64 tiny files of a 2k-row table
+    val df = spark.range(2000).select(col("id"),
+      (col("id") % 7).as("k"), md5(col("id").cast("string")).as("payload"))
+    df.repartition(64).write.parquet(path)
+    val before = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before === 64)
+    val want = spark.read.parquet(path).collect().toSet
+
+    val stats = Layout.compactSmallFiles(spark, path,
+      targetBytes = 256L * 1024, sortCol = Some("id"))
+    assert(stats.filesBefore === 64L)
+    assert(stats.filesAfter < stats.filesBefore)
+    // expected pack count from the listed input bytes
+    val expect = math.max(1L, (stats.bytesBefore + 256L * 1024 - 1) / (256L * 1024))
+    assert(stats.filesAfter === expect)
+    // data identical, no tmp/old residue
+    assert(spark.read.parquet(path).collect().toSet === want)
+    assert(!new java.io.File(s"$root/frag.old").exists())
+    assert(!new java.io.File(s"$root/frag.compact.tmp").exists())
+    // the sort column restored locality: per-file id ranges are disjoint
+    val byFile = spark.read.parquet(path)
+      .select(col("id"), org.apache.spark.sql.functions
+        .input_file_name().as("f"))
+      .groupBy(col("f")).agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    byFile.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2,
+        s"file id ranges overlap: $hi1 vs $lo2")
+      case _ =>
+    }
+  }
 }
