@@ -107,8 +107,12 @@ object ScaleSmoke {
       Seq("documents", "embeddings").foreach(t =>
         graft.sources.Tables.load(spark, d, t).foreach(_ => ()))
     }
+    // optional subset (comma-separated shape names) for quick re-runs of
+    // newly added shapes without re-timing the whole lane
+    val shapeList = sys.env.get("SPARK_GRAFT_SMOKE_SHAPES")
+      .map(_.split(",").toSeq).getOrElse(Shapes)
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_WARMDIR", "/root/testdata/sf0.01")
-    Shapes.foreach { n =>
+    shapeList.foreach { n =>
       try graft.SparkEntry.queries(n)(spark, warmDir).count()
       catch { case NonFatal(_) => }
     }
@@ -132,7 +136,7 @@ object ScaleSmoke {
     // itself scale (bounded-sample training, linear assignment).
     println(f"%nshape                     cold sf0.1->${copies}x (ratio)    warm sf0.1->${copies}x   exch  verdict")
     var failures = 0
-    Shapes.foreach { name =>
+    shapeList.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def time(dir: String): (Double, Double) = {
         val ts = (1 to passes).map { _ =>
