@@ -90,10 +90,13 @@ object Layout {
     * locality for stats pruning while compacting. The rewrite is
     * data-first / swap-second: the compacted copy lands in a sibling
     * tmp dir and replaces the original via two renames, retaining the
-    * original as `.old` until the swap completes — a crash never leaves
-    * a missing table, at worst a stale `.old` sibling to sweep. For a
-    * hive-partitioned layout, compact each partition dir independently
-    * (partition dirs are the compaction unit, like OPTIMIZE WHERE). */
+    * original as `.old` until the swap completes — the data always
+    * exists under `path` or `.old`, and the next call (or any crash)
+    * SELF-HEALS: it restores a `.old` left by a crash between the two
+    * renames before doing anything else, and only sweeps `.old` when
+    * `path` itself is present. For a hive-partitioned layout, compact
+    * each partition dir independently (partition dirs are the
+    * compaction unit, like OPTIMIZE WHERE). */
   def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytes: Long = 128L * 1024 * 1024,
       sortCol: Option[String] = None): CompactStats = {
@@ -111,6 +114,18 @@ object Layout {
       }
       (files, bytes)
     }
+    val tmp = new Path(p.getParent, p.getName + ".compact.tmp")
+    val old = new Path(p.getParent, p.getName + ".old")
+    // self-heal a crash between the two renames of a previous run: the
+    // retired original is the only copy — restore it before anything
+    if (!fs.exists(p) && fs.exists(old)) {
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(s"compact: cannot restore $old")
+    }
+    fs.delete(tmp, true)
+    // sweep a stale .old only when the table itself is present (a
+    // completed swap that crashed before its cleanup)
+    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
     val (fb, bb) = listStats(p)
     val nOut = math.max(1L, (bb + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(path)
@@ -119,9 +134,6 @@ object Layout {
         .sortWithinPartitions(col(c))
       case None => df.repartition(nOut)
     }
-    val tmp = new Path(p.getParent, p.getName + ".compact.tmp")
-    val old = new Path(p.getParent, p.getName + ".old")
-    fs.delete(tmp, true); fs.delete(old, true)
     packed.write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(p, old))
       throw new java.io.IOException(s"compact: cannot retire $p")

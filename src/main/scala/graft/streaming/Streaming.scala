@@ -332,32 +332,40 @@ object Streaming {
     }
     var recent = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
     val out = Vector.newBuilder[RateViolation]
+    // eviction is WATERMARK-relative, never current-event-relative: a
+    // later micro-batch can still deliver an OLDER (above-watermark)
+    // event whose frame reaches back before this batch's events, so
+    // dropping below the current frame start would lose its peers. A
+    // surviving event has ets ms ≥ watermark, hence ts ≥ wm·1000, hence
+    // frame start ≥ wm·1000 − (1h−1): everything below that is dead.
+    val wmFloor = state.getCurrentWatermarkMs() * 1000L - (RateWindowUs - 1)
+    recent = recent.dropWhile(_ < wmFloor)
     // same-µs events are RANGE-frame peers: fold them as one group so
     // each gets the full group's count, like the batch window
     val byTs = events.toSeq.map(e => (e.ts / 1000L, e.event_id))
       .groupBy(_._1).toSeq.sortBy(_._1)
     byTs.foreach { case (tsUs, grp) =>
-      // evict below the frame start — safe for any later frame, which
-      // can only start at or after this one within the key's retained
-      // horizon — and count ONLY the frame [tsUs-1h, tsUs]: a late
-      // event arriving after newer ones must not count its future
-      // (in-order streams never hit the upper bound; under lateness the
-      // verdict matches the batch frame over the events seen so far)
-      recent = recent.dropWhile(_ < tsUs - (RateWindowUs - 1))
-      val n = recent.count(_ <= tsUs) + grp.size
+      // count ONLY the frame [tsUs-1h, tsUs]: a late event arriving
+      // after newer ones must not count its future (in-order streams
+      // never hit the upper bound; under lateness the verdict matches
+      // the batch frame over the events seen so far)
+      val lo = tsUs - (RateWindowUs - 1)
+      val n = recent.count(t => t >= lo && t <= tsUs) + grp.size
       if (n > maxPerHour)
         grp.sortBy(_._2).foreach { case (_, eid) =>
           out += RateViolation(eid, userId, tsUs, n)
         }
-      // sorted insert keeps eviction a head-drop even when a batch
-      // interleaves with retained newer state
-      val (lo, hi) = recent.span(_ <= tsUs)
-      recent = lo ++ Vector.fill(grp.size)(tsUs) ++ hi
+      // sorted insert keeps the vector ordered for the head-drop above
+      val (before, after) = recent.span(_ <= tsUs)
+      recent = before ++ Vector.fill(grp.size)(tsUs) ++ after
     }
     if (byTs.nonEmpty) {
-      // horizon from the NEWEST retained event (a late batch must not
-      // shorten a horizon an earlier batch already established)
-      val toMs = recent.last / 1000L + RateWindowUs / 1000L
+      // retention horizon from the NEWEST retained event: T is needed
+      // while some surviving event (ets ms ≥ watermark W, so ts ≥
+      // W·1000) can frame it — possible iff W ≤ (T + 1h − 1) / 1000.
+      // Strictly past that (ceil + 1) the state is dead; the inequality
+      // is exact, so no ms-truncation window survives at equality.
+      val toMs = (recent.last + RateWindowUs - 1) / 1000L + 1L
       if (state.getCurrentWatermarkMs() >= toMs) state.remove()
       else { state.update(RateState(recent)); state.setTimeoutTimestamp(toMs) }
     }

@@ -110,7 +110,11 @@ object ScaleSmoke {
     // optional subset (comma-separated shape names) for quick re-runs of
     // newly added shapes without re-timing the whole lane
     val shapeList = sys.env.get("SPARK_GRAFT_SMOKE_SHAPES")
-      .map(_.split(",").toSeq).getOrElse(Shapes)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Shapes)
+    val unknown = shapeList.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_SMOKE_SHAPES names unknown queries: ${unknown.mkString(", ")}")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_WARMDIR", "/root/testdata/sf0.01")
     shapeList.foreach { n =>
       try graft.SparkEntry.queries(n)(spark, warmDir).count()

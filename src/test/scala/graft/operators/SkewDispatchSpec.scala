@@ -101,6 +101,22 @@ class SkewDispatchSpec extends SparkSpec {
     SkewDispatch.clearStatsCache()
     }
 
+  test("stats memo: two corpora with the same schema get distinct entries") {
+    // the canonicalized plan string carries NO source path (Relation
+    // [cols] parquet), so the key must add the leaves' root paths — a
+    // collision would hand a skewed corpus the uniform histogram
+    SkewDispatch.clearStatsCache()
+    val a = SkewDispatch.hottestKeyCached(
+      Tables.events(spark, "/root/testdata/sf0.001"), col("user_id"))
+    val b = SkewDispatch.hottestKeyCached(
+      Tables.events(spark, "/root/testdata/sf0.01"), col("user_id"))
+    assert(a._3 !== b._3,
+      "different corpora must not share a memo entry (totals differ)")
+    assert(b === SkewDispatch.hottestKey(
+      Tables.events(spark, "/root/testdata/sf0.01"), col("user_id")))
+    SkewDispatch.clearStatsCache()
+  }
+
   test("asOfAuto picks direct on uniform, bucketed past both cuts, equal results") {
     val ord = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"), col("o_orderdate"))

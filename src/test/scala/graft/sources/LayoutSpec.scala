@@ -106,5 +106,15 @@ class LayoutSpec extends SparkSpec {
         s"file id ranges overlap: $hi1 vs $lo2")
       case _ =>
     }
+
+    // crash window between the two renames: path gone, .old holds the
+    // only copy — the next call must restore it before compacting
+    new java.io.File(path).renameTo(new java.io.File(s"$root/frag.old"))
+    assert(!new java.io.File(path).exists())
+    val stats2 = Layout.compactSmallFiles(spark, path,
+      targetBytes = 256L * 1024, sortCol = Some("id"))
+    assert(spark.read.parquet(path).collect().toSet === want)
+    assert(!new java.io.File(s"$root/frag.old").exists())
+    assert(stats2.filesAfter === expect)
   }
 }

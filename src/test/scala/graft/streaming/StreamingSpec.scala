@@ -286,34 +286,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming rate-limit state stays bounded to the trailing hour") {
-    // model-level: the per-key fold retains only timestamps a future
-    // in-horizon event could still count, and same-µs peers share counts
-    val s = org.apache.spark.sql.streaming.TestGroupState.create[Streaming.RateState](
-      org.apache.spark.api.java.Optional.empty[Streaming.RateState](),
-      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
-      0L, org.apache.spark.api.java.Optional.of(0L), hasTimedOut = false)
+  test("streaming rate-limit model: frames, lateness, watermark retention") {
+    def mkState(prior: Option[Streaming.RateState], wmMs: Long) =
+      org.apache.spark.sql.streaming.TestGroupState.create[Streaming.RateState](
+        prior.map(org.apache.spark.api.java.Optional.of[Streaming.RateState])
+          .getOrElse(org.apache.spark.api.java.Optional.empty[Streaming.RateState]()),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+        0L, org.apache.spark.api.java.Optional.of(wmMs), hasTimedOut = false)
+    def ev(id: Long, us: Long) = Streaming.EvT(id, us * 1000L, 7L, "click",
+      0.0, "{}", new java.sql.Timestamp(us / 1000L))
+
+    // watermark 0: frames count exactly, and NOTHING is evictable — a
+    // later batch may still deliver an older event whose frame reaches
+    // back to any retained timestamp
+    val s = mkState(None, 0L)
     val evs = Seq(0L, 10L, 3_599_000_000L, 3_600_000_000L, 7_300_000_000L)
-      .zipWithIndex.map { case (us, i) =>
-        Streaming.EvT(i.toLong, us * 1000L, 7L, "click", 0.0, "{}",
-          new java.sql.Timestamp(us / 1000L)) }
+      .zipWithIndex.map { case (us, i) => ev(i.toLong, us) }
     val out = Streaming.updateRateLimit(2L)(7L, evs.iterator, s).toList
-    // frames: [0,10] n=2; [0,10,3599e6] n=3 VIOLATION; 3600e6 sees
-    // (10, 3599e6, itself) n=3 VIOLATION (0 evicted: 3600e6-3599999999
-    // = 1 > 0); 7300e6 sees only itself
+    // frames: [0,10] n=2; [0,10,3599e6] n=3 VIOLATION; 3600e6 frames
+    // (10, 3599e6, itself) n=3 VIOLATION (0 outside: 3600e6-3599999999
+    // = 1 > 0); 7300e6 frames only itself
     assert(out.map(v => (v.ts_us, v.n_1h)) ==
       List((3_599_000_000L, 3L), (3_600_000_000L, 3L)))
-    assert(s.getOption.get.recent == Seq(7_300_000_000L),
-      "state must retain only the trailing hour of the last event")
+    assert(s.getOption.get.recent ==
+      Seq(0L, 10L, 3_599_000_000L, 3_600_000_000L, 7_300_000_000L))
+
     // a LATE batch (older event than retained state, still in horizon)
-    // must not count the retained future in its own trailing frame, and
-    // must keep the state sorted for later evictions
-    val late = Streaming.EvT(99L, 7_000_000_000L * 1000L, 7L, "click", 0.0,
-      "{}", new java.sql.Timestamp(7_000_000L))
-    val out2 = Streaming.updateRateLimit(0L)(7L, Iterator(late), s).toList
-    assert(out2.map(v => (v.ts_us, v.n_1h)) == List((7_000_000_000L, 1L)),
-      "late event counts only events at or before its own ts")
-    assert(s.getOption.get.recent == Seq(7_000_000_000L, 7_300_000_000L))
+    // must not count the retained future in its own trailing frame
+    val out2 = Streaming.updateRateLimit(9L)(7L, Iterator(ev(99L, 7_000_000_000L)), s).toList
+    assert(out2.isEmpty)
+    val out2b = Streaming.updateRateLimit(2L)(7L,
+      Iterator(ev(100L, 7_000_000_001L)), s).toList
+    // frame [3400000002, 7000000001]: 3599e6, 3600e6, 7e9, itself = 4
+    assert(out2b.map(v => (v.ts_us, v.n_1h)) == List((7_000_000_001L, 4L)))
+
+    // an advanced watermark evicts exactly the dead prefix: with wm =
+    // 7300000 ms, ts < 7.3e9 − (1h−1) = 3700000001 µs can no longer be
+    // framed by any survivable event — 0 and 10 go, 3599e6+ stay
+    val s2 = mkState(s.getOption, 7_300_000L)
+    val out3 = Streaming.updateRateLimit(9L)(7L, Iterator(ev(101L, 7_400_000_000L)), s2).toList
+    assert(out3.isEmpty)
+    assert(s2.getOption.get.recent ==
+      Seq(7_000_000_000L, 7_000_000_001L, 7_300_000_000L, 7_400_000_000L))
+    // retention horizon is exact at the ms boundary: T_max = 7.4e9 →
+    // dead strictly past floor((T+1h−1)/1000) = 10999999 ms, so the
+    // timeout lands at 11000000 ms — never one ms early
+    assert(s2.getTimeoutTimestampMs.get() === 11_000_000L)
   }
 
   test("foreachBatch ingestion lands the stream in a GraftDB collection") {
