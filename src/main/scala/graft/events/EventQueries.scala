@@ -260,7 +260,8 @@ object EventQueries {
     * and the caller shouldn't have to choose. */
   def evtSessionizeAuto(spark: SparkSession, dir: String): DataFrame =
     if (graft.operators.SkewDispatch.decide(
-        Tables.events(spark, dir), col("user_id")))
+        Tables.events(spark, dir), col("user_id"),
+        minHotRows = graft.operators.SkewDispatch.SessionizeMinHotRows))
       evtSessionizeBuckets(spark, dir)
     else evtSessionize(spark, dir)
 

@@ -106,8 +106,20 @@ object SkewDispatch {
 
   /** A single-task sort below this many rows still beats the bucketed
     * machinery's premium; only a hot key PAST the floor is a straggler
-    * worth mitigating. */
+    * worth mitigating. The floor is PER-OPERATOR because it prices the
+    * specific twin's premium against the specific direct form's
+    * straggler: measured on the 10× hot-user corpus (50% skew, 500k-row
+    * hot key), the as-of DIRECT form still wins at 500k (1.28 s vs the
+    * bucketed 1.44 s — its union-window machinery is the heavier twin),
+    * while the bucketed SESSIONIZE already wins there (0.83 s vs direct
+    * 1.15 s — its premium is ~2× of a cheap op, so its breakeven sits
+    * far lower). */
   val DefaultMinHotRows: Long = 4000000L
+
+  /** Sessionize's lower breakeven (see above): bucketed wins at the
+    * 500k-row hot key the skew lane plants; half that keeps the
+    * MG-estimated count (±n/257) safely off the knife edge. */
+  val SessionizeMinHotRows: Long = 250000L
 
   /** The two-condition rule above. */
   def isSkewed(df: DataFrame, share: Double, hotCount: Long,
