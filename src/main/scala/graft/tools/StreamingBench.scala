@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *    end plus the rollup count;
   *  - sessionize: the same stream through sessionizeWithTimeout,
   *    events/sec plus the state store's rows and bytes at the final
-  *    watermark (the metric that decides whether state stays bounded).
+  *    watermark (the metric that decides whether state stays bounded);
+  *  - ratelimit: the stream through the online quota twin, events/sec
+  *    plus its trailing-hour state footprint and emitted violations.
   *
   * Run: sbt "runMain graft.tools.StreamingBench [baseDir] [copies]"
   */
@@ -98,6 +100,31 @@ object StreamingBench {
       sessEps = total / ((System.nanoTime() - t0) / 1e9)
     } catch { case NonFatal(e) => errors += s"sessionize: ${e.getMessage}" }
 
+    var rateEps = -1.0
+    var rateStateRows = -1L
+    var rateStateBytes = -1L
+    var rateViolations = -1L
+    try {
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Streaming
+        .rateLimit(spark, srcDir, glob = "events*.parquet", filesPerTrigger = 1)
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("bench_rate")
+        .option("checkpointLocation", s"$root/cp_rate")
+        .start()
+      try {
+        q.processAllAvailable()
+        val so = q.lastProgress.stateOperators
+        if (so.nonEmpty) {
+          rateStateRows = so.map(_.numRowsTotal).sum
+          rateStateBytes = so.map(_.memoryUsedBytes).sum
+        }
+      } finally q.stop()
+      rateEps = total / ((System.nanoTime() - t0) / 1e9)
+      rateViolations = spark.table("bench_rate").count()
+    } catch { case NonFatal(e) => errors += s"ratelimit: ${e.getMessage}" }
+
     spark.stop()
 
     val out = Paths.get("bench_streaming.json")
@@ -112,7 +139,8 @@ object StreamingBench {
     // same rule the uniform bench applies to per-query time)
     val flags = Seq(
       "ingest_events_per_sec" -> ingestEps,
-      "sessionize_events_per_sec" -> sessEps).collect {
+      "sessionize_events_per_sec" -> sessEps,
+      "ratelimit_events_per_sec" -> rateEps).collect {
       case (n, v) if v > 0 && prev.get(n).exists(p => p > 0 && p / v > 2.0) => n
     } ++ errors.map(_.takeWhile(_ != ':'))
     def prevStr(n: String): String =
@@ -124,7 +152,10 @@ object StreamingBench {
       s""""ingest_events_per_sec":${r1(ingestEps)}${prevStr("ingest_events_per_sec")},""" +
       s""""ingest_rollups":$rollups,""" +
       s""""sessionize_events_per_sec":${r1(sessEps)}${prevStr("sessionize_events_per_sec")},""" +
-      s""""sessionize_state_rows":$stateRows,"sessionize_state_bytes":$stateBytes}"""
+      s""""sessionize_state_rows":$stateRows,"sessionize_state_bytes":$stateBytes,""" +
+      s""""ratelimit_events_per_sec":${r1(rateEps)}${prevStr("ratelimit_events_per_sec")},""" +
+      s""""ratelimit_state_rows":$rateStateRows,"ratelimit_state_bytes":$rateStateBytes,""" +
+      s""""ratelimit_violations":$rateViolations}"""
     Files.write(out, (json + "\n").getBytes("UTF-8"))
     println(json)
     println(s"[streaming-bench] wrote ${out.toAbsolutePath}")
