@@ -739,10 +739,18 @@ class GraftDB(spark: SparkSession, root: String,
     failpoint("rollup:afterGc")
     val parents = scala.collection.mutable.LinkedHashSet[java.nio.file.Path]()
     tailFiles.foreach { f =>
-      // inputFile strings are Hadoop Path renderings, NOT URI-encoded:
-      // java.net.URI would throw on a space or other reserved char and
-      // abort the GC after its GcRecord was already appended
-      val fp = Paths.get(new org.apache.hadoop.fs.Path(f).toUri.getPath)
+      // input_file_name() strings are percent-encoded file: URIs (a
+      // root with a space arrives as file:///a%20b/...), so they must
+      // go through java.net.URI to decode; the Hadoop-Path roundtrip
+      // would leave a literal "%20" and silently never delete the tail.
+      // Fall back to the raw Path rendering only if URI parsing rejects
+      // the string, so a malformed name can't abort the sweep after the
+      // GcRecord was appended.
+      val fp =
+        try Paths.get(new java.net.URI(f))
+        catch { case _: Exception =>
+          Paths.get(new org.apache.hadoop.fs.Path(f).toUri.getPath)
+        }
       Files.deleteIfExists(fp)
       Files.deleteIfExists(fp.resolveSibling("." + fp.getFileName + ".crc"))
       parents += fp.getParent

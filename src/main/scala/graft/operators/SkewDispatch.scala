@@ -125,7 +125,10 @@ object SkewDispatch {
   def isSkewed(df: DataFrame, share: Double, hotCount: Long,
       skewFactor: Double = 4.0,
       minHotRows: Long = DefaultMinHotRows): Boolean = {
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // "auto" is a legal value on some AQE configs — degrade, don't throw
+    val p = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    ).getOrElse(200)
     share >= skewFactor / p.max(1) && hotCount >= minHotRows
   }
 

@@ -96,7 +96,18 @@ object Layout {
     * renames before doing anything else, and only sweeps `.old` when
     * `path` itself is present. For a hive-partitioned layout, compact
     * each partition dir independently (partition dirs are the
-    * compaction unit, like OPTIMIZE WHERE). */
+    * compaction unit, like OPTIMIZE WHERE).
+    *
+    * CONCURRENCY CONTRACT: the caller must quiesce WRITERS on `path`
+    * for the duration of the call (readers are fine — the table is
+    * always complete under `path` or `.old`). GraftDB-owned dirs go
+    * through `GraftDB.compactRollups`, which holds the collection
+    * lock. As defense-in-depth against a writer that appends anyway,
+    * the input listing is recorded in a `_compact_inputs` manifest that
+    * travels with `.old`, and every `.old` sweep (normal or self-heal)
+    * first RESCUES any parquet file not in that manifest — a
+    * concurrently-appended file is moved back into `path`, never
+    * deleted. */
   def compactSmallFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytes: Long = 128L * 1024 * 1024,
       sortCol: Option[String] = None): CompactStats = {
@@ -114,6 +125,36 @@ object Layout {
       }
       (files, bytes)
     }
+    def listRel(dir: Path): Seq[String] = {
+      val base = fs.makeQualified(dir).toString
+      val it = fs.listFiles(dir, true)
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          out += f.getPath.toString.stripPrefix(base).stripPrefix("/")
+      }
+      out.toSeq
+    }
+    val inputsName = "_compact_inputs"
+    // Move any parquet under `retired` that is NOT in its recorded input
+    // manifest back into `live` — it was appended by a concurrent writer
+    // after our listing and must survive the sweep.
+    def rescueStrays(retired: Path, live: Path): Unit = {
+      val manifest = new Path(retired, inputsName)
+      if (!fs.exists(manifest)) return
+      val known: Set[String] = {
+        val in = fs.open(manifest)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+        finally in.close()
+      }
+      listRel(retired).filterNot(known).foreach { rel =>
+        val dst = new Path(live, rel)
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(new Path(retired, rel), dst))
+          throw new java.io.IOException(s"compact: cannot rescue $rel")
+      }
+    }
     val tmp = new Path(p.getParent, p.getName + ".compact.tmp")
     val old = new Path(p.getParent, p.getName + ".old")
     // self-heal a crash between the two renames of a previous run: the
@@ -124,23 +165,43 @@ object Layout {
     }
     fs.delete(tmp, true)
     // sweep a stale .old only when the table itself is present (a
-    // completed swap that crashed before its cleanup)
-    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
+    // completed swap that crashed before its cleanup) — rescuing
+    // concurrent appends first
+    if (fs.exists(p) && fs.exists(old)) { rescueStrays(old, p); fs.delete(old, true) }
+    fs.delete(new Path(p, inputsName), false) // stale manifest from a crash
     val (fb, bb) = listStats(p)
     val nOut = math.max(1L, (bb + targetBytes - 1) / targetBytes).toInt
-    val df = spark.read.parquet(path)
+    // One listing is BOTH the recorded manifest and the exact file set
+    // Spark reads — a file appended between any two listings can be
+    // neither silently compacted-and-rescued (duplicate) nor
+    // manifested-but-unread (loss).
+    val inputs = listRel(p)
+    if (inputs.isEmpty) return CompactStats(fb, bb, fb, bb)
+    val qualBase = fs.makeQualified(p).toString
+    val df = spark.read.option("basePath", path)
+      .parquet(inputs.map(rel => s"$qualBase/$rel"): _*)
     val packed = sortCol match {
       case Some(c) => df.repartitionByRange(nOut, col(c))
         .sortWithinPartitions(col(c))
       case None => df.repartition(nOut)
     }
     packed.write.mode("overwrite").parquet(tmp.toString)
+    // record the compacted input set; the manifest rides along into
+    // `.old` so any sweep (here or a later self-heal) can tell strays
+    // (concurrent appends) from compacted originals
+    locally {
+      val outS = fs.create(new Path(p, inputsName), true)
+      try outS.write(inputs.mkString("\n").getBytes("UTF-8"))
+      finally outS.close()
+    }
     if (!fs.rename(p, old))
       throw new java.io.IOException(s"compact: cannot retire $p")
     if (!fs.rename(tmp, p)) {
       fs.rename(old, p) // roll back — original untouched
+      fs.delete(new Path(p, inputsName), false)
       throw new java.io.IOException(s"compact: cannot publish $tmp")
     }
+    rescueStrays(old, p)
     fs.delete(old, true)
     val (fa, ba) = listStats(p)
     CompactStats(fb, bb, fa, ba)

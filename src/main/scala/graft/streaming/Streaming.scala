@@ -307,7 +307,20 @@ object Streaming {
     * hour's event timestamps — bounded by the key's hourly rate (the
     * quantity a quota bounds by construction) — and an event-time
     * timeout drops a key entirely once the watermark passes its last
-    * event + 1h, when no in-horizon event can still look back at it. */
+    * event + 1h, when no in-horizon event can still look back at it.
+    *
+    * COMPLETENESS CONTRACT: each event's verdict is final at arrival,
+    * computed over the events SEEN SO FAR (append mode cannot retract
+    * or re-emit). Under IN-ORDER delivery per key this equals the batch
+    * `evt_rate_limit` audit exactly. Under OUT-OF-ORDER delivery it can
+    * be a strict SUBSET of the batch audit: an event emitted as
+    * compliant whose trailing-hour count only crosses `maxPerHour` when
+    * a later micro-batch delivers an OLDER (still above-watermark) peer
+    * is never retro-emitted. Verdicts that ARE emitted are never false
+    * positives — a late peer can only raise counts, and an event never
+    * counts peers newer than itself. Run the batch audit for the
+    * after-the-fact exact set; this stream is the low-latency gate. The
+    * missed-violation case is pinned in StreamingSpec's model test. */
   def rateLimit(spark: SparkSession, dir: String,
       maxPerHour: Long = 2L, watermarkDelay: String = "1 hour",
       glob: String = "events.parquet",

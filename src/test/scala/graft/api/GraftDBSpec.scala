@@ -426,6 +426,28 @@ class GraftDBSpec extends SparkSpec {
     assert(db.collection("d1", "c").df.count() === 50)
   }
 
+  test("rollup GC deletes tail files under a root with a space (percent-encoded input_file_name)") {
+    // input_file_name() returns percent-encoded file: URIs; a decode bug
+    // here makes GC silently no-op and the tail grow unboundedly.
+    val dir = Files.createTempDirectory("graft db spc").toString
+    val db = new GraftDB(spark, dir)
+    db.createCollection("d1", "c")
+    db.addDocuments("d1", "c", (1 to 20).map(i => s"""{"n":$i}"""))
+    val mutDir = java.nio.file.Paths.get(dir, "d1", "c", "mutations")
+    def tailParquets(): Seq[java.nio.file.Path] = {
+      val st = java.nio.file.Files.walk(mutDir)
+      try st.filter(p => p.toString.endsWith(".parquet")).toArray
+        .map(_.asInstanceOf[java.nio.file.Path]).toSeq
+      finally st.close()
+    }
+    assert(tailParquets().nonEmpty)
+    db.rollup("d1", "c")
+    assert(tailParquets().isEmpty,
+      "GC left tail parquet files behind — percent-decoding regressed")
+    // and the fold still reads back exactly from rollups
+    assert(db.recover("d1", "c").df.count() === 20)
+  }
+
   test("size-bounded rollup cuts multiple batches; manifest matches dirs; recovery exact") {
     val db = freshDb()
     db.createCollection("d1", "c")

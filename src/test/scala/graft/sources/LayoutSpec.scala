@@ -117,4 +117,46 @@ class LayoutSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/frag.old").exists())
     assert(stats2.filesAfter === expect)
   }
+
+  test("compactSmallFiles rescues a concurrently-appended file instead of deleting it") {
+    // The contract requires quiesced writers, but a violator must lose
+    // no committed rows: a file appended AFTER the input listing is
+    // absent from the _compact_inputs manifest, so the .old sweep moves
+    // it back into the table instead of deleting it.
+    val root = Files.createTempDirectory("graft-compact-stray").toString
+    val path = s"$root/t"
+    // construct the crashed-after-swap state by hand: `t` holds the
+    // compacted copy, `t.old` holds the retired inputs PLUS a stray
+    // parquet a concurrent writer appended after the input listing
+    // (so it is absent from _compact_inputs)
+    spark.range(100).select(col("id")).coalesce(1).write.parquet(path)
+    val want = spark.read.parquet(path).collect().toSet
+    spark.range(100).select(col("id")).coalesce(1)
+      .write.parquet(s"$root/t.old") // superseded originals
+    spark.range(100, 110).select(col("id"))
+      .coalesce(1).write.parquet(s"$root/stray_src")
+    val oldDir = new java.io.File(s"$root/t.old")
+    val listed = oldDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(_.getName)
+    val strayFile = new java.io.File(s"$root/stray_src").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val strayName = "stray-" + strayFile.getName
+    java.nio.file.Files.copy(strayFile.toPath,
+      java.nio.file.Paths.get(s"$root/t.old", strayName))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/t.old", "_compact_inputs"),
+      listed.mkString("\n").getBytes("UTF-8"))
+
+    // the sweep must rescue the stray into `t` (not delete it), drop
+    // the manifest-listed originals, and compact the union
+    val stats = Layout.compactSmallFiles(spark, path, targetBytes = 1L << 20)
+    val after = spark.read.parquet(path).collect().toSet
+    assert(after === want ++ (100L until 110L).map(org.apache.spark.sql.Row(_)))
+    // exactly 110 rows: the manifest-listed originals were NOT rescued
+    // back (that would duplicate every row of `want`)
+    assert(spark.read.parquet(path).count() === 110L)
+    assert(stats.filesAfter >= 1)
+    assert(!new java.io.File(s"$root/t.old").exists())
+    assert(!new java.io.File(s"$path/_compact_inputs").exists())
+  }
 }

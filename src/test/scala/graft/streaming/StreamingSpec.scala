@@ -332,6 +332,28 @@ class StreamingSpec extends SparkSpec {
     // dead strictly past floor((T+1h−1)/1000) = 10999999 ms, so the
     // timeout lands at 11000000 ms — never one ms early
     assert(s2.getTimeoutTimestampMs.get() === 11_000_000L)
+
+    // COMPLETENESS CONTRACT pin (scaladoc: out-of-order arrival can
+    // UNDER-emit vs the batch audit; append mode cannot retract): with
+    // maxPerHour=2, events at t=1e9 and t=2e9 arrive first and are
+    // compliant (counts 1, 2); a LATE peer at t=5e8 then lands. The
+    // batch audit over all three would flag t=2e9 (frame count 3), but
+    // streaming already finalized it — the late event itself frames
+    // only [t-1h, 5e8] = count 1, so NOTHING is emitted. This is the
+    // known, documented divergence — if this assertion starts failing
+    // because violations appear, the append-mode semantics changed.
+    val s3 = mkState(None, 0L)
+    val first = Streaming.updateRateLimit(2L)(7L,
+      Iterator(ev(1L, 1_000_000_000L), ev(2L, 2_000_000_000L)), s3).toList
+    assert(first.isEmpty)
+    val late = Streaming.updateRateLimit(2L)(7L,
+      Iterator(ev(3L, 500_000_000L)), s3).toList
+    assert(late.isEmpty, "late peer must not retro-emit or self-flag")
+    // the state DID absorb the late peer: the next in-horizon event
+    // sees all three in its frame and violates with n=4
+    val next = Streaming.updateRateLimit(2L)(7L,
+      Iterator(ev(4L, 2_100_000_000L)), s3).toList
+    assert(next.map(v => (v.ts_us, v.n_1h)) == List((2_100_000_000L, 4L)))
   }
 
   test("foreachBatch ingestion lands the stream in a GraftDB collection") {
