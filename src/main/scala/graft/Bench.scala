@@ -9,17 +9,22 @@ import scala.util.control.NonFatal
   * printed, unprefixed (build.sbt sets `run / outputStrategy :=
   * StdoutOutput` so sbt does not wrap it in `[info] `).
   *
-  * Each query runs SPARK_GRAFT_BENCH_PASSES times (default 5) and the
-  * headline number is the per-query MEDIAN: single-pass timings on a
-  * shared local[32] box whipsawed 10× between same-code runs (r3/r4
-  * verdicts), so one noisy pass must never masquerade as a plan
-  * regression. The full per-pass record (plus per-query min–max spread,
-  * a normalized physical-plan hash, and round-over-round regression
-  * flags vs the previous committed bench_out.json) is persisted to
-  * bench_out.json next to the repo (stdout keeps only the medians — the
-  * driver tails it to 2000 chars). A query whose median moved >2× is
-  * auto-explained: "plan" says whether its normalized plan hash changed
-  * since the previous record or the move is pure box jitter.
+  * Each query runs SPARK_GRAFT_BENCH_PASSES times (default 5); a fixed
+  * calibration workload is timed once per pass and each pass's query
+  * times are scaled by (median cal / that pass's cal) BEFORE the
+  * per-query median — a contended pass inflates both sides, so the
+  * contention cancels per-pass instead of poisoning the median (r11's
+  * false keep_list flag: raw median 4.55 s, adjusted 2.16 s ≈ the
+  * quiet-box time). The headline "queries" series is the adjusted
+  * median; "queries_raw" keeps plain wall medians. Regression flags
+  * compare adjusted-median/drift vs the previous committed
+  * bench_out.json — same sf AND same cpu count only — and a SLOWDOWN
+  * additionally requires the normalized min-of-passes >1.5× prev (a
+  * real plan regression slows every pass; contention leaves a clean
+  * one). Plan hashes canonicalize partition counts so a cpu-count
+  * change alone cannot flip "plan" to "changed". The full per-pass
+  * record is persisted to bench_out.json (stdout keeps only the
+  * medians — the driver tails it to 2000 chars).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -97,9 +102,31 @@ object Bench {
       else if (good.length % 2 == 1) good(good.length / 2)
       else (good(good.length / 2 - 1) + good(good.length / 2)) / 2.0
     }
-    val results = names.map { case (name, _) =>
+    // Per-pass calibration normalization (r11 post-mortem): a contended
+    // pass inflates BOTH the query time and that pass's calibration, so
+    // scaling each pass by (median cal / its own cal) cancels the
+    // contention BEFORE the median — a single-scalar normalization
+    // applied after the median cannot (the noisy pass has already
+    // poisoned it). r11's flagged keep_list: raw passes [1.91,4.55,
+    // 5.23,1.85,6.56] median 4.55; adjusted median 2.16 ≈ the quiet-box
+    // time. "queries" below is the ADJUSTED median — in this-run
+    // median-box units, cross-round comparable after drift correction
+    // exactly like the raw series was.
+    val calMedEarly = median(calPerPass.toIndexedSeq)
+    def adjusted(name: String): Seq[Double] =
+      perPass.toSeq.zipWithIndex.map { case (p, i) =>
+        val v = p(name)
+        if (v < 0.0 || calPerPass(i) <= 0.0 || calMedEarly <= 0.0) v
+        else v * calMedEarly / calPerPass(i)
+      }
+    val results = names.map { case (name, _) => name -> median(adjusted(name)) }
+    val resultsRaw = names.map { case (name, _) =>
       name -> median(perPass.toSeq.map(_(name)))
     }
+    val minAdj: Map[String, Double] = names.map { case (name, _) =>
+      val good = adjusted(name).filter(_ >= 0.0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
+    }.toMap
 
     // ---- regression hygiene -------------------------------------------
     // normalized physical-plan hash per query (expr ids / plan ids / scan
@@ -121,6 +148,18 @@ object Bench {
           // array identity hashes (UnsafeArrayData@...)
           .replaceAll("lambda [A-Za-z]+_\\d+", "lambda x_")
           .replaceAll("@[0-9a-f]{6,}", "@")
+          // JVM lambda identities (Lambda$2635/0x00007eff...) vary per
+          // PROCESS — they made every mm_* hash unstable run-over-run
+          .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda\\$/0x")
+          // partition COUNTS are config (cpus/shuffle.partitions), not
+          // plan shape: r11's prev record was refreshed at 8 cpus and
+          // compared at 32, turning every flag's "plan" into noise.
+          // Greedy to the LAST ", <digits>)" on the line — partitioning
+          // exprs nest parens (cast(...)), so a lazy char class can't
+          // span them; nothing after the count matches ", <digits>)"
+          // once plan_id digits are already stripped.
+          .replaceAll("(partitioning\\([^\\n]*), \\d+\\)", "$1, N)")
+          .replaceAll("(coalesced from )\\d+", "$1N")
         java.security.MessageDigest.getInstance("MD5")
           .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       } catch { case NonFatal(_) => "error" }
@@ -129,7 +168,7 @@ object Bench {
     // previous committed record (the prior round's bench_out.json)
     val outPath = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "bench_out.json")
-    val (prevMed, prevHash): (Map[String, Double], Map[String, String]) =
+    val (prevMed, prevHash, prevCpus): (Map[String, Double], Map[String, String], Int) =
       try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods
@@ -138,11 +177,19 @@ object Bench {
           case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
           case _ => Map.empty
         }
-        // only comparable against a record from the SAME corpus dir
-        val sameSf = j \ "sf" match {
+        // only comparable against a record from the SAME corpus dir AND
+        // the same cpu count (8-cpu medians vs a 32-cpu run are not a
+        // regression signal; legacy records without "cpus" stay
+        // comparable so the first config-stamped round isn't blind)
+        val pc0 = j \ "cpus" match {
+          case JInt(v) => v.toInt
+          case JDouble(v) => v.toInt
+          case _ => -1
+        }
+        val sameSf = (j \ "sf" match {
           case JString(s) => s == sfDir
           case _ => false
-        }
+        }) && (pc0 == -1 || pc0 == scala.util.Try(cpus.toInt).getOrElse(-2))
         val med = if (!sameSf) Map.empty[String, Double] else j \ "queries" match {
           case JObject(fs) => fs.collect {
             case (k, JDouble(v)) => k -> v
@@ -151,8 +198,8 @@ object Bench {
           }.toMap
           case _ => Map.empty[String, Double]
         }
-        (med, if (sameSf) strMap("plan_hashes") else Map.empty[String, String])
-      } catch { case NonFatal(_) => (Map.empty, Map.empty) }
+        (med, if (sameSf) strMap("plan_hashes") else Map.empty[String, String], pc0)
+      } catch { case NonFatal(_) => (Map.empty, Map.empty, -1) }
     // box-drift normalization: this round's calibration vs the previous
     // committed record's. drift > 1 = the box got slower; each query's
     // normalized time = raw / drift. 1.0 when no prior calibration exists.
@@ -168,20 +215,51 @@ object Bench {
           case _ => -1.0
         }
       } catch { case NonFatal(_) => -1.0 }
-    val drift = if (prevCal > 0.0 && calMed > 0.0) calMed / prevCal else 1.0
-    // flag >2× NORMALIZED moves either way (raw/drift vs prev — uniform
-    // box drift divides out, so it neither masks a real uniform library
-    // regression nor cries wolf on a slow box day), and explain them:
-    // same plan hash = residual jitter; different = a plan change to audit
-    val regressions = results.collect {
-      case (name, now) if now > 0.0 && prevMed.get(name).exists(p =>
-          p > 0.0 && { val n = now / drift; n / p > 2.0 || p / n > 2.0 }) =>
-        val prev = prevMed(name)
-        val plan = (prevHash.get(name), planHashes.get(name)) match {
-          case (Some(a), Some(b)) if a == b => "same"
-          case (Some(_), Some(_)) => "changed"
-          case _ => "unknown"
+    // Drift is only meaningful against a prev record whose medians are
+    // themselves per-pass-adjusted (new format, marked by queries_raw):
+    // a legacy record's RAW medians absorb contention spikes via the
+    // median while its cal median does not, so its calibration disagrees
+    // with its own query numbers (r11: cal 3.96 contended vs ~clean
+    // medians — drift 0.61 false-flagged 18 queries). Against a legacy
+    // record, compare raw-to-raw (drift 1).
+    val prevAdjusted: Boolean =
+      try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        JsonMethods.parse(java.nio.file.Files.readString(outPath)) \ "queries_raw" match {
+          case JNothing => false
+          case _ => true
         }
+      } catch { case NonFatal(_) => false }
+    val drift =
+      if (prevAdjusted && prevCal > 0.0 && calMed > 0.0) calMed / prevCal else 1.0
+    // flag >2× NORMALIZED moves either way (adjusted-median/drift vs
+    // prev — uniform box drift divides out, so it neither masks a real
+    // uniform library regression nor cries wolf on a slow box day).
+    // SLOWDOWN flags additionally require the normalized MIN-of-passes
+    // to exceed 1.5× prev: a genuine plan regression slows EVERY pass,
+    // while box contention leaves at least one clean pass (r11's false
+    // flag had min 1.85 s vs prev 2.09 s). Explanations: same plan hash
+    // = residual jitter; changed = a plan change to audit; config = the
+    // prev record ran at a different cpu count, hashes not comparable.
+    val regressions = results.collect {
+      case (name, now) if now > 0.0 && prevMed.get(name).exists { p =>
+          p > 0.0 && {
+            val n = now / drift
+            val slow = n / p > 2.0 &&
+              minAdj.get(name).exists(m => m > 0.0 && (m / drift) / p > 1.5)
+            slow || p / n > 2.0
+          }
+        } =>
+        val prev = prevMed(name)
+        val plan =
+          if (!prevAdjusted) "legacy" // prev hashes use the old normalization
+          else if (prevCpus > 0 && prevCpus != scala.util.Try(cpus.toInt).getOrElse(-2)) "config"
+          else (prevHash.get(name), planHashes.get(name)) match {
+            case (Some(a), Some(b)) if a == b => "same"
+            case (Some(_), Some(_)) => "changed"
+            case _ => "unknown"
+          }
         (name, prev, now, plan)
     }
 
@@ -195,18 +273,21 @@ object Bench {
     // not a silently-smaller total
     val failed = results.collect { case (k, v) if v < 0.0 => k }
     val total = results.collect { case (_, v) if v >= 0.0 => v }.sum
+    val shufParts = spark.conf.get("spark.sql.shuffle.partitions", cpus)
     spark.stop()
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // regressions ride the STDOUT line too (at the end, inside the
     // driver's 2000-char tail): a >2× round-over-round move is loud in
     // BENCH_r{N}.json itself, already explained
     val regJson = regressions.map { case (n, p, now, plan) =>
-      s"""{"q":"$n","prev":${r3(p)},"now":${r3(now)},"norm_now":${r3(now / drift)},"plan":"$plan"}"""
+      val mn = minAdj.getOrElse(n, -1.0)
+      s"""{"q":"$n","prev":${r3(p)},"now":${r3(now)},"norm_now":${r3(now / drift)},"min_norm":${r3(if (mn > 0) mn / drift else mn)},"plan":"$plan"}"""
     }.mkString("[", ",", "]")
+    val cpusInt = scala.util.Try(cpus.toInt).getOrElse(-1)
     // calibration + drift ride the END of the line (the driver tails
     // stdout to 2000 chars — trailing fields always survive)
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"calibration":${r3(calMed)},"cal_drift":${r3(drift)},"total_norm":${r3(total / drift)},"regressions":$regJson}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"cpus":$cpusInt,"shuffle_partitions":"$shufParts","calibration":${r3(calMed)},"cal_drift":${r3(drift)},"total_norm":${r3(total / drift)},"regressions":$regJson}"""
     // the driver keeps only a 2000-char tail of stdout — persist the full
     // per-pass record so timings survive for every round. Path resolved
     // against the repo (user.dir), not whatever cwd the forked JVM got.
@@ -222,19 +303,21 @@ object Bench {
     val hashJson = names.map { case (name, _) =>
       s"\"" + name + "\":\"" + planHashes.getOrElse(name, "error") + "\""
     }.mkString("{", ",", "}")
-    // both series in the committed record: raw medians ("queries") and
-    // calibration-normalized ("queries_norm"). The regression gate above
-    // compares raw-now/drift against the PREVIOUS record's raw series —
-    // that is the round-over-round-comparable arithmetic. queries_norm
-    // is informational (this round's times in drift-corrected units);
-    // do NOT compare one round's queries_norm against another's — each
-    // is normalized to a different round's box.
+    // three series in the committed record: "queries" = per-pass-
+    // calibration-ADJUSTED medians (the headline and the series next
+    // round's gate compares against), "queries_raw" = plain medians of
+    // wall time (transparency), "queries_norm" = this round's adjusted
+    // medians in drift-corrected units (informational; do NOT compare
+    // one round's queries_norm against another's — each is normalized
+    // to a different round's box).
+    val qsRaw = resultsRaw.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val qsNorm = results.map { case (k, v) =>
       s"\"" + k + "\":" + r3(if (v >= 0.0) v / drift else v)
     }.mkString("{", ",", "}")
     val calPassesJson = calPerPass.map(r3).mkString("[", ",", "]")
     val fileLine = line.dropRight(1) +
-      s""","queries_norm":$qsNorm,"cal_per_pass":$calPassesJson,"per_pass":$passesJson,"spread":$spreadJson,"plan_hashes":$hashJson}"""
+      s""","queries_raw":$qsRaw,"queries_norm":$qsNorm,"cal_per_pass":$calPassesJson,"per_pass":$passesJson,"spread":$spreadJson,"plan_hashes":$hashJson}"""
     try java.nio.file.Files.write(outPath, (fileLine + "\n").getBytes("UTF-8"))
     catch {
       case NonFatal(e) =>

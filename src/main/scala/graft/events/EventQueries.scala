@@ -324,12 +324,18 @@ object EventQueries {
     * frame is integer math end to end. A hot user concentrates in one
     * window task — same hazard class as the direct sessionize, and the
     * same bucket-summary mitigation applies if a corpus needs it. */
-  def evtRateLimit(spark: SparkSession, dir: String): DataFrame = {
-    val maxPerHour = 2L
+  def evtRateLimit(spark: SparkSession, dir: String): DataFrame =
+    rateLimitDirect(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us")),
+      2L, 3600L * 1000 * 1000)
+
+  /** Core direct rate limit over (event_id, user_id, ts_us) rows —
+    * factored out so RateLimitFuzzSpec can feed adversarial streams. */
+  private[events] def rateLimitDirect(ev: DataFrame, maxPerHour: Long,
+      windowUs: Long): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-      .rangeBetween(-3599999999L, 0)
-    Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .rangeBetween(-(windowUs - 1), 0)
+    ev
       .withColumn("n_1h", count(lit(1)).over(w))
       .filter(col("n_1h") > maxPerHour)
   }
@@ -341,6 +347,71 @@ object EventQueries {
       |      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_1h
       |  FROM events) t
       |WHERE n_1h > 2""".stripMargin
+
+  private val RateWindowUs = 3600L * 1000 * 1000
+  private val RateBucketUs = 2L * 3600 * 1000 * 1000
+
+  /** Skew-resilient rate-limit audit: identical output to `evtRateLimit`
+    * (same oracle SQL), different shape for hot senders — and quota
+    * violators are BY DEFINITION the hottest senders, so the direct
+    * form's one-task-per-user window is the worst possible straggler
+    * shape for exactly the corpora this audit matters on.
+    *
+    * The trailing window (1h) never exceeds the bucket (2h), so an
+    * event's frame spans at most its own bucket and the previous one.
+    * That makes a GHOST-REPLICATION split exact: each event lands in its
+    * own (user, bucket) partition as a real row, and events in the LAST
+    * windowUs of a bucket are replicated once into the next bucket as
+    * ghost contributors (counted by neighbours' frames, never emitted).
+    * One local RANGE window per (user, bucket) then sees every
+    * contributor of every real row — n_1h is exactly the direct form's
+    * full-history frame, but the hot user's sort is split into
+    * 2h-bucket tasks (≤ rate·3h rows each) instead of one task holding
+    * its entire history. Cost: ≤1.5× row replication (only last-hour
+    * events ghost), one explode on a single scan, same single shuffle.
+    * Unlike sessionize's summary-merge, no second window is needed —
+    * the frame never reaches past one bucket boundary. */
+  def evtRateLimitBuckets(spark: SparkSession, dir: String): DataFrame =
+    rateLimitBuckets(Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us")),
+      2L, RateWindowUs, RateBucketUs)
+
+  /** Core ghost-replicated rate limit over (event_id, user_id, ts_us)
+    * rows — factored out so RateLimitFuzzSpec can feed adversarial
+    * streams. Requires bucketUs ≥ windowUs (frame spans ≤ 2 buckets). */
+  private[events] def rateLimitBuckets(ev: DataFrame, maxPerHour: Long,
+      windowUs: Long, bucketUs: Long): DataFrame = {
+    require(bucketUs >= windowUs,
+      s"bucket ($bucketUs) must be at least the window ($windowUs)")
+    val w = Window.partitionBy(col("user_id"), col("bucket"))
+      .orderBy(col("ts_us")).rangeBetween(-(windowUs - 1), 0)
+    ev
+      .withColumn("b0", expr(s"ts_us div $bucketUs"))
+      .withColumn("copies",
+        when(col("ts_us") >= (col("b0") + 1L) * lit(bucketUs) - lit(windowUs - 1),
+          array(struct(col("b0").as("bucket"), lit(true).as("is_real")),
+            struct((col("b0") + 1L).as("bucket"), lit(false).as("is_real"))))
+          .otherwise(array(struct(col("b0").as("bucket"), lit(true).as("is_real")))))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        explode(col("copies")).as("c"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("c.bucket").as("bucket"), col("c.is_real").as("is_real"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .filter(col("is_real") && col("n_1h") > maxPerHour)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("n_1h"))
+  }
+
+  /** Dispatched rate limit: probes the sender histogram (memoized
+    * Misra-Gries pass, shared with the other event dispatches) and picks
+    * the direct window on uniform corpora or the ghost-replicated split
+    * when one sender would serialize a window task. Same output contract
+    * and oracle as both twins. */
+  def evtRateLimitAuto(spark: SparkSession, dir: String): DataFrame =
+    if (graft.operators.SkewDispatch.decide(
+        Tables.events(spark, dir), col("user_id"),
+        minHotRows = graft.operators.SkewDispatch.RateLimitMinHotRows))
+      evtRateLimitBuckets(spark, dir)
+    else evtRateLimit(spark, dir)
 
   /** Event ⋈ dimension enrichment (broadcast the dim). */
   def evtJoinDims(spark: SparkSession, dir: String): DataFrame = {
@@ -1092,6 +1163,8 @@ object EventQueries {
     "evt_latest_per_key" -> (evtLatestPerKey _),
     "evt_sessionize" -> (evtSessionize _),
     "evt_rate_limit" -> (evtRateLimit _),
+    "evt_rate_limit_buckets" -> (evtRateLimitBuckets _),
+    "evt_rate_limit_auto" -> (evtRateLimitAuto _),
     "evt_sma_cross" -> (evtSmaCross _),
     "evt_sessionize_buckets" -> (evtSessionizeBuckets _),
     "evt_sessionize_auto" -> (evtSessionizeAuto _),
@@ -1105,6 +1178,8 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "evt_rolling_dau" -> evtRollingDauSql,
     "evt_rate_limit" -> evtRateLimitSql,
+    "evt_rate_limit_buckets" -> evtRateLimitSql, // identical output contract
+    "evt_rate_limit_auto" -> evtRateLimitSql, // dispatches between the twins
     "evt_sma_cross" -> evtSmaCrossSql,
     "evt_decode_typed_table" -> evtDecodeTypedTableSql,
     "mutation_nonce_replay" -> mutationNonceReplaySql,

@@ -121,6 +121,15 @@ object SkewDispatch {
     * MG-estimated count (±n/257) safely off the knife edge. */
   val SessionizeMinHotRows: Long = 250000L
 
+  /** Rate-limit's breakeven: like sessionize, the direct form is a
+    * per-user full-history RANGE window and the bucketed twin's premium
+    * is mild (≤1.5× ghost replication + one explode, no second window),
+    * so the floor sits low. Measured on the 10× corpora (see the
+    * RateLimitFuzzSpec measurement note): placeholder pending the lane
+    * measurement this round — conservative start at the sessionize
+    * floor. */
+  val RateLimitMinHotRows: Long = 250000L
+
   /** The two-condition rule above. */
   def isSkewed(df: DataFrame, share: Double, hotCount: Long,
       skewFactor: Double = 4.0,

@@ -70,6 +70,9 @@ object ScaleSmoke {
     "evt_sessionize_buckets", "dedup_exact", "dedup_ngram_jaccard",
     "dedup_minhash", "dedup_simhash", "dedup_incremental", "asof_join",
     "asof_join_bucketed", "asof_join_auto", "evt_sessionize_auto",
+    // round-12: the rate-limit audit — violators are BY DEFINITION the
+    // hottest senders, so this is the skew lane's home turf
+    "evt_rate_limit", "evt_rate_limit_buckets", "evt_rate_limit_auto",
     "pipeline_e2e")
 
   private val IdShift = 10_000_000L
@@ -191,7 +194,8 @@ object ScaleSmoke {
     * precede their auto shape in SkewShapes so the timings exist. */
   val DispatchedShapes: Map[String, (String, String)] = Map(
     "asof_join_auto" -> ("asof_join", "asof_join_bucketed"),
-    "evt_sessionize_auto" -> ("evt_sessionize", "evt_sessionize_buckets"))
+    "evt_sessionize_auto" -> ("evt_sessionize", "evt_sessionize_buckets"),
+    "evt_rate_limit_auto" -> ("evt_rate_limit", "evt_rate_limit_buckets"))
 
   /** Probe shapes whose joins against the UNCHANGED dimension tables
     * must STAY broadcast at scale: a grown side legitimately flips
