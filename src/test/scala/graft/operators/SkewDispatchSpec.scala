@@ -51,6 +51,23 @@ class SkewDispatchSpec extends SparkSpec {
     assert(!SkewDispatch.decide(hotEvents, col("user_id"), skewFactor = 1.0))
   }
 
+  test("knife edge: MG underestimate at exactly the share cut still dispatches") {
+    // r11 regression: the skew lane plants a 50% hot key and at P=8 the
+    // cut is exactly 4/8 = 0.5; MG only UNDERcounts, so the raw estimate
+    // (~0.496 at capacity 256) picked the direct straggler. isSkewed must
+    // test the estimate's UPPER bound: hot + n/(capacity+1).
+    val ev = Tables.events(spark, sf) // P = 4 → share cut (factor 2) = 0.5
+    // est share 0.4961 < 0.5, but upper bound 0.4961 + 1/257 ≥ 0.5
+    val n = 1000000L
+    val hot = (0.5 * n).toLong - n / 257 // the worst legal underestimate
+    assert(SkewDispatch.isSkewed(ev, hot.toDouble / n, hotCount = hot,
+      skewFactor = 2.0, minHotRows = 1, total = n))
+    // an estimate more than the MG error below the cut stays direct
+    val cold = (0.5 * n).toLong - 2 * (n / 257)
+    assert(!SkewDispatch.isSkewed(ev, cold.toDouble / n, hotCount = cold,
+      skewFactor = 2.0, minHotRows = 1, total = n))
+  }
+
   test("stats memo: probe runs once per (plan, capacity), cleared on demand") {
     SkewDispatch.clearStatsCache()
     val ev = Tables.events(spark, sf)
