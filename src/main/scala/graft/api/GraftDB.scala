@@ -295,16 +295,34 @@ class GraftDB(spark: SparkSession, root: String,
         Some(spark.read.schema(mutationSchema)
           .option("recursiveFileLookup", "true").parquet(mutPath(db, coll)))
       else None
-    val recs = scanRollupRecords(db, coll)
+    // compaction view: a compact record RETIRES the batch dirs it
+    // replaced — the record append is the commit point, so a retired
+    // path is dropped from reads even while its dir still exists (the
+    // crash window between the append and the delete must not read rows
+    // twice), and a compacted dir serves in its place
+    val compactRecs = scanCompactRecords(db, coll)
+      .select(col("path"), col("end_block"), col("replaced")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2)))
+    val retired = compactRecs.flatMap(_._3).toSet
+    val baseRecs = scanRollupRecords(db, coll)
       .select(col("path"), col("end_block")).collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    val recs = (baseRecs.filterNot(r => retired(r._1)) ++
+        compactRecs.filterNot(c => retired(c._1)).map(c => (c._1, c._2)))
       .filter { case (p, _) => hasParquet(p) }
     val manifested = recs.map(_._1)
     // blocks at or below this bound are owned by the rollup batches; a
     // rollup that crashed between its manifest append and the tail GC
     // leaves the same blocks in BOTH places — the bound keeps the
-    // redundant tail copy invisible until the GC finishes
-    val committedHi = if (recs.isEmpty) -1L else recs.map(_._2).max
+    // redundant tail copy invisible until the GC finishes. RETIRED
+    // records keep counting: their blocks are owned by the manifested
+    // compact dir that replaced them.
+    val committedHi = {
+      val ends = recs.map(_._2) ++
+        (baseRecs ++ compactRecs.map(c => (c._1, c._2)))
+          .filter(r => retired(r._1)).map(_._2)
+      if (ends.isEmpty) -1L else ends.max
+    }
     val rollReads: Seq[DataFrame] =
       if (manifested.nonEmpty)
         // recursiveFileLookup also disables partition-column inference on
@@ -791,6 +809,96 @@ class GraftDB(spark: SparkSession, root: String,
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], gcManifestSchema)
   }
 
+  /** Persisted rollup-compaction history: each record publishes one
+    * compacted batch dir and retires the dirs it replaced. */
+  def scanCompactRecords(db: String, coll: String): DataFrame = {
+    val dir = s"${manifestPath(db, coll)}/compact"
+    if (hasParquet(dir)) spark.read.schema(compactManifestSchema).parquet(dir)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], compactManifestSchema)
+  }
+
+  /** OPTIMIZE tick for the rollup store — `Layout.compactSmallFiles`'
+    * discipline applied to GraftDB-owned batch dirs, under the
+    * collection lock (every retired path is manifest-listed, so this
+    * never touches a concurrent writer's tail): every rollup RUN's last
+    * batch is size-truncated, so runs accumulate small dirs under
+    * rollups/ that a 100 TB log would fragment into thousands of tiny
+    * gzip files. Adjacent (in block order) batches whose sizes sum
+    * below `targetBytes` are rewritten into one dir sorted by
+    * (block, order) — the fold is unchanged: same schema, same rows,
+    * and read order never depended on file layout. Publish discipline:
+    * the compacted dir is written first, the append-only COMPACT RECORD
+    * is the commit point (readers switch to the new dir and drop the
+    * replaced paths the moment it lands), the retired dirs are deleted
+    * last. Crash before the record → an orphan compact dir invisible to
+    * readers; crash after → lingering retired dirs invisible to readers
+    * (their paths are in the record's replaced list); BOTH are swept by
+    * the self-heal pass at the start of the next call. Returns the
+    * number of bins compacted. */
+  def compactRollups(db: String, coll: String,
+      targetBytes: Long = 64L * 1024 * 1024): Int = withCollLock(db, coll) {
+    val rollBase = rollPath(db, coll)
+    val compactRows = scanCompactRecords(db, coll).collect()
+    val known = compactRows.map(_.getAs[String]("path")).toSet
+    val retired = compactRows.flatMap(_.getSeq[String](5)).toSet
+    // self-heal: orphan compact dirs (crash before their record) and
+    // lingering retired dirs (crash after their replacement's record)
+    val rollDirFile = new java.io.File(rollBase)
+    if (rollDirFile.isDirectory)
+      rollDirFile.listFiles().foreach { d =>
+        val p = s"$rollBase/${d.getName}"
+        if (d.getName.startsWith("compact_") && !known.contains(p))
+          deleteRecursively(d.toPath)
+      }
+    retired.foreach { p =>
+      val fp = Paths.get(p)
+      if (Files.exists(fp)) deleteRecursively(fp)
+    }
+    // live batch dirs in block order (base records minus retired, plus
+    // un-retired compact dirs)
+    val baseRecs = scanRollupRecords(db, coll).collect().map(r =>
+      (r.getAs[Long]("start_block"), r.getAs[Long]("end_block"),
+        r.getAs[Long]("mutation_count"), r.getAs[String]("path")))
+    val liveCompact = compactRows
+      .filterNot(r => retired(r.getAs[String]("path")))
+      .map(r => (r.getAs[Long]("start_block"), r.getAs[Long]("end_block"),
+        r.getAs[Long]("mutation_count"), r.getAs[String]("path")))
+    val live = (baseRecs.filterNot(r => retired(r._4)) ++ liveCompact)
+      .filter(r => hasParquet(r._4))
+      .sortBy(_._1)
+    // greedy adjacent bins below the target; only multi-member bins work
+    val bins = scala.collection.mutable.ArrayBuffer[Vector[(Long, Long, Long, String)]]()
+    var cur = Vector.empty[(Long, Long, Long, String)]
+    var curBytes = 0L
+    for (rec <- live) {
+      val sz = dirSize(rec._4)
+      if (cur.nonEmpty && curBytes + sz > targetBytes) {
+        if (cur.length >= 2) bins += cur
+        cur = Vector.empty; curBytes = 0L
+      }
+      if (sz < targetBytes) { cur :+= rec; curBytes += sz }
+      else { if (cur.length >= 2) bins += cur; cur = Vector.empty; curBytes = 0L }
+    }
+    if (cur.length >= 2) bins += cur
+    bins.foreach { bin =>
+      val (lo, hi) = (bin.map(_._1).min, bin.map(_._2).max)
+      val n = bin.map(_._3).sum
+      val outDir = s"$rollBase/compact_${lo}_${hi}_${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.read.schema(mutationSchema)
+        .option("recursiveFileLookup", "true").parquet(bin.map(_._4): _*)
+        .repartition(1)
+        .sortWithinPartitions("block", "order")
+        .write.option("compression", "gzip").parquet(outDir)
+      failpoint("compact:afterData")
+      appendManifest(s"${manifestPath(db, coll)}/compact",
+        Seq(Row(lo, hi, n, dirSize(outDir), outDir, bin.map(_._4))),
+        compactManifestSchema)
+      failpoint("compact:afterRecord")
+      bin.foreach(r => deleteRecursively(Paths.get(r._4)))
+    }
+    bins.length
+  }
+
   /** Recovery = re-reading state from rollups (+ any live tail); the fold
     * is identical because the log schema and ordering keys are preserved. */
   def recover(db: String, coll: String): DocCollection = collection(db, coll)
@@ -876,10 +984,22 @@ class GraftDB(spark: SparkSession, root: String,
     * (rollup_executor.rs reads min_rollup_size from the admin config):
     * compact the tail only once it has outgrown the configured minimum.
     * Returns the records written, empty when not yet due. */
-  def rollupIfDue(db: String, coll: String): Seq[RollupRecord] =
-    if (tailBytes(db, coll) >= systemStatus().config.minRollupSizeBytes)
-      rollup(db, coll)
-    else Seq.empty
+  def rollupIfDue(db: String, coll: String): Seq[RollupRecord] = {
+    val recs =
+      if (tailBytes(db, coll) >= systemStatus().config.minRollupSizeBytes)
+        rollup(db, coll)
+      else Seq.empty
+    // OPTIMIZE rides the same tick: a drain that cut new batches may
+    // have left sub-target dirs (every run's LAST batch is size-
+    // truncated); compaction is a no-op when no adjacent pair fits a
+    // bin, so the tick stays idempotent. Separate lock acquisitions —
+    // withCollLock does not nest — which is safe: compaction only ever
+    // touches manifest-listed dirs, never the tail a writer that
+    // squeezed between the locks might be appending.
+    if (recs.nonEmpty)
+      compactRollups(db, coll, systemStatus().config.minRollupSizeBytes)
+    recs
+  }
 
   /** GetSystemStatus analog: admin, init flag and the config cell
     * (defaults before any setup). A constructor-pinned admin is reported
@@ -1296,6 +1416,16 @@ object GraftDB {
     StructField("start_block", LongType, nullable = false),
     StructField("end_block", LongType, nullable = false),
     StructField("mutation_count", LongType, nullable = false)))
+
+  /** Rollup-compaction manifest: one row per compacted bin — the new
+    * dir plus the batch dirs it retires (the OPTIMIZE commit point). */
+  val compactManifestSchema: StructType = StructType(Seq(
+    StructField("start_block", LongType, nullable = false),
+    StructField("end_block", LongType, nullable = false),
+    StructField("mutation_count", LongType, nullable = false),
+    StructField("compressed_bytes", LongType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("replaced", ArrayType(StringType), nullable = false)))
 
   val mutationSchema: StructType = StructType(Seq(
     StructField("block", LongType, nullable = false),

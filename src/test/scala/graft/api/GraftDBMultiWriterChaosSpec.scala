@@ -13,7 +13,7 @@ import graft.SparkSpec
   * GraftDBConcurrencySpec (races without crashes) and GraftDBChaosSpec
   * (crashes without races): TWO GraftDB instances, one per thread, each
   * driving its own random op stream (add / masked update / delete /
-  * snapshot / rollup) where any op may crash at a randomly chosen armed
+  * snapshot / rollup / compact) where any op may crash at a randomly chosen armed
   * failpoint mid-critical-section and then retry. This is the corner
   * the reference's single-sequencer contract (mutation_store.rs:444)
   * leaves to the store: a writer that dies between its data append and
@@ -201,6 +201,10 @@ class GraftDBMultiWriterChaosSpec extends SparkSpec {
               ref.synchronized { ref -= id }
             case 7 => // snapshot: later folds seed from it
               chaotic(Seq("snapshot:afterData")) { db.snapshot("d1", "c") }
+            case 8 => // OPTIMIZE tick: bin-pack rolled batches mid-churn
+              chaotic(Seq("compact:afterData", "compact:afterRecord")) {
+                db.compactRollups("d1", "c", targetBytes = 4096)
+              }
             case _ =>
               chaotic(Seq("rollup:afterData", "rollup:afterManifest",
                 "rollup:afterGc")) {
@@ -261,9 +265,19 @@ class GraftDBMultiWriterChaosSpec extends SparkSpec {
           assert(hi < lo2, s"seed=$seed overlapping rollup ranges")
         case _ =>
       }
+      // a rollup batch dir must exist unless a compact record retired
+      // it; every live (un-retired) compact dir must exist
+      val compactRows = setupDb.scanCompactRecords("d1", "c").collect()
+      val retiredPaths = compactRows.flatMap(_.getSeq[String](5)).toSet
       recs.foreach { case (_, _, p) =>
-        assert(new java.io.File(p).isDirectory, s"seed=$seed missing $p")
+        assert(retiredPaths.contains(p) || new java.io.File(p).isDirectory,
+          s"seed=$seed missing unretired $p")
       }
+      compactRows.map(_.getAs[String]("path"))
+        .filterNot(retiredPaths).foreach { p =>
+          assert(new java.io.File(p).isDirectory,
+            s"seed=$seed missing compact dir $p")
+        }
       setupDb.rollup("d1", "c", maxBatchBytes = 512)
       val db2 = new GraftDB(spark, root)
       val after = db2.collection("d1", "c").df.collect()
