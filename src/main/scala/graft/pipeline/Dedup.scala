@@ -227,6 +227,48 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Oracle-exact pin for the minhash CANDIDATE machinery. The banding
+    * hashes aren't SQL-expressible — and not even the est=1.0 output
+    * slice is deterministic structure (measured on the sf0.01 fixture:
+    * near-dup pairs at jaccard ≈ 0.98 collide in all 64 permutations
+    * with probability j^64 ≈ 0.3, so est-1.0 pairs are hash luck, not
+    * set equality). What IS deterministic is the banding's recall
+    * guarantee on equal inputs: two docs with equal distinct-3-shingle
+    * SETS have equal signatures, land in the same bucket in EVERY band,
+    * and MUST surface as candidates. This row runs the full candidate
+    * machinery and keeps exactly the equal-set pairs — if rep-collapse,
+    * the signature kernel, the band-bucket join, or either pair
+    * expansion dropped such a pair, the row would lose it — while
+    * DuckDB recomputes shingle-set equality classes directly. The
+    * probabilistic sub-slice (unequal sets, any estimate) stays
+    * rows-only by necessity; SURVEY §6 documents the impossibility. */
+  def dedupMinhashBandExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), trim(col("text")).as("t"))
+    val toks = split(col("t"), "\\s+")
+    val sng = array_sort(array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))))
+    val sets = docs.select(col("doc_id"), sng.as("sng"))
+    dedupMinhash(spark, dir)
+      .join(sets.select(col("doc_id").as("a_id"), col("sng").as("a_s")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sng").as("b_s")), Seq("b_id"))
+      .filter(col("a_s") === col("b_s"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  val dedupMinhashBandExactSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+      |      i -> string_split(trim(text), ' ')[i] || ' ' || string_split(trim(text), ' ')[i+1] || ' ' || string_split(trim(text), ' ')[i+2]))) AS sng
+      |  FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM d a JOIN d b ON a.sng = b.sng AND a.doc_id < b.doc_id""".stripMargin
+
   /** SimHash near-dup: 64-bit fingerprint, banded into 4×16-bit chunks
     * (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), candidates
     * verified by exact hamming distance. Rows-only check. */
@@ -647,6 +689,7 @@ object Dedup {
     // the uncached plan: Verify gets the same rows, Bench times the join
     "dedup_ngram_jaccard" -> (dedupNgramJaccardPlan _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_band_exact" -> (dedupMinhashBandExact _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
   )
@@ -659,5 +702,6 @@ object Dedup {
     "dedup_substring" -> dedupSubstringSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_minhash_band_exact" -> dedupMinhashBandExactSql,
   )
 }
