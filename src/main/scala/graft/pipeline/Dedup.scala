@@ -243,22 +243,32 @@ object Dedup {
     * probabilistic sub-slice (unequal sets, any estimate) stays
     * rows-only by necessity; SURVEY §6 documents the impossibility. */
   def dedupMinhashBandExact(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), trim(col("text")).as("t"))
-    val toks = split(col("t"), "\\s+")
-    val sng = array_sort(array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-            element_at(toks, i + 2))))
-        .otherwise(array().cast("array<string>"))))
-    val sets = docs.select(col("doc_id"), sng.as("sng"))
-    dedupMinhash(spark, dir)
-      .join(sets.select(col("doc_id").as("a_id"), col("sng").as("a_s")), Seq("a_id"))
-      .join(sets.select(col("doc_id").as("b_id"), col("sng").as("b_s")), Seq("b_id"))
-      .filter(col("a_s") === col("b_s"))
-      .select(col("a_id"), col("b_id"))
+    // Set identity via the SAME 64-bit shingle-hash basis the
+    // oracle-exact dedup_ngram_jaccard row rides (shingle_hashes: a
+    // codegen'd kernel, no shingle strings ever materialize; collision
+    // odds ~1e-10 documented there): fingerprint = structural xxhash64
+    // of the SORTED distinct hash set. A first cut built sorted-distinct
+    // shingle STRING arrays per doc — string array_distinct/array_sort
+    // are quadratic-ish per doc and cost ~8 s at sf0.1; this form is one
+    // codegen pass. Equal-set pairs come from ONE grouped pass (clusters
+    // are tiny — pair expansion is the within-cluster triangle); the
+    // LEFT SEMI join against the full candidate machinery is the pin: a
+    // pair the banding failed to surface is dropped here and the oracle
+    // (which has it) flags the loss.
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        xxhash64(array_sort(shingle_hashes(split(trim(col("text")), "\\s+"), 3)))
+          .as("sfp"))
+    val eqPairs = sets.groupBy(col("sfp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    eqPairs.join(dedupMinhash(spark, dir).select(col("a_id"), col("b_id")),
+      Seq("a_id", "b_id"), "left_semi")
   }
+
 
   val dedupMinhashBandExactSql: String =
     """WITH d AS (

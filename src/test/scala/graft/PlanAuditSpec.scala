@@ -90,11 +90,15 @@ class PlanAuditSpec extends SparkSpec {
         "quantizer training sample, capped at max(16384, 256*c) vectors"),
       "pipeline/Bpe.scala" -> (1,
         "BPE vocab candidates, capped by .limit(65536) upstream"),
-      "api/GraftDB.scala" -> (5,
+      "api/GraftDB.scala" -> (8,
         "rollup-manifest listing (rows = rollup batches, the Delta-log " +
           "analog), newest-snapshot probe (.headOption), per-batch rollup " +
           "stats (rows = batches), rollup drain file stats (rows = tail " +
-          "files being compacted), index-probe capped at MaxPushedIds+1")
+          "files being compacted), index-probe capped at MaxPushedIds+1, " +
+          "plus the r12 OPTIMIZE tick's manifest views: compact-record + " +
+          "rollup-record listings in compactRollups and the compact-record " +
+          "listing in mutationLog (rows = manifest records — bounded by " +
+          "batch count, the same Delta-log-scale metadata as the rest)")
     )
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Paths.get("src/main/scala/graft")
