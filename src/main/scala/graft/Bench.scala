@@ -176,93 +176,94 @@ object Bench {
     // previous committed record (the prior round's bench_out.json)
     val outPath = java.nio.file.Paths.get(
       sys.props.getOrElse("user.dir", "."), "bench_out.json")
-    val (prevMed, prevHash, prevCpus): (Map[String, Double], Map[String, String], Int) =
-      try {
-        import org.json4s._
-        import org.json4s.jackson.JsonMethods
-        val j = JsonMethods.parse(java.nio.file.Files.readString(outPath))
-        def strMap(field: String): Map[String, String] = j \ field match {
-          case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
-          case _ => Map.empty
-        }
-        // only comparable against a record from the SAME corpus dir AND
-        // the same cpu count (8-cpu medians vs a 32-cpu run are not a
-        // regression signal; legacy records without "cpus" stay
-        // comparable so the first config-stamped round isn't blind)
-        val pc0 = j \ "cpus" match {
-          case JInt(v) => v.toInt
-          case JDouble(v) => v.toInt
-          case _ => -1
-        }
-        val sameSf = (j \ "sf" match {
-          case JString(s) => s == sfDir
-          case _ => false
-        }) && (pc0 == -1 || pc0 == scala.util.Try(cpus.toInt).getOrElse(-2))
-        val med = if (!sameSf) Map.empty[String, Double] else j \ "queries" match {
-          case JObject(fs) => fs.collect {
-            case (k, JDouble(v)) => k -> v
-            case (k, JInt(v)) => k -> v.toDouble
-            case (k, JDecimal(v)) => k -> v.toDouble
-          }.toMap
-          case _ => Map.empty[String, Double]
-        }
-        (med, if (sameSf) strMap("plan_hashes") else Map.empty[String, String], pc0)
-      } catch { case NonFatal(_) => (Map.empty, Map.empty, -1) }
-    // box-drift normalization: this round's calibration vs the previous
-    // committed record's. drift > 1 = the box got slower; each query's
-    // normalized time = raw / drift. 1.0 when no prior calibration exists.
+    // parse the prev committed record ONCE; every prev-derived value
+    // (medians, hashes, cpus, calibration, format) reads this JValue —
+    // three separate re-parses drifted apart once already (the
+    // legacy-comparison bug found in the r12 self-review)
+    val prevJson: Option[org.json4s.JValue] =
+      try Some(org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(outPath)))
+      catch { case NonFatal(_) => None }
+    import org.json4s._
+    val prevCpus: Int = prevJson.map(_ \ "cpus" match {
+      case JInt(v) => v.toInt
+      case JDouble(v) => v.toInt
+      case _ => -1
+    }).getOrElse(-1)
+    // only comparable against a record from the SAME corpus dir AND the
+    // same cpu count (8-cpu medians vs a 32-cpu run are not a regression
+    // signal; legacy records without "cpus" stay comparable so the first
+    // config-stamped round isn't blind)
+    val comparable: Boolean = prevJson.exists { j =>
+      (j \ "sf" match {
+        case JString(s) => s == sfDir
+        case _ => false
+      }) && (prevCpus == -1 || prevCpus == scala.util.Try(cpus.toInt).getOrElse(-2))
+    }
+    def numMap(j: JValue): Map[String, Double] = j match {
+      case JObject(fs) => fs.collect {
+        case (k, JDouble(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+        case (k, JDecimal(v)) => k -> v.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+    val prevMed: Map[String, Double] =
+      if (!comparable) Map.empty
+      else prevJson.map(j => numMap(j \ "queries")).getOrElse(Map.empty)
+    val prevHash: Map[String, String] =
+      if (!comparable) Map.empty
+      else prevJson.map(_ \ "plan_hashes" match {
+        case JObject(fs) => fs.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }).getOrElse(Map.empty)
     val calMed = median(calPerPass.toIndexedSeq)
-    val prevCal: Double =
-      try {
-        import org.json4s._
-        import org.json4s.jackson.JsonMethods
-        JsonMethods.parse(java.nio.file.Files.readString(outPath)) \ "calibration" match {
-          case JDouble(v) => v
-          case JDecimal(v) => v.toDouble
-          case JInt(v) => v.toDouble
-          case _ => -1.0
-        }
-      } catch { case NonFatal(_) => -1.0 }
-    // Drift is only meaningful against a prev record whose medians are
-    // themselves per-pass-adjusted (new format, marked by queries_raw):
-    // a legacy record's RAW medians absorb contention spikes via the
-    // median while its cal median does not, so its calibration disagrees
-    // with its own query numbers (r11: cal 3.96 contended vs ~clean
-    // medians — drift 0.61 false-flagged 18 queries). Against a legacy
-    // record, compare raw-to-raw (drift 1).
+    val prevCal: Double = prevJson.map(_ \ "calibration" match {
+      case JDouble(v) => v
+      case JDecimal(v) => v.toDouble
+      case JInt(v) => v.toDouble
+      case _ => -1.0
+    }).getOrElse(-1.0)
+    // A prev record without queries_raw is LEGACY: its "queries" are
+    // plain raw medians (which absorb contention spikes) while its cal
+    // median does not, so its calibration disagrees with its own query
+    // numbers (r11: cal 3.96 contended vs ~clean medians — drift 0.61
+    // false-flagged 18 queries). Against a legacy record: drift 1 AND
+    // compare THIS run's raw medians (not adjusted) so both sides of the
+    // ratio are the same statistic.
     val prevAdjusted: Boolean =
-      try {
-        import org.json4s._
-        import org.json4s.jackson.JsonMethods
-        JsonMethods.parse(java.nio.file.Files.readString(outPath)) \ "queries_raw" match {
-          case JNothing => false
-          case _ => true
-        }
-      } catch { case NonFatal(_) => false }
+      prevJson.exists(j => (j \ "queries_raw") != JNothing)
     val drift =
       if (prevAdjusted && prevCal > 0.0 && calMed > 0.0) calMed / prevCal else 1.0
-    // flag >2× NORMALIZED moves either way (adjusted-median/drift vs
-    // prev — uniform box drift divides out, so it neither masks a real
-    // uniform library regression nor cries wolf on a slow box day).
-    // SLOWDOWN flags additionally require the normalized MIN-of-passes
-    // to exceed 1.5× prev: a genuine plan regression slows EVERY pass,
-    // while box contention leaves at least one clean pass (r11's false
-    // flag had min 1.85 s vs prev 2.09 s). Explanations: same plan hash
-    // = residual jitter; changed = a plan change to audit; config = the
-    // prev record ran at a different cpu count, hashes not comparable.
+    val nowFor: Map[String, Double] =
+      if (prevAdjusted) results.toMap else resultsRaw.toMap
+    // flag >2× NORMALIZED moves either way (median/drift vs prev —
+    // uniform box drift divides out, so it neither masks a real uniform
+    // library regression nor cries wolf on a slow box day). Flags in
+    // BOTH directions additionally require the normalized MIN-of-passes
+    // to agree (slowdown: min >1.5× prev — a genuine plan regression
+    // slows EVERY pass, while box contention leaves at least one clean
+    // pass, r11's false flag had min 1.85 s vs prev 2.09 s; speedup:
+    // min must itself be <⅔ of prev, so one lucky pass can't flag).
+    // Explanations: same plan hash = residual jitter; changed = a plan
+    // change to audit; legacy = prev hashes use the old normalization.
     val regressions = results.collect {
-      case (name, now) if now > 0.0 && prevMed.get(name).exists { p =>
-          p > 0.0 && {
-            val n = now / drift
-            val slow = n / p > 2.0 &&
-              minAdj.get(name).exists(m => m > 0.0 && (m / drift) / p > 1.5)
-            slow || p / n > 2.0
-          }
-        } =>
+      case (name, _) if nowFor.get(name).exists(_ > 0.0) &&
+          prevMed.get(name).exists { p =>
+            p > 0.0 && {
+              val n = nowFor(name) / drift
+              val mn = minAdj.getOrElse(name, -1.0)
+              val slow = n / p > 2.0 &&
+                mn > 0.0 && (mn / drift) / p > 1.5
+              val fast = p / n > 2.0 &&
+                mn > 0.0 && (mn / drift) / p < 2.0 / 3.0
+              slow || fast
+            }
+          } =>
         val prev = prevMed(name)
+        val now = nowFor(name)
         val plan =
           if (!prevAdjusted) "legacy" // prev hashes use the old normalization
-          else if (prevCpus > 0 && prevCpus != scala.util.Try(cpus.toInt).getOrElse(-2)) "config"
           else (prevHash.get(name), planHashes.get(name)) match {
             case (Some(a), Some(b)) if a == b => "same"
             case (Some(_), Some(_)) => "changed"

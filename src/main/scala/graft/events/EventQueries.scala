@@ -386,7 +386,13 @@ object EventQueries {
     val w = Window.partitionBy(col("user_id"), col("bucket"))
       .orderBy(col("ts_us")).rangeBetween(-(windowUs - 1), 0)
     ev
-      .withColumn("b0", expr(s"ts_us div $bucketUs"))
+      // FLOOR division, not `div` (which truncates toward zero): a
+      // pre-epoch timestamp would otherwise land in a mis-edged bucket
+      // and its ghost-band test would use the wrong boundary, dropping
+      // cross-bucket contributors — pmod is non-negative, so
+      // (ts - pmod(ts, b)) / b is the true floor for any sign
+      .withColumn("b0",
+        expr(s"(ts_us - pmod(ts_us, ${bucketUs}L)) div ${bucketUs}L"))
       .withColumn("copies",
         when(col("ts_us") >= (col("b0") + 1L) * lit(bucketUs) - lit(windowUs - 1),
           array(struct(col("b0").as("bucket"), lit(true).as("is_real")),

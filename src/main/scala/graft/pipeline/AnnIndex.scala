@@ -96,13 +96,39 @@ object AnnIndex {
     val out = fs.create(new Path(tmp, ManifestName), true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
 
-    fs.delete(p, true) // replace any previous index
-    if (!fs.rename(tmp, p))
+    // two-rename publish (the Layout.compactSmallFiles pattern): a
+    // crash never leaves ZERO committed indexes on disk — between the
+    // renames the old index lives at `.old`, and the next build (or
+    // loadSelfHeal below) restores it before doing anything else.
+    // delete-then-rename would have a window where the only complete
+    // index is the unpublished tmp the next build's first act deletes.
+    val oldP = new Path(p.getParent, p.getName + ".old")
+    fs.delete(oldP, true)
+    if (fs.exists(p) && !fs.rename(p, oldP))
+      throw new java.io.IOException(s"annindex: cannot retire $p")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(oldP, p) // roll back — previous index untouched
       throw new java.io.IOException(s"annindex: cannot publish $tmp -> $p")
+    }
+    fs.delete(oldP, true)
+  }
+
+  /** Restore an index a crashed build left retired at `.old` (crash
+    * between the publish renames). Called by every loader. */
+  private def selfHeal(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldP = new Path(p.getParent, p.getName + ".old")
+    if (!fs.exists(p) && fs.exists(oldP)) {
+      if (!fs.rename(oldP, p))
+        throw new java.io.IOException(s"annindex: cannot restore $oldP")
+    }
   }
 
   private def readManifest(spark: SparkSession, indexDir: String): Map[String, String] = {
     import org.apache.hadoop.fs.Path
+    selfHeal(spark, indexDir)
     val mp = new Path(indexDir, ManifestName)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(mp),
@@ -136,10 +162,12 @@ object AnnIndex {
     * cosine inside the probed cells. Output-identical to `Ann.annIvf`
     * over the same corpus/params (AnnIndexSpec pins it). */
   def searchIvf(spark: SparkSession, corpusDir: String, indexDir: String,
-      nprobe: Int = 12, k: Int = Ann.K): DataFrame = {
+      nprobe: Int = 12, k: Int = Ann.K, c: Int = 16): DataFrame = {
     val e = Tables.embeddings(spark, corpusDir)
-    val m = readManifest(spark, indexDir)
-    validate(spark, corpusDir, indexDir, Map("c" -> m("c").toInt))
+    // expected params come from the CALLER (defaults = Ann.annIvf's),
+    // never from the manifest itself — reading c out of the manifest
+    // and comparing it against the manifest would always pass
+    validate(spark, corpusDir, indexDir, Map("c" -> c))
     val cents = spark.read.parquet(s"$indexDir/ivf_centroids")
     val cells = spark.read.parquet(s"$indexDir/ivf_cells")
       .select(col("cid").cast("long").as("cell"),
@@ -165,10 +193,9 @@ object AnnIndex {
     * 16× memory win), the codebook row is driver-read once, and only
     * the rescore joins raw embeddings back by candidate id. */
   def searchPq(spark: SparkSession, corpusDir: String, indexDir: String,
-      rescoreDepth: Int = 128, k: Int = Ann.K): DataFrame = {
+      rescoreDepth: Int = 128, k: Int = Ann.K,
+      m: Int = 16, ksub: Int = 16): DataFrame = {
     val e = Tables.embeddings(spark, corpusDir)
-    val man = readManifest(spark, indexDir)
-    val (m, ksub) = (man("m").toInt, man("ksub").toInt)
     validate(spark, corpusDir, indexDir, Map("m" -> m, "ksub" -> ksub))
     val cbRow = spark.read.parquet(s"$indexDir/pq_codebooks").head()
     val flat = cbRow.getSeq[Float](cbRow.fieldIndex("flat")).toArray
@@ -205,10 +232,8 @@ object AnnIndex {
     * collide with the stored corpus buckets exactly as an in-session
     * banding would. */
   def searchLsh(spark: SparkSession, corpusDir: String, indexDir: String,
-      k: Int = Ann.K): DataFrame = {
+      k: Int = Ann.K, bits: Int = 4, tables: Int = 16): DataFrame = {
     val e = Tables.embeddings(spark, corpusDir)
-    val man = readManifest(spark, indexDir)
-    val (bits, tables) = (man("bits").toInt, man("tables").toInt)
     validate(spark, corpusDir, indexDir, Map("bits" -> bits, "tables" -> tables))
     val cb = spark.read.parquet(s"$indexDir/lsh_tables")
       .select(col("tbl"), col("bucket"), col("vec_id").as("cand_id"))

@@ -157,6 +157,7 @@ object Layout {
     }
     val tmp = new Path(p.getParent, p.getName + ".compact.tmp")
     val old = new Path(p.getParent, p.getName + ".old")
+    val okName = "_compact_ok"
     // self-heal a crash between the two renames of a previous run: the
     // retired original is the only copy — restore it before anything
     if (!fs.exists(p) && fs.exists(old)) {
@@ -164,11 +165,35 @@ object Layout {
         throw new java.io.IOException(s"compact: cannot restore $old")
     }
     fs.delete(tmp, true)
-    // sweep a stale .old only when the table itself is present (a
-    // completed swap that crashed before its cleanup) — rescuing
-    // concurrent appends first
-    if (fs.exists(p) && fs.exists(old)) { rescueStrays(old, p); fs.delete(old, true) }
-    fs.delete(new Path(p, inputsName), false) // stale manifest from a crash
+    // Sweeping a stale .old needs PROVENANCE, not just presence: `p`
+    // existing does not mean the swap completed — a crash between the
+    // two renames followed by a writer recreating `p` (the very
+    // contract-violator rescueStrays defends against) would otherwise
+    // skip the restore and this sweep would delete every
+    // manifest-listed original. A published `p` carries the
+    // `_compact_ok` marker (written into tmp before any rename, so it
+    // travels with the rename); a writer-recreated `p` cannot.
+    if (fs.exists(p) && fs.exists(old)) {
+      if (fs.exists(new Path(p, okName))) {
+        // completed swap that crashed before cleanup: rescue strays,
+        // drop the retired originals
+        rescueStrays(old, p)
+        fs.delete(old, true)
+      } else {
+        // the swap never published: `p` holds only post-crash appends —
+        // move EVERYTHING from .old back in (originals and strays both)
+        listRel(old).foreach { rel =>
+          val dst = new Path(p, rel)
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(new Path(old, rel), dst))
+            throw new java.io.IOException(s"compact: cannot merge-restore $rel")
+        }
+        fs.delete(old, true)
+      }
+    }
+    // stale markers/manifests from a crash (Spark ignores _ files)
+    fs.delete(new Path(p, inputsName), false)
+    fs.delete(new Path(p, okName), false)
     val (fb, bb) = listStats(p)
     val nOut = math.max(1L, (bb + targetBytes - 1) / targetBytes).toInt
     // One listing is BOTH the recorded manifest and the exact file set
@@ -186,6 +211,9 @@ object Layout {
       case None => df.repartition(nOut)
     }
     packed.write.mode("overwrite").parquet(tmp.toString)
+    // provenance marker: rides tmp→p through the publish rename, so a
+    // later sweep can tell a PUBLISHED table from a writer-recreated one
+    fs.create(new Path(tmp, okName), true).close()
     // record the compacted input set; the manifest rides along into
     // `.old` so any sweep (here or a later self-heal) can tell strays
     // (concurrent appends) from compacted originals
@@ -203,6 +231,7 @@ object Layout {
     }
     rescueStrays(old, p)
     fs.delete(old, true)
+    fs.delete(new Path(p, okName), false) // publish complete; marker done
     val (fa, ba) = listStats(p)
     CompactStats(fb, bb, fa, ba)
   }

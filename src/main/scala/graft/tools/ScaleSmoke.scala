@@ -351,6 +351,20 @@ object ScaleSmoke {
       else sys.env.get("SPARK_GRAFT_SMOKE_SHAPES")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(SkewShapes)
+    val unknownSkew = shapes.filterNot(graft.SparkEntry.queries.contains)
+    require(unknownSkew.isEmpty,
+      s"SPARK_GRAFT_SMOKE_SHAPES names unknown queries: ${unknownSkew.mkString(", ")}")
+    // a dispatched auto shape is only judged correctly against its twins
+    // (the cross-plan skew/uniform ratio compares different operators) —
+    // a subset that includes an auto without BOTH twins, or after it,
+    // would silently fall back to the wrong verdict
+    DispatchedShapes.foreach { case (auto, (direct, bucketed)) =>
+      if (shapes.contains(auto))
+        require(shapes.indexOf(direct) >= 0 && shapes.indexOf(bucketed) >= 0 &&
+          shapes.indexOf(direct) < shapes.indexOf(auto) &&
+          shapes.indexOf(bucketed) < shapes.indexOf(auto),
+          s"$auto needs both twins ($direct, $bucketed) earlier in the shape list")
+    }
     shapes.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def cold(dir: String): Double = {

@@ -26,7 +26,11 @@ class RateLimitFuzzSpec extends SparkSpec {
         bucketUs - 1, bucketUs, bucketUs + 1)
       var nextId = 0L
       val rows = (1 to (1 + rnd.nextInt(4))).flatMap { user =>
-        var ts = rnd.nextInt(50).toLong
+        // streams may START pre-epoch: `div` truncates toward zero, so
+        // negative timestamps once mis-edged buckets and dropped
+        // cross-bucket contributors (caught in review; floor-div fix)
+        var ts = rnd.nextInt(50).toLong -
+          (if (rnd.nextBoolean()) 5L * bucketUs else 0L)
         (0 until rnd.nextInt(60)).map { _ =>
           ts += (if (rnd.nextBoolean()) deltas(rnd.nextInt(deltas.length))
                  else rnd.nextInt(3 * bucketUs.toInt).toLong)

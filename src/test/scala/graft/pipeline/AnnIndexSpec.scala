@@ -53,6 +53,32 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.searchIvf(spark, "/root/testdata/sf0.01", idx)
     }
     assert(e2.getMessage.contains("different corpus"))
+
+    // param mismatch: expected params come from the CALLER, so an index
+    // built with a different quantizer geometry is refused, not silently
+    // served with different semantics than the in-session twin
+    val e3 = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvf(spark, sf, idx, c = 32)
+    }
+    assert(e3.getMessage.contains("search expects 32"))
+    val e4 = intercept[IllegalArgumentException] {
+      AnnIndex.searchPq(spark, sf, idx, m = 8)
+    }
+    assert(e4.getMessage.contains("search expects 8"))
+  }
+
+  test("publish is two-rename: a crash window leaves a restorable index, never zero") {
+    val root = Files.createTempDirectory("graft-annindex-pub").toString
+    val idx = s"$root/idx"
+    AnnIndex.build(spark, sf, idx)
+    val want = rows(AnnIndex.searchLsh(spark, sf, idx))
+    // simulate the crash between the two publish renames of a REBUILD:
+    // the live index retired to .old, the replacement never renamed in
+    assert(new java.io.File(idx).renameTo(new java.io.File(s"$root/idx.old")))
+    // loaders self-heal the retired copy instead of erroring
+    assert(rows(AnnIndex.searchLsh(spark, sf, idx)) === want)
+    assert(new java.io.File(idx).isDirectory)
+    assert(!new java.io.File(s"$root/idx.old").exists())
   }
 
   test("a leftover build.tmp never shadows the published index; rebuild replaces") {

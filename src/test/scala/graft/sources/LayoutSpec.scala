@@ -146,6 +146,10 @@ class LayoutSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$root/t.old", "_compact_inputs"),
       listed.mkString("\n").getBytes("UTF-8"))
+    // the crashed run HAD published `t` — mark its provenance (a `t`
+    // without the marker is treated as writer-recreated and merged)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_compact_ok"), Array.emptyByteArray)
 
     // the sweep must rescue the stray into `t` (not delete it), drop
     // the manifest-listed originals, and compact the union
@@ -158,5 +162,30 @@ class LayoutSpec extends SparkSpec {
     assert(stats.filesAfter >= 1)
     assert(!new java.io.File(s"$root/t.old").exists())
     assert(!new java.io.File(s"$path/_compact_inputs").exists())
+    assert(!new java.io.File(s"$path/_compact_ok").exists())
+  }
+
+  test("unpublished swap + writer-recreated table: originals merge back, nothing lost") {
+    // Crash between the two renames leaves `.old` as the only copy; a
+    // contract-violating writer then recreates `t` with new rows. The
+    // recreated `t` has no _compact_ok provenance marker, so the sweep
+    // must MERGE .old back in (originals AND strays) instead of treating
+    // `t` as a completed swap and deleting the manifest-listed originals.
+    val root = Files.createTempDirectory("graft-compact-merge").toString
+    val path = s"$root/t"
+    spark.range(100).select(col("id")).coalesce(1).write.parquet(s"$root/t.old")
+    val oldFiles = new java.io.File(s"$root/t.old").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/t.old", "_compact_inputs"),
+      oldFiles.mkString("\n").getBytes("UTF-8"))
+    // the writer's post-crash recreation of `t` (no marker)
+    spark.range(100, 110).select(col("id")).coalesce(1).write.parquet(path)
+
+    Layout.compactSmallFiles(spark, path, targetBytes = 1L << 20)
+    val after = spark.read.parquet(path).collect().toSet
+    assert(after === (0L until 110L).map(org.apache.spark.sql.Row(_)).toSet)
+    assert(spark.read.parquet(path).count() === 110L)
+    assert(!new java.io.File(s"$root/t.old").exists())
   }
 }
