@@ -352,6 +352,66 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("a_label").as("label"), col("cos"))
   }
 
+  /** Oracle-exact pin for the IVF-blocked SemDeDup machinery
+    * (dedup_embedding's deterministic slice): two IDENTICAL nonzero
+    * embeddings are assigned the same nearest cells (the argmax
+    * assignment is a pure function of the vector), share a block, and
+    * exactly rescore to cosine 1.0 ≥ τ — so they MUST pair. Zero-norm
+    * vectors are excluded on BOTH sides (cosine with a zero vector is
+    * defined as 0 here, below any τ, while naive list equality would
+    * still pair them). DuckDB recomputes identical-embedding classes by
+    * direct list equality on the same float32 bits both engines read;
+    * the near-dup (cos < 1) remainder stays rows-only. */
+  def dedupEmbeddingExact(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val nz = e.filter(
+      aggregate(col("embedding"), lit(0.0d), (a, x) => a + abs(x)) > 0.0)
+    val fp = nz.select(col("vec_id"), xxhash64(col("embedding")).as("efp"))
+    val eqPairs = fp.groupBy(col("efp"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    eqPairs.join(dedupEmbedding(spark, dir).select(col("a_id"), col("b_id")),
+      Seq("a_id", "b_id"), "left_semi")
+  }
+
+  val dedupEmbeddingExactSql: String =
+    """WITH d AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE list_sum(list_transform(embedding, x -> abs(x))) <> 0)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |FROM d a JOIN d b ON a.embedding = b.embedding AND a.vec_id < b.vec_id""".stripMargin
+
+  /** Oracle-exact pin for the simhash CANDIDATE machinery — the
+    * dedup_minhash_band_exact pattern on this family's deterministic
+    * slice: two docs with EQUAL TOKEN LISTS have equal 64-bit
+    * fingerprints, hamming 0 ≤ 3, and collide in every 16-bit chunk, so
+    * they MUST surface as candidates (via rep-collapse when the raw
+    * texts are identical, via the chunk join otherwise). DuckDB
+    * recomputes token-list equality classes directly; the sub-3-hamming
+    * probabilistic remainder stays rows-only. */
+  def dedupSimhashBandExact(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        xxhash64(split(trim(col("text")), "\\s+")).as("tfp"))
+    val eqPairs = sets.groupBy(col("tfp"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .filter(col("a_id") < col("b_id"))
+    eqPairs.join(dedupSimhash(spark, dir).select(col("a_id"), col("b_id")),
+      Seq("a_id", "b_id"), "left_semi")
+  }
+
+  val dedupSimhashBandExactSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(trim(text), ' ') AS tl FROM documents)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |FROM d a JOIN d b ON a.tl = b.tl AND a.doc_id < b.doc_id""".stripMargin
+
   /** Near-dup clustering: connected components over the MinHash candidate
     * pair graph. Rows-only; structure spec-checked (including a
     * diameter-8 path graph collapsing to one component). */
@@ -701,6 +761,8 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_minhash_band_exact" -> (dedupMinhashBandExact _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_band_exact" -> (dedupSimhashBandExact _),
+    "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "dedup_embedding" -> (dedupEmbedding _),
   )
 
@@ -713,5 +775,7 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_minhash_band_exact" -> dedupMinhashBandExactSql,
+    "dedup_simhash_band_exact" -> dedupSimhashBandExactSql,
+    "dedup_embedding_exact" -> dedupEmbeddingExactSql,
   )
 }
