@@ -1217,8 +1217,13 @@ class GraftDB(spark: SparkSession, root: String,
     import graft.docstore._
     // only scalar comparisons use the sorted index; membership/array ops
     // (and OR trees) fall back to the fused compiler
-    def indexable(op: Op) =
-      op != Op.ArrayContains && op != Op.In && op != Op.NotIn
+    def indexable(op: Op) = op match {
+      // scalar comparisons walk the sorted index; membership/array/regex
+      // ops fall back (array-contains-any and regex can never id-push —
+      // the index holds scalar keys, not array elements or raw text)
+      case Op.Eq | Op.Neq | Op.Lt | Op.Le | Op.Gt | Op.Ge => true
+      case _ => false
+    }
     val (indexed, rest) = q.where match {
       case Some(ff @ FieldFilter(f, op, _)) if indexable(op) && hasIndex(db, coll, f) =>
         (Some(ff), None)
@@ -1254,8 +1259,8 @@ class GraftDB(spark: SparkSession, root: String,
           case Op.Le => key <= lit0
           case Op.Gt => key > lit0
           case Op.Ge => key >= lit0
-          // membership/array ops are filtered out by indexable() above
-          case Op.ArrayContains | Op.In | Op.NotIn => lit(true)
+          // membership/array/regex ops are filtered out by indexable() above
+          case _ => lit(true)
         }
         val ids = index(db, coll, f).filter(pred).select(col("_id"))
         // Selective lookups (the indexed-Eq hot path) collect the small

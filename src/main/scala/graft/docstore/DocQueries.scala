@@ -432,7 +432,69 @@ object DocQueries {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
 
+  /** Keyset-cursor page (the proto's declared-next `start_at`/`end_at`,
+    * db3_database_v2.proto:380-407): ORDER BY k with the `_id` tiebreak,
+    * resume strictly after the boundary row (k=40, _id=1000), stop at
+    * k=80 inclusive. The cursor compiles to one tuple-compare filter at
+    * the scan — page N costs a scan + top-N, never an OFFSET rescan of
+    * the skipped prefix (the O(page) paging shape that replaces
+    * `doc_offset` at 100 TB). Zero-dup/zero-gap over full corpora is
+    * fuzz-proven in CursorPageSpec. */
+  def docCursorPage(spark: SparkSession, dir: String): DataFrame = {
+    val q = StructuredQuery(
+      orderBy = Seq(Order("k", keyType = I64(0))),
+      startAt = Some(Cursor(Seq(Some(I64(40))), id = Some(1000L), inclusive = false)),
+      endAt = Some(Cursor(Seq(Some(I64(80))))),
+      limit = Some(60))
+    DocStore.queryFused(coll(spark, dir), q)
+      .select(col("_id"), get_json_object(col("doc"), "$.k").cast("long").as("k"))
+  }
+
+  val docCursorPageSql: String =
+    """SELECT event_id AS _id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE (CAST(json_extract_string(props, '$.k') AS BIGINT) > 40
+      |       OR (CAST(json_extract_string(props, '$.k') AS BIGINT) = 40 AND event_id > 1000))
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) <= 80
+      |ORDER BY CAST(json_extract_string(props, '$.k') AS BIGINT) ASC, event_id ASC
+      |LIMIT 60""".stripMargin
+
+  /** ARRAY_CONTAINS_ANY (proto op 9, db3_database_v2.proto:277): the doc
+    * array shares ≥1 element with the operand — `exists(arr, e ∈ set)`,
+    * a codegen'd HOF over the parsed array, no join/explode. */
+  def docArrayContainsAny(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val docs = d.select(d("doc_id").as("_id"),
+      to_json(struct(slice(split(trim(d("text")), "\\s+"), 1, 5).as("tags"))).as("doc"))
+    val q = StructuredQuery(
+      where = Some(FieldFilter("tags", Op.ArrayContainsAny,
+        Arr(Seq(Str("data"), Str("the"), Str("model"))))))
+    DocStore.query(DocCollection("documents", docs), q).select("_id")
+  }
+
+  val docArrayContainsAnySql: String =
+    """SELECT doc_id AS _id FROM documents
+      |WHERE list_contains(regexp_split_to_array(trim(text), '\s+')[1:5], 'data')
+      |   OR list_contains(regexp_split_to_array(trim(text), '\s+')[1:5], 'the')
+      |   OR list_contains(regexp_split_to_array(trim(text), '\s+')[1:5], 'model')""".stripMargin
+
+  /** `~` regexp through the query-string language (EJDB2/JQL operator the
+    * reference's SDK surface exposes) — RE2-safe pattern, partial match,
+    * raw-text probe in both compilers. */
+  def docQstrRegex(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = QueryStr.parse("/[event_type ~ ^(sign|err)] | /{event_type} | limit 30")
+    DocStore.queryFused(coll(spark, dir), parsed.sq)
+  }
+
+  val docQstrRegexSql: String =
+    """SELECT event_id AS _id, event_type FROM events
+      |WHERE regexp_matches(event_type, '^(sign|err)')
+      |ORDER BY event_id LIMIT 30""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_cursor_page" -> (docCursorPage _),
+    "doc_array_contains_any" -> (docArrayContainsAny _),
+    "doc_qstr_regex" -> (docQstrRegex _),
     "doc_history" -> (docHistory _),
     "doc_filter_nested" -> (docFilterNested _),
     "doc_group_agg" -> (docGroupAgg _),
@@ -460,6 +522,9 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_cursor_page" -> docCursorPageSql,
+    "doc_array_contains_any" -> docArrayContainsAnySql,
+    "doc_qstr_regex" -> docQstrRegexSql,
     "doc_history" -> docHistorySql,
     "doc_filter_nested" -> docFilterNestedSql,
     "doc_group_agg" -> docGroupAggSql,

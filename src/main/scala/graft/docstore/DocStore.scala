@@ -74,15 +74,30 @@ object DocStore {
     case Op.NotIn => !c.isin(inList(v): _*)
     case Op.ArrayContains => array_contains(c,
       v match { case FieldValue.Str(s) => s; case other => other.toString })
+    // ARRAY_CONTAINS_ANY (proto op 9): the doc array and the operand
+    // share ≥1 element. exists(arr, e ∈ operand) is a codegen'd HOF over
+    // the already-parsed array — no join, no explode.
+    case Op.ArrayContainsAny => exists(c, e => e.isin(inList(v): _*))
+    // `~` regexp (JQL): partial match like DuckDB regexp_matches; the
+    // pattern was validated RE2-safe at parse/construction time.
+    case Op.Regex => c.rlike(
+      v match {
+        case FieldValue.Str(p) => Op.validateRegex(p)
+        case other => throw new IllegalArgumentException(
+          s"~ operand must be a string pattern, got $other")
+      })
   }
 
   /** Empty In = membership in the empty set (always false); empty NotIn
-    * excludes nothing (always true). Guarded explicitly so an `Arr(Nil)`
-    * operand is a defined result, not a NoSuchElementException at plan
-    * time from the element-type derivation. */
+    * excludes nothing (always true); empty ArrayContainsAny shares no
+    * element with anything (always false). Guarded explicitly so an
+    * `Arr(Nil)` operand is a defined result, not a
+    * NoSuchElementException at plan time from the element-type
+    * derivation. */
   private def emptyArrShortCircuit(f: FieldFilter): Option[Column] = f match {
     case FieldFilter(_, Op.In, FieldValue.Arr(Nil)) => Some(lit(false))
     case FieldFilter(_, Op.NotIn, FieldValue.Arr(Nil)) => Some(lit(true))
+    case FieldFilter(_, Op.ArrayContainsAny, FieldValue.Arr(Nil)) => Some(lit(false))
     case _ => None
   }
 
@@ -92,14 +107,67 @@ object DocStore {
     case OrFilter(fs) => fs.map(compileFilter(doc, _)).reduce(_ || _)
     case ff: FieldFilter if emptyArrShortCircuit(ff).isDefined =>
       emptyArrShortCircuit(ff).get
-    case FieldFilter(field, Op.ArrayContains, v) =>
+    case FieldFilter(field, op @ (Op.ArrayContains | Op.ArrayContainsAny), v) =>
       // JSON array field: parse as array<string> and probe membership.
       compileOp(
         from_json(get_json_object(doc, "$." + field),
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType)),
-        Op.ArrayContains, v)
+        op, v)
+    case FieldFilter(field, Op.Regex, v) =>
+      // regexp over the raw string view of the field
+      compileOp(get_json_object(doc, "$." + field), Op.Regex, v)
     case FieldFilter(field, op, v) =>
       compileOp(fieldCol(doc, field, v), op, v)
+  }
+
+  /** Compile a keyset cursor ([[Cursor]]) to ONE tuple-compare predicate
+    * over the query's sort key — the lexicographic "row is strictly
+    * after (start) / strictly before (end) the cursor position, or equal
+    * when inclusive" unrolled as
+    * `gt(k1) OR (eq(k1) AND (gt(k2) OR (eq(k2) AND … tail)))`.
+    * Null ordering follows the engine's sort order exactly (null is the
+    * SMALLEST key value: asc = nulls first, desc = nulls last), so a
+    * page boundary that lands on a null key resumes without dup or gap.
+    * The predicate is a plain boolean Column: it fuses into the same
+    * codegen'd Filter as the `where`, evaluates O(1) per row, and —
+    * unlike OFFSET — never materializes the skipped prefix. */
+  private def cursorPredicate(q: StructuredQuery, cur: Cursor, isStart: Boolean,
+      keyFor: Order => Column, idCol: Column): Column = {
+    require(cur.id.isEmpty || cur.values.size == q.orderBy.size,
+      "cursor with _id must bind every orderBy term")
+    // strictly-after (start) / strictly-before (end) on one key, in the
+    // engine's total order where null < every value
+    def strict(c: Column, desc: Boolean, v: Option[FieldValue]): Column = {
+      val fwd = isStart ^ desc // need c above v in VALUE order?
+      (v, fwd) match {
+        case (Some(x), true) => c > lit_(x) // null c → false: below every value
+        case (Some(x), false) => c < lit_(x) || c.isNull
+        case (None, true) => c.isNotNull
+        case (None, false) => lit(false) // nothing is below null
+      }
+    }
+    def eq(c: Column, v: Option[FieldValue]): Column = v match {
+      case Some(x) => c <=> lit_(x) // null-safe: null key ≠ non-null cursor
+      case None => c.isNull
+    }
+    // the appended _id takes the LAST explicit order's direction (the
+    // Firestore appending rule — see sortCols)
+    val idDesc = q.orderBy.lastOption.exists(_.desc)
+    val tail: Column = cur.id match {
+      case Some(i) =>
+        val fwd = isStart ^ idDesc
+        (fwd, cur.inclusive) match {
+          case (true, true) => idCol >= lit(i)
+          case (true, false) => idCol > lit(i)
+          case (false, true) => idCol <= lit(i)
+          case (false, false) => idCol < lit(i)
+        }
+      case None => lit(cur.inclusive) // boundary rows in/out as a block
+    }
+    q.orderBy.zip(cur.values).foldRight(tail) { case ((ord, v), rest) =>
+      val c = keyFor(ord)
+      strict(c, ord.desc, v) || (eq(c, v) && rest)
+    }
   }
 
   /** Full sort-key list for a query: explicit orders (typed via their
@@ -120,7 +188,8 @@ object DocStore {
     * offset/limit that must be deterministic. Sort+limit fuses to
     * TakeOrderedAndProject (per-partition top-N, no full shuffle). */
   private def needsSort(q: StructuredQuery): Boolean =
-    q.orderBy.nonEmpty || q.limit.isDefined || q.offset.isDefined
+    q.orderBy.nonEmpty || q.limit.isDefined || q.offset.isDefined ||
+      q.startAt.isDefined || q.endAt.isDefined
 
   /** Execute a StructuredQuery against a collection. Projection returns
     * `_id` plus one (string-typed) column per selected field; empty select
@@ -130,6 +199,11 @@ object DocStore {
   def query(col: DocCollection, q: StructuredQuery): DataFrame = {
     var df = col.df
     q.where.foreach(f => df = df.filter(compileFilter(df("doc"), f)))
+    def keyFor(o: Order): Column = fieldCol(df("doc"), o.field, o.keyType)
+    q.startAt.foreach(c =>
+      df = df.filter(cursorPredicate(q, c, isStart = true, keyFor, df("_id"))))
+    q.endAt.foreach(c =>
+      df = df.filter(cursorPredicate(q, c, isStart = false, keyFor, df("_id"))))
     if (needsSort(q))
       df = df.orderBy(sortCols(q,
         o => fieldCol(df("doc"), o.field, o.keyType), df("_id")): _*)
@@ -152,7 +226,10 @@ object DocStore {
       case OrFilter(fs) => fs.map(leaves).sum
       case ff: FieldFilter => if (emptyArrShortCircuit(ff).isDefined) 0 else 1
     }
-    q.where.map(leaves).getOrElse(0) + q.select.size + q.orderBy.size
+    q.where.map(leaves).getOrElse(0) + q.select.size + q.orderBy.size +
+      // each cursor re-probes its bound order keys once more
+      q.startAt.map(_.values.size).getOrElse(0) +
+      q.endAt.map(_.values.size).getOrElse(0)
   }
 
   /** Single-parse variant of `query` with a NARROW-QUERY fast path: a
@@ -190,8 +267,12 @@ object DocStore {
       case OrFilter(fs) => fs.flatMap(filterFields)
       // empty In/NotIn compile to literal predicates — no field reference
       case ff: FieldFilter if emptyArrShortCircuit(ff).isDefined => Seq.empty
-      case FieldFilter(field, Op.ArrayContains, _) =>
+      case FieldFilter(field, Op.ArrayContains | Op.ArrayContainsAny, _) =>
         Seq(field -> ArrayType(StringType))
+      // regexp matches the RAW text probe in both compilers (below) — a
+      // fused slot would stringify typed values ("1.50" ≠ 1.5.toString)
+      // and collide with a typed filter slot on the same field
+      case FieldFilter(_, Op.Regex, _) => Seq.empty
       case FieldFilter(field, _, v) => Seq(field -> scalarType(v))
     }
     def keyTypeOf(v: FieldValue): DataType = v match {
@@ -252,8 +333,11 @@ object DocStore {
     // multi-KB docs. Filterless queries (sort/project/page only) have
     // no inlining hazard and skip the Generate entirely.
     val parsed = from_json(col("doc"), schema)
+    // cursors are filters too — they need the fence for the same
+    // parse-once property as the where
+    val filters = q.where.nonEmpty || q.startAt.isDefined || q.endAt.isDefined
     var df = coll.df.withColumn("__p",
-      if (q.where.nonEmpty) explode(array(parsed)) else parsed)
+      if (filters) explode(array(parsed)) else parsed)
     def ref(path: String, asType: DataType): Column =
       if (branchy(path)) {
         // a struct occupies this slot in the fused schema; recover the
@@ -274,12 +358,20 @@ object DocStore {
       case OrFilter(fs) => fs.map(compile).reduce(_ || _)
       case ff: FieldFilter if emptyArrShortCircuit(ff).isDefined =>
         emptyArrShortCircuit(ff).get
-      case FieldFilter(field, Op.ArrayContains, v) =>
-        compileOp(ref(field, ArrayType(StringType)), Op.ArrayContains, v)
+      case FieldFilter(field, op @ (Op.ArrayContains | Op.ArrayContainsAny), v) =>
+        compileOp(ref(field, ArrayType(StringType)), op, v)
+      case FieldFilter(field, Op.Regex, v) =>
+        // raw-text probe in both compilers (see filterFields)
+        compileOp(get_json_object(col("doc"), "$." + field), Op.Regex, v)
       case FieldFilter(field, op, v) =>
         compileOp(ref(field, scalarType(v)), op, v)
     }
     q.where.foreach(f => df = df.filter(compile(f)))
+    def keyFor(o: Order): Column = ref(o.field, keyTypeOf(o.keyType))
+    q.startAt.foreach(c =>
+      df = df.filter(cursorPredicate(q, c, isStart = true, keyFor, col("_id"))))
+    q.endAt.foreach(c =>
+      df = df.filter(cursorPredicate(q, c, isStart = false, keyFor, col("_id"))))
     if (needsSort(q))
       df = df.orderBy(sortCols(q,
         o => ref(o.field, keyTypeOf(o.keyType)), col("_id")): _*)

@@ -29,15 +29,34 @@ object QueryStr {
     * requested (count collapses the result to a single tally). */
   final case class ParsedQuery(sq: StructuredQuery, count: Boolean)
 
+  // the value may itself contain one level of [...] (regex char classes
+  // in `~` patterns); anything else stops at the node's closing bracket
   private val filterRe: Regex =
-    """\[\s*([A-Za-z_][\w.]*)\s*(!=|>=|<=|=|>|<)\s*(.+?)\s*\]""".r
+    """\[\s*([A-Za-z_][\w.]*)\s*(!=|>=|<=|=|>|<|~)\s*((?:[^\]\[]|\[[^\]]*\])+?)\s*\]""".r
   private val projRe: Regex = """\{\s*([^}]+)\s*\}""".r
   private val limitRe: Regex = """limit\s+(\d+)""".r
   private val skipRe: Regex = """skip\s+(\d+)""".r
   private val orderRe: Regex = """(?i)(asc|desc)\s+/?([A-Za-z_][\w.]*)""".r
 
+  /** Split on the apply-pipe `|` only OUTSIDE `[...]` nodes — a `~`
+    * pattern's alternation (`/[s ~ ^(a|b)]`) is part of the node, not a
+    * section break. */
+  private def splitTop(s: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '[' => depth += 1; cur += '['
+      case ']' => depth = math.max(0, depth - 1); cur += ']'
+      case '|' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString
+    out.result()
+  }
+
   def parse(query: String, params: Map[String, FieldValue] = Map.empty): ParsedQuery = {
-    val parts = query.split("\\|").map(_.trim).filter(_.nonEmpty)
+    val parts = splitTop(query).map(_.trim).filter(_.nonEmpty)
     if (parts.isEmpty) throw new IllegalArgumentException("empty query")
 
     var filters = Vector.empty[Filter]
@@ -52,8 +71,18 @@ object QueryStr {
       val body = s.replaceAll("(?i)\\band\\b", " ")
       if (body.replace("/", "").trim == "*") return // match-all
       filterRe.findAllMatchIn(body).foreach { m =>
-        filters :+= FieldFilter(m.group(1), Op.parse(opSpelling(m.group(2))),
-          parseValue(m.group(3), params))
+        val op = Op.parse(opSpelling(m.group(2)))
+        val v = parseValue(m.group(3), params) match {
+          // `~` operands are PATTERNS — numeric-looking literals like
+          // /[s ~ 123] are still pattern strings, and the RE2-safe
+          // validation runs at parse time so a bad pattern fails fast
+          case FieldValue.Str(p) if op == Op.Regex =>
+            FieldValue.Str(Op.validateRegex(p))
+          case other if op == Op.Regex =>
+            FieldValue.Str(Op.validateRegex(m.group(3).trim))
+          case other => other
+        }
+        filters :+= FieldFilter(m.group(1), op, v)
       }
       projRe.findAllMatchIn(body).foreach { m =>
         select ++= m.group(1).split(",").map(_.trim).filter(_.nonEmpty)

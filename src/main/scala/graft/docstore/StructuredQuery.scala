@@ -41,9 +41,22 @@ object Op {
     * (db3_database_v2.proto:260-287, commented `IN = 8` / `NOT_IN = 10`). */
   case object In extends Op
   case object NotIn extends Op
+  /** ARRAY_CONTAINS_ANY — the proto's declared-next op 9
+    * (db3_database_v2.proto:277, between the implemented IN=8 and
+    * NOT_IN=10): the doc's array field shares at least one element with
+    * the ArrayValue operand. */
+  case object ArrayContainsAny extends Op
+  /** `~` regexp match — the EJDB2/JQL operator the reference's
+    * query-string language exposes beyond the proto ops (JQL grammar;
+    * partial match, like DuckDB `regexp_matches`). Patterns are
+    * validated to an RE2-safe subset (no backreferences / lookaround)
+    * so engine and oracle regex dialects agree — see
+    * [[Op.validateRegex]]. */
+  case object Regex extends Op
 
   /** Parse the reference's filter-op spelling (bson_util.rs:81-97;
-    * in/not-in use the Firestore spellings the proto cites). */
+    * in/not-in/array-contains-any use the Firestore spellings the proto
+    * cites; `~` is the JQL regexp spelling). */
   def parse(s: String): Op = s match {
     case "==" => Eq
     case "!=" => Neq
@@ -54,7 +67,33 @@ object Op {
     case "array-contains" => ArrayContains
     case "in" => In
     case "not-in" => NotIn
+    case "array-contains-any" => ArrayContainsAny
+    case "~" => Regex
     case other => throw new IllegalArgumentException(s"Invalid OP $other")
+  }
+
+  /** Restrict `~` patterns to the dialect-portable RE2 subset: Java's
+    * engine accepts backreferences, lookaround and possessive
+    * quantifiers that RE2 (DuckDB/Go/C++ oracles) rejects or — worse —
+    * that backtrack catastrophically on adversarial docs. Rejecting
+    * them keeps one pattern language across engine and oracle and
+    * bounds match cost linearly in the doc size. */
+  def validateRegex(pattern: String): String = {
+    val banned = Seq(
+      "(?=" -> "lookahead", "(?!" -> "negative lookahead",
+      "(?<" -> "lookbehind", "\\k<" -> "named backreference")
+    banned.foreach { case (tok, what) =>
+      if (pattern.contains(tok))
+        throw new IllegalArgumentException(s"regex $what is not RE2-safe: $pattern")
+    }
+    // numbered backreferences \1..\9 and possessive/reluctant-possessive
+    // quantifiers (a*+) are Java-only
+    if ("""\\[1-9]""".r.findFirstIn(pattern).isDefined)
+      throw new IllegalArgumentException(s"regex backreference is not RE2-safe: $pattern")
+    if ("""[*+?}]\+""".r.findFirstIn(pattern).isDefined)
+      throw new IllegalArgumentException(s"possessive quantifier is not RE2-safe: $pattern")
+    java.util.regex.Pattern.compile(pattern) // must at least compile
+    pattern
   }
 }
 
@@ -75,15 +114,46 @@ final case class OrFilter(filters: Seq[Filter]) extends Filter
 final case class Order(field: String, desc: Boolean = false,
     keyType: FieldValue = FieldValue.Str(""))
 
+/** Keyset cursor — the proto's declared-next `start_at`/`end_at`
+  * (db3_database_v2.proto:380-407, Firestore `Cursor{values, before}`).
+  * `values` aligns positionally with the query's `orderBy` terms (a
+  * PREFIX is allowed, as in Firestore); `None` is the JSON-null/missing
+  * key, which sorts FIRST ascending and LAST descending (Spark's
+  * asc/desc defaults — i.e. null is the smallest value in the
+  * underlying order, matching the BSON type order the reference uses).
+  * `id` extends the tuple with the appended `_id` tiebreak so a page
+  * boundary is a unique row and paging is zero-dup/zero-gap.
+  * `inclusive` is Firestore's `before` flag re-phrased per bound:
+  * start_at vs start_after, end_at vs end_before.
+  *
+  * Scale note: this is the O(page) replacement for `offset` paging —
+  * the cursor compiles to one tuple-compare predicate evaluated at the
+  * scan (a filter, fused into the same whole-stage-codegen pass as the
+  * `where`), so page N costs the same scan as page 0 plus a top-N sort,
+  * while OFFSET must order and discard every skipped row. */
+final case class Cursor(
+    values: Seq[Option[FieldValue]],
+    id: Option[Long] = None,
+    inclusive: Boolean = true)
+
 /** Projection/limit semantics per the proto: empty select = all fields;
   * offset applies after where/order but before limit
   * (db3_database_v2.proto:327-338, declared-next `int32 offset`); limit
   * applies after all other constraints. Ordering follows the proto's
   * Firestore rules: the doc id (`__name__` analog `_id`) is appended to
-  * every ordering with the direction of the last explicit order. */
+  * every ordering with the direction of the last explicit order.
+  * `startAt`/`endAt` are keyset cursors over the same ordering (see
+  * [[Cursor]]); their `values` may not be longer than `orderBy`. */
 final case class StructuredQuery(
     where: Option[Filter] = None,
     select: Seq[String] = Nil,
     limit: Option[Int] = None,
     orderBy: Seq[Order] = Nil,
-    offset: Option[Int] = None)
+    offset: Option[Int] = None,
+    startAt: Option[Cursor] = None,
+    endAt: Option[Cursor] = None) {
+  require(startAt.forall(_.values.size <= orderBy.size),
+    "start cursor has more values than orderBy terms")
+  require(endAt.forall(_.values.size <= orderBy.size),
+    "end cursor has more values than orderBy terms")
+}

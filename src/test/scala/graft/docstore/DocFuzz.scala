@@ -99,10 +99,26 @@ object DocFuzz {
     case KBool => Bool(r.nextBoolean())
   }
 
+  /** RE2-safe patterns over the vocab (and a few that match nothing /
+    * everything / partially) for the `~` op. */
+  val regexPatterns: Vector[String] = Vector(
+    "^al", "a", "ta$", "(be|ga)", "x[0-9]", "l?pha", "a.*a", "^$",
+    "^(alpha|delta)$", "[gd]")
+
   def genLeaf(r: Random): Filter = {
-    if (r.nextInt(8) == 0)
-      return FieldFilter("tags", Op.ArrayContains,
-        Str(vocab(r.nextInt(vocab.size - 1))))
+    r.nextInt(12) match {
+      case 0 =>
+        return FieldFilter("tags", Op.ArrayContains,
+          Str(vocab(r.nextInt(vocab.size - 1))))
+      case 1 => // ARRAY_CONTAINS_ANY (op 9): 1..3 operand values
+        return FieldFilter("tags", Op.ArrayContainsAny,
+          Arr(Vector.fill(1 + r.nextInt(3))(Str(vocab(r.nextInt(vocab.size - 1))))))
+      case 2 => // `~` regexp over any field's raw text (both compilers
+        // probe raw, so numeric fields are legal targets)
+        return FieldFilter(scalarFields(r.nextInt(scalarFields.size))._1,
+          Op.Regex, Str(regexPatterns(r.nextInt(regexPatterns.size))))
+      case _ =>
+    }
     val (f, k) = scalarFields(r.nextInt(scalarFields.size))
     val ops = k match {
       case KBool => Vector(Op.Eq, Op.Neq)
@@ -125,21 +141,37 @@ object DocFuzz {
       if (r.nextInt(5) < 3) AndFilter(kids) else OrFilter(kids)
     }
 
+  def witness(k: Kind): FieldValue = k match {
+    case KI64 => I64(0); case KDbl => Dbl(0); case KStr => Str("")
+    case KBool => Bool(false)
+  }
+
   def genQuery(r: Random): StructuredQuery = {
     val where = if (r.nextInt(10) == 0) None else Some(genFilter(r, 0))
     val select = r.shuffle(scalarFields.map(_._1) :+ "tags")
       .take(r.nextInt(4)).toSeq
-    val orderBy = r.shuffle(scalarFields).take(r.nextInt(3)).map {
-      case (f, k) =>
-        val witness = k match {
-          case KI64 => I64(0); case KDbl => Dbl(0); case KStr => Str("")
-          case KBool => Bool(false)
-        }
-        Order(f, desc = r.nextBoolean(), keyType = witness)
+    val orderKinds = r.shuffle(scalarFields).take(r.nextInt(3))
+    val orderBy = orderKinds.map { case (f, k) =>
+      Order(f, desc = r.nextBoolean(), keyType = witness(k))
     }.toSeq
+    // keyset cursors: a prefix of the order keys (None = null/missing
+    // key), optionally extended by the _id tiebreak when full-length
+    def genCursor(): Cursor = {
+      val nvals = 1 + r.nextInt(orderKinds.size)
+      val values = orderKinds.take(nvals).map { case (_, k) =>
+        if (r.nextInt(4) == 0) None else Some(genValue(k, r))
+      }.toSeq
+      val id = if (nvals == orderKinds.size && r.nextBoolean())
+        Some(r.nextInt(200).toLong) else None
+      Cursor(values, id, inclusive = r.nextBoolean())
+    }
+    val startAt =
+      if (orderKinds.nonEmpty && r.nextInt(3) == 0) Some(genCursor()) else None
+    val endAt =
+      if (orderKinds.nonEmpty && r.nextInt(3) == 0) Some(genCursor()) else None
     val offset = if (r.nextInt(4) == 0) Some(r.nextInt(15)) else None
     val limit = if (r.nextInt(3) == 0) Some(1 + r.nextInt(40)) else None
-    StructuredQuery(where, select, limit, orderBy, offset)
+    StructuredQuery(where, select, limit, orderBy, offset, startAt, endAt)
   }
 
   /** Canonical multiset view: (schema, sorted stringified rows). Row order

@@ -26,6 +26,8 @@ class FilterJsonFuzzSpec extends AnyFunSuite {
     case Op.ArrayContains => "array-contains"
     case Op.In => "in"
     case Op.NotIn => "not-in"
+    case Op.ArrayContainsAny => "array-contains-any"
+    case Op.Regex => "~"
   }
 
   private def renderValue(v: FieldValue): String = v match {

@@ -39,21 +39,30 @@ class QueryStrFuzzSpec extends SparkSpec {
       var expSelect = Vector.empty[String]
       var params = Map.empty[String, FieldValue]
 
+      // `~` patterns: RE2-safe, bareword-parseable (no spaces/quotes);
+      // char classes and alternation exercise the bracket-aware lexer
+      val pats = Seq("^c[0-4]$", "wo.d", "(a|b)x?", "q\\d", "x+", "^word1")
       val nFilters = rnd.nextInt(4)
       if (nFilters == 0) sb.append("/*")
       else (0 until nFilters).foreach { i =>
         if (i > 0 && rnd.nextBoolean()) sb.append(" and ")
         val f = fields(rnd.nextInt(fields.length))
-        val (opTxt, op) = ops(rnd.nextInt(ops.length))
-        val (vTxt, v) =
-          if (rnd.nextInt(5) == 0) { // bound parameter
-            val pname = s"p$i"
-            val (_, pv) = genValue(rnd)
-            params += pname -> pv
-            (s":$pname", pv)
-          } else genValue(rnd)
-        sb.append(s"/[${ws(rnd)}$f${ws(rnd)}$opTxt${ws(rnd)}$vTxt${ws(rnd)}]")
-        expFilters :+= FieldFilter(f, op, v)
+        if (rnd.nextInt(6) == 0) { // regexp filter
+          val pat = pats(rnd.nextInt(pats.length))
+          sb.append(s"/[${ws(rnd)}$f${ws(rnd)}~${ws(rnd)}$pat${ws(rnd)}]")
+          expFilters :+= FieldFilter(f, Op.Regex, Str(pat))
+        } else {
+          val (opTxt, op) = ops(rnd.nextInt(ops.length))
+          val (vTxt, v) =
+            if (rnd.nextInt(5) == 0) { // bound parameter
+              val pname = s"p$i"
+              val (_, pv) = genValue(rnd)
+              params += pname -> pv
+              (s":$pname", pv)
+            } else genValue(rnd)
+          sb.append(s"/[${ws(rnd)}$f${ws(rnd)}$opTxt${ws(rnd)}$vTxt${ws(rnd)}]")
+          expFilters :+= FieldFilter(f, op, v)
+        }
       }
       // optional inline projection node
       if (rnd.nextInt(4) == 0) {

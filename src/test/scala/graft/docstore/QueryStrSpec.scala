@@ -40,6 +40,16 @@ class QueryStrSpec extends SparkSpec {
     intercept[IllegalArgumentException](QueryStr.parse("   "))
   }
 
+  test("~ parses RE2-safe patterns and rejects Java-only constructs") {
+    val p = QueryStr.parse("/[city ~ ^be(i|j)ing$] | limit 3")
+    assert(p.sq.where === Some(FieldFilter("city", Op.Regex,
+      FieldValue.Str("^be(i|j)ing$"))))
+    // lookahead, backreference, possessive quantifier: all RE2-unsafe
+    intercept[IllegalArgumentException](QueryStr.parse("/[city ~ (?=x)y]"))
+    intercept[IllegalArgumentException](QueryStr.parse("/[city ~ (a)\\1]"))
+    intercept[IllegalArgumentException](QueryStr.parse("/[city ~ a*+b]"))
+  }
+
   test("asc/desc/skip applies parse into orderBy/offset") {
     val p = QueryStr.parse("/[age > 10] | asc /city | desc age | skip 5 | limit 2")
     assert(p.sq.orderBy === Seq(Order("city"), Order("age", desc = true)))
