@@ -829,11 +829,16 @@ class GraftDB(spark: SparkSession, root: String,
     * and read order never depended on file layout. Publish discipline:
     * the compacted dir is written first, the append-only COMPACT RECORD
     * is the commit point (readers switch to the new dir and drop the
-    * replaced paths the moment it lands), the retired dirs are deleted
-    * last. Crash before the record → an orphan compact dir invisible to
-    * readers; crash after → lingering retired dirs invisible to readers
-    * (their paths are in the record's replaced list); BOTH are swept by
-    * the self-heal pass at the start of the next call. Returns the
+    * replaced paths the moment it lands). Retired dirs are NOT deleted
+    * in the same call: `collection()` DataFrames are lazy and hold
+    * their file listing from plan time, so a reader that planned before
+    * the record and executes after it would hit FileNotFoundException
+    * on an immediate delete (the collection lock is writer-side only).
+    * Deletion is deferred to the NEXT call's self-heal pass — a full
+    * tick's grace period for in-flight plans to drain. Crash before the
+    * record → an orphan compact dir invisible to readers; crash after →
+    * the same lingering-retired state the no-crash path now leaves;
+    * both kinds of litter are swept by the next call. Returns the
     * number of bins compacted. */
   def compactRollups(db: String, coll: String,
       targetBytes: Long = 64L * 1024 * 1024): Int = withCollLock(db, coll) {
@@ -894,7 +899,8 @@ class GraftDB(spark: SparkSession, root: String,
         Seq(Row(lo, hi, n, dirSize(outDir), outDir, bin.map(_._4))),
         compactManifestSchema)
       failpoint("compact:afterRecord")
-      bin.foreach(r => deleteRecursively(Paths.get(r._4)))
+      // retired dirs stay on disk until the next call's self-heal pass
+      // (grace period for in-flight reader plans — see scaladoc)
     }
     bins.length
   }

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.hadoop.fs.{FileSystem, Path}
 import graft.sources.Tables
 import graft.functions.GraftFunctions._
 
@@ -16,58 +17,118 @@ import graft.functions.GraftFunctions._
   * sessions and shareable across a cluster.
   *
   * Layout under `indexDir` (all parquet):
-  *   ivf_centroids/  (cid, centroid)                 — coarse quantizer
-  *   ivf_cells/      cid=<c>/ (vec_id, embedding)    — the inverted file,
-  *                   PARTITIONED BY cid: a probe of nprobe cells reads
-  *                   only those partitions (partition pruning is the
-  *                   whole point of IVF at scale)
-  *   pq_codebooks/   (m, ksub, dim, flat)            — one row
-  *   pq_codes/       (vec_id, codes)                 — m small ints/vec
-  *   lsh_tables/     (tbl, bucket, vec_id)           — L banded tables
+  *   ivf_centroids/   (cid, centroid)                — coarse quantizer
+  *   pq_codebooks/    (m, ksub, dim, flat)           — one row
+  *   gen<N>/ivf_cells/ cid=<c>/ (vec_id, embedding)  — the inverted
+  *                    file, PARTITIONED BY cid: a probe of nprobe cells
+  *                    reads only those partitions (partition pruning is
+  *                    the whole point of IVF at scale)
+  *   gen<N>/pq_codes/  (vec_id, codes)               — m small ints/vec
+  *   gen<N>/lsh_tables/ (tbl, bucket, vec_id)        — L banded tables
   *   _INDEX_MANIFEST.json                            — commit point
   *
-  * Publish discipline (the GraftDB/Layout pattern): everything is built
-  * under `<indexDir>.build.tmp` with the manifest written LAST inside
-  * it, then published by a single directory rename — a crashed build
-  * leaves only a tmp dir the next build clears, and a reader either
-  * sees a complete manifested index or nothing. Loaders REQUIRE the
-  * manifest, and validate both the index params and the corpus
-  * fingerprint (sorted source-file list), so an index built from a
-  * rewritten corpus can never serve stale ids silently.
-  */
+  * GENERATIONS are the incremental-ingestion story (the FAISS
+  * train-once/add-many pattern, closing the loop with
+  * `dedup_incremental`): `build` writes gen0; each `append` assigns the
+  * corpus's NEW vectors to the EXISTING centroids/codebooks — no
+  * retrain, no rewrite of earlier gens — and publishes them as the next
+  * gen. The manifest's `gens` count is the reader's source of truth: a
+  * gen directory the manifest doesn't cover is invisible (a crashed
+  * append's orphan, deleted and rebuilt by the next append).
+  *
+  * Publish discipline (the GraftDB/Layout pattern): `build` stages
+  * everything under `<indexDir>.build.tmp` with the manifest written
+  * LAST inside it, then publishes by renames (retire live to `.old`,
+  * rename tmp in, drop `.old`) — and FIRST self-heals a `.old` a prior
+  * crashed build left retired, so no crash window ever leaves zero
+  * committed indexes. `append` stages its gen under `gen<N>.tmp`,
+  * renames it in place (still invisible), then swaps the manifest via
+  * `.new` + rename (self-healed by every loader). Loaders REQUIRE the
+  * manifest and validate both the index params and the corpus
+  * fingerprint — file paths PLUS length and mtime, so a corpus
+  * rewritten in place under the same names invalidates the index
+  * instead of silently serving wrong vec_ids. */
 object AnnIndex {
 
   case class Params(c: Int = 16, m: Int = 16, ksub: Int = 16,
       bits: Int = 4, tables: Int = 16)
 
   private val ManifestName = "_INDEX_MANIFEST.json"
-  private val Version = 1
+  private val Version = 2
 
-  private def fingerprint(e: DataFrame): String = {
-    val files = e.inputFiles.sorted.mkString("\n")
+  /** Corpus identity: per-file (path, length, mtime) — not names alone,
+    * so a same-name in-place rewrite (rsync, manual copy, non-Spark
+    * writer) invalidates dependent indexes. */
+  private def fingerprint(spark: SparkSession, e: DataFrame): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lines = e.inputFiles.sorted.map { f =>
+      val p = new Path(f)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$f|${st.getLen}|${st.getModificationTime}"
+    }.mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
-      .digest(files.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(lines.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  /** Train + encode + write every index family, publish atomically. */
+  private def manifestJson(fp: String, params: Params, gens: Int): String =
+    s"""{"version":$Version,"corpus_fingerprint":"$fp",""" +
+    s""""c":${params.c},"m":${params.m},"ksub":${params.ksub},""" +
+    s""""bits":${params.bits},"tables":${params.tables},"gens":$gens}"""
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stage one generation's encodings under `genTmp`: assignment to the
+    * FIXED centroids, PQ codes from the FIXED codebooks, LSH bands (the
+    * hyperplanes are deterministic functions of (bits, tables)). Shared
+    * verbatim by build (gen0, freshly trained quantizers) and append
+    * (gen N, quantizers read back from the index). */
+  private def writeGen(vectors: DataFrame, cents: DataFrame,
+      flat: Array[Float], params: Params, genTmp: String): Unit = {
+    Ann.nearestCell(vectors, cents, 1)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+      .write.partitionBy("cid").parquet(s"$genTmp/ivf_cells")
+    vectors.select(col("vec_id"),
+        pq_encode(col("embedding"), float_array_lit(flat),
+          params.m, params.ksub).as("codes"))
+      .write.parquet(s"$genTmp/pq_codes")
+    vectors.select(col("vec_id"),
+        posexplode(hyperplane_buckets(col("embedding"), params.bits, params.tables)))
+      .select(col("pos").as("tbl"), col("col").as("bucket"), col("vec_id"))
+      .write.parquet(s"$genTmp/lsh_tables")
+  }
+
+  /** Train + encode + write every index family, publish atomically.
+    * `pretrainedFrom` reads centroids + codebooks from another committed
+    * index instead of training — the FAISS "train on a sample, add all"
+    * pattern, and the equivalence anchor for `append` (a one-shot build
+    * with the same quantizers must equal build+append; AnnIndexSpec). */
   def build(spark: SparkSession, corpusDir: String, indexDir: String,
-      params: Params = Params()): Unit = {
-    import org.apache.hadoop.fs.Path
+      params: Params = Params(), pretrainedFrom: Option[String] = None): Unit = {
     val e = Tables.embeddings(spark, corpusDir)
     val p = new Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, p)
+    // a prior build may have crashed between its publish renames leaving
+    // the only committed index at `.old` — restore it BEFORE this
+    // build's own retire step deletes `.old` (else a crash in the
+    // window below leaves ZERO committed indexes)
+    selfHeal(spark, indexDir)
     val tmp = new Path(p.getParent, p.getName + ".build.tmp")
     fs.delete(tmp, true)
 
-    // IVF: trained centroids + the cid-partitioned inverted file
-    val cents = Ann.ivfCentroids(e, params.c)
+    val (cents, flat) = pretrainedFrom match {
+      case Some(src) =>
+        val m = readManifest(spark, src)
+        val got = Params(m("c").toInt, m("m").toInt, m("ksub").toInt,
+          m("bits").toInt, m("tables").toInt)
+        require(got == params,
+          s"pretrained index $src has params $got, build expects $params")
+        (spark.read.parquet(s"$src/ivf_centroids"), readCodebooks(spark, src))
+      case None =>
+        (Ann.ivfCentroids(e, params.c),
+          Ann.pqCodebooks(e, params.m, params.ksub))
+    }
     cents.write.parquet(s"$tmp/ivf_centroids")
-    Ann.nearestCell(e, cents, 1)
-      .select(col("cid"), col("vec_id"), col("embedding"))
-      .write.partitionBy("cid").parquet(s"$tmp/ivf_cells")
-
-    // PQ: codebooks (one row) + per-vector codes
-    val flat = Ann.pqCodebooks(e, params.m, params.ksub)
     val dim = flat.length / (params.m * params.ksub) * params.m
     spark.createDataFrame(java.util.Arrays.asList(
         org.apache.spark.sql.Row(params.m, params.ksub, dim, flat.toSeq)),
@@ -78,28 +139,16 @@ object AnnIndex {
         org.apache.spark.sql.types.StructField("flat",
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
       .write.parquet(s"$tmp/pq_codebooks")
-    e.select(col("vec_id"),
-        pq_encode(col("embedding"), float_array_lit(flat), params.m, params.ksub).as("codes"))
-      .write.parquet(s"$tmp/pq_codes")
-
-    // LSH: the L banded tables
-    e.select(col("vec_id"),
-        posexplode(hyperplane_buckets(col("embedding"), params.bits, params.tables)))
-      .select(col("pos").as("tbl"), col("col").as("bucket"), col("vec_id"))
-      .write.parquet(s"$tmp/lsh_tables")
+    writeGen(e, cents, flat, params, s"$tmp/gen0")
 
     // manifest LAST inside tmp — the commit point travels with the data
-    val manifest =
-      s"""{"version":$Version,"corpus_fingerprint":"${fingerprint(e)}",""" +
-      s""""c":${params.c},"m":${params.m},"ksub":${params.ksub},""" +
-      s""""bits":${params.bits},"tables":${params.tables}}"""
+    val manifest = manifestJson(fingerprint(spark, e), params, gens = 1)
     val out = fs.create(new Path(tmp, ManifestName), true)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
 
     // two-rename publish (the Layout.compactSmallFiles pattern): a
     // crash never leaves ZERO committed indexes on disk — between the
-    // renames the old index lives at `.old`, and the next build (or
-    // loadSelfHeal below) restores it before doing anything else.
+    // renames the old index lives at `.old` (restored by selfHeal).
     // delete-then-rename would have a window where the only complete
     // index is the unpublished tmp the next build's first act deletes.
     val oldP = new Path(p.getParent, p.getName + ".old")
@@ -113,12 +162,94 @@ object AnnIndex {
     fs.delete(oldP, true)
   }
 
+  /** Incremental ingestion: index the corpus's vectors that no committed
+    * generation covers, against the EXISTING quantizers — zero training,
+    * zero rewrite of earlier gens. The new generation is staged at
+    * `gen<N>.tmp`, renamed into place (still invisible — the manifest
+    * doesn't cover it), and committed by the manifest swap, which also
+    * advances the corpus fingerprint to the grown corpus. Crash before
+    * the swap → an orphan gen dir readers never touch, deleted and
+    * rebuilt by the next append; crash mid-swap → healed from
+    * `.new` by every loader. At 100 TB this is what makes corpus growth
+    * O(delta): the alternative — full rebuild — re-encodes every vector
+    * ever ingested. */
+  def append(spark: SparkSession, corpusDir: String, indexDir: String,
+      params: Params = Params()): Unit = {
+    val man = readManifest(spark, indexDir)
+    Seq("c" -> params.c, "m" -> params.m, "ksub" -> params.ksub,
+        "bits" -> params.bits, "tables" -> params.tables).foreach {
+      case (k, v) => require(man.get(k).contains(v.toString),
+        s"index $indexDir has $k=${man.getOrElse(k, "?")}, append expects $v")
+    }
+    val n = man("gens").toInt
+    val e = Tables.embeddings(spark, corpusDir)
+    // ids-only anti-join finds the uncovered vectors (8 B/row shuffle);
+    // persist: three encode jobs below share the delta
+    val existing = readAcrossGens(spark, indexDir, n, "pq_codes")
+      .select(col("vec_id"))
+    val fresh = e.join(existing, Seq("vec_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fresh.limit(1).count() == 0L) return // nothing new: no-op
+      val p = new Path(indexDir)
+      val fs = fsOf(spark, p)
+      val genP = new Path(s"$indexDir/gen$n")
+      val genTmp = new Path(s"$indexDir/gen$n.tmp")
+      fs.delete(genTmp, true)
+      fs.delete(genP, true) // a crashed append's orphan — uncommitted garbage
+      val cents = spark.read.parquet(s"$indexDir/ivf_centroids")
+      writeGen(fresh, cents, readCodebooks(spark, indexDir), params, genTmp.toString)
+      if (!fs.rename(genTmp, genP))
+        throw new java.io.IOException(s"annindex: cannot stage $genP")
+      swapManifest(fs, p,
+        manifestJson(fingerprint(spark, e), params, gens = n + 1))
+    } finally fresh.unpersist()
+  }
+
+  private def readCodebooks(spark: SparkSession, indexDir: String): Array[Float] = {
+    val row = spark.read.parquet(s"$indexDir/pq_codebooks").head()
+    row.getSeq[Float](row.fieldIndex("flat")).toArray
+  }
+
+  /** Union of one artifact across every committed generation. Filters
+    * (cid probes) push through the union into each gen's partition
+    * pruning. */
+  private def readAcrossGens(spark: SparkSession, indexDir: String,
+      gens: Int, sub: String): DataFrame =
+    (0 until gens).map(i => spark.read.parquet(s"$indexDir/gen$i/$sub"))
+      .reduce(_ unionByName _)
+
+  /** Commit point of an append: write `.new`, drop the old manifest,
+    * rename in. Both crash windows are safe — old+`.new` heals to the
+    * OLD manifest (the staged gen is redone by the next append); `.new`
+    * alone heals forward to the new one (its gen dir landed first). */
+  private def swapManifest(fs: FileSystem, indexDir: Path, txt: String): Unit = {
+    val mp = new Path(indexDir, ManifestName)
+    val np = new Path(indexDir, ManifestName + ".new")
+    val out = fs.create(np, true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    fs.delete(mp, false)
+    if (!fs.rename(np, mp))
+      throw new java.io.IOException(s"annindex: cannot commit manifest at $mp")
+  }
+
+  private def selfHealManifest(spark: SparkSession, indexDir: String): Unit = {
+    val mp = new Path(indexDir, ManifestName)
+    val np = new Path(indexDir, ManifestName + ".new")
+    val fs = fsOf(spark, mp)
+    if (fs.exists(np)) {
+      if (fs.exists(mp)) fs.delete(np, false) // swap never started: old wins
+      else if (!fs.rename(np, mp)) // swap half-done: finish forward
+        throw new java.io.IOException(s"annindex: cannot heal manifest at $mp")
+    }
+  }
+
   /** Restore an index a crashed build left retired at `.old` (crash
-    * between the publish renames). Called by every loader. */
+    * between the publish renames). Called by every loader AND by build
+    * itself before it touches `.old`. */
   private def selfHeal(spark: SparkSession, indexDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
     val p = new Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, p)
     val oldP = new Path(p.getParent, p.getName + ".old")
     if (!fs.exists(p) && fs.exists(oldP)) {
       if (!fs.rename(oldP, p))
@@ -127,10 +258,10 @@ object AnnIndex {
   }
 
   private def readManifest(spark: SparkSession, indexDir: String): Map[String, String] = {
-    import org.apache.hadoop.fs.Path
     selfHeal(spark, indexDir)
+    selfHealManifest(spark, indexDir)
     val mp = new Path(indexDir, ManifestName)
-    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, mp)
     require(fs.exists(mp),
       s"$indexDir has no $ManifestName — not a committed index (crashed build?)")
     val in = fs.open(mp)
@@ -140,20 +271,23 @@ object AnnIndex {
       .map(m => m.group(1) -> m.group(2)).toMap
   }
 
-  /** Validate the manifest against the serving corpus + expected params.
-    * Corpus check is strict: ids in the index are positions in THAT
-    * corpus; serving a rewritten corpus from a stale index is the silent
-    * failure mode this exists to prevent. */
+  /** Validate the manifest against the serving corpus + expected params,
+    * returning the manifest (loaders need `gens`). Corpus check is
+    * strict: ids in the index are positions in THAT corpus; serving a
+    * rewritten corpus from a stale index is the silent failure mode this
+    * exists to prevent (the fingerprint covers file length + mtime, so
+    * in-place rewrites are caught too). */
   private def validate(spark: SparkSession, corpusDir: String,
-      indexDir: String, expect: Map[String, Int]): Unit = {
+      indexDir: String, expect: Map[String, Int]): Map[String, String] = {
     val m = readManifest(spark, indexDir)
-    val fp = fingerprint(Tables.embeddings(spark, corpusDir))
+    val fp = fingerprint(spark, Tables.embeddings(spark, corpusDir))
     require(m.get("corpus_fingerprint").contains(fp),
       s"index $indexDir was built from a different corpus than $corpusDir")
     expect.foreach { case (k, v) =>
       require(m.get(k).contains(v.toString),
         s"index $indexDir has $k=${m.getOrElse(k, "?")}, search expects $v")
     }
+    m
   }
 
   /** IVF search from the persisted index: centroids and the inverted
@@ -167,9 +301,9 @@ object AnnIndex {
     // expected params come from the CALLER (defaults = Ann.annIvf's),
     // never from the manifest itself — reading c out of the manifest
     // and comparing it against the manifest would always pass
-    validate(spark, corpusDir, indexDir, Map("c" -> c))
+    val man = validate(spark, corpusDir, indexDir, Map("c" -> c))
     val cents = spark.read.parquet(s"$indexDir/ivf_centroids")
-    val cells = spark.read.parquet(s"$indexDir/ivf_cells")
+    val cells = readAcrossGens(spark, indexDir, man("gens").toInt, "ivf_cells")
       .select(col("cid").cast("long").as("cell"),
         col("vec_id").as("cand_id"), col("embedding").as("c_v"))
     val probes = Ann.nearestCell(
@@ -196,11 +330,9 @@ object AnnIndex {
       rescoreDepth: Int = 128, k: Int = Ann.K,
       m: Int = 16, ksub: Int = 16): DataFrame = {
     val e = Tables.embeddings(spark, corpusDir)
-    validate(spark, corpusDir, indexDir, Map("m" -> m, "ksub" -> ksub))
-    val cbRow = spark.read.parquet(s"$indexDir/pq_codebooks").head()
-    val flat = cbRow.getSeq[Float](cbRow.fieldIndex("flat")).toArray
-    val cb = float_array_lit(flat)
-    val codes = spark.read.parquet(s"$indexDir/pq_codes")
+    val man = validate(spark, corpusDir, indexDir, Map("m" -> m, "ksub" -> ksub))
+    val cb = float_array_lit(readCodebooks(spark, indexDir))
+    val codes = readAcrossGens(spark, indexDir, man("gens").toInt, "pq_codes")
       .select(col("vec_id").as("cand_id"), col("codes"))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"),
@@ -234,8 +366,9 @@ object AnnIndex {
   def searchLsh(spark: SparkSession, corpusDir: String, indexDir: String,
       k: Int = Ann.K, bits: Int = 4, tables: Int = 16): DataFrame = {
     val e = Tables.embeddings(spark, corpusDir)
-    validate(spark, corpusDir, indexDir, Map("bits" -> bits, "tables" -> tables))
-    val cb = spark.read.parquet(s"$indexDir/lsh_tables")
+    val man = validate(spark, corpusDir, indexDir,
+      Map("bits" -> bits, "tables" -> tables))
+    val cb = readAcrossGens(spark, indexDir, man("gens").toInt, "lsh_tables")
       .select(col("tbl"), col("bucket"), col("vec_id").as("cand_id"))
     val qb = e.filter(col("vec_id") < 20)
       .select(col("vec_id"),

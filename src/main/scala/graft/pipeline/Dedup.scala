@@ -49,13 +49,42 @@ object Dedup {
   // UNCACHED plan (below) so the benchmark times the join itself — a
   // result cache must never masquerade as query speed; only downstream
   // consumers (Curation.keepList) read the cached artifact.
-  private val jaccardCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  // Keyed by identityHashCode, NOT the session object, so the map's keys
+  // never pin a stopped SparkSession (the SkewDispatch.statsCache
+  // pattern). The DataFrame VALUE still references its session, so stale
+  // entries are actively evicted: every lookup first sweeps entries
+  // whose context has stopped, and an entry cap bounds same-context
+  // growth (unpersist-on-evict both ways). identityHashCode collisions
+  // between a stopped and a live session can't alias because the sweep
+  // runs before the lookup.
+  private[pipeline] val jaccardCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+  private[pipeline] val MaxJaccardEntries = 64
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardCache.computeIfAbsent((spark, dir), _ =>
+  /** Drop entries whose owning session is gone. The predicate is
+    * injectable so the eviction path is testable without stopping the
+    * suite-shared context. */
+  private[pipeline] def evictStale(
+      stopped: SparkSession => Boolean = _.sparkContext.isStopped): Unit = {
+    val it = jaccardCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (stopped(e.getValue.sparkSession)) {
+        // a genuinely stopped context already dropped its blocks — the
+        // unpersist is for injected predicates (live-session eviction)
+        scala.util.Try(e.getValue.unpersist())
+        it.remove()
+      }
+    }
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    evictStale()
+    if (jaccardCache.size >= MaxJaccardEntries) clearResultCaches()
+    jaccardCache.computeIfAbsent((System.identityHashCode(spark), dir), _ =>
       dedupNgramJaccardPlan(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Drop the memoized jaccard artifacts (and their persisted blocks).
     * Bench calls this between passes: CacheManager rewrites ANY query
@@ -64,7 +93,7 @@ object Dedup {
     * has populated it — without this, passes 2+ of both
     * dedup_ngram_jaccard and pipeline_keep_list time a cache read. */
   private[graft] def clearResultCaches(): Unit = {
-    jaccardCache.forEach((_, df) => df.unpersist())
+    jaccardCache.forEach((_, df) => scala.util.Try(df.unpersist()))
     jaccardCache.clear()
   }
 

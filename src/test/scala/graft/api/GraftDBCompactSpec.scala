@@ -50,18 +50,30 @@ class GraftDBCompactSpec extends SparkSpec {
     assert(dirsBefore.length >= 8, s"fixture too coarse: ${dirsBefore.length}")
     val rollupRecsBefore = db.scanRollupRecords("d", "c").count()
 
+    val planned = db.collection("d", "c").df // lazy plan BEFORE the tick
     val bins = db.compactRollups("d", "c", targetBytes = 1L << 20)
     assert(bins >= 1)
     assert(fold(db) === before)
+    // GRACE PERIOD: retired dirs linger on disk for one tick so a plan
+    // built before the record still executes (the r12 FileNotFound
+    // hazard — readers don't hold the collection lock)
+    val retired = db.scanCompactRecords("d", "c")
+      .select("replaced").collect().flatMap(_.getSeq[String](0)).toSeq
+    assert(retired.forall(p => new java.io.File(p).exists()),
+      "retired dirs must survive until the next tick")
+    assert(planned.count() === before.size.toLong,
+      "a pre-tick plan must drain cleanly through the grace period")
+    // rollup history is untouched (audit view), compact history appended
+    assert(db.scanRollupRecords("d", "c").count() === rollupRecsBefore)
+    assert(db.scanCompactRecords("d", "c").count() === bins.toLong)
+    // idempotent next tick: nothing left to bin, and it sweeps the litter
+    assert(db.compactRollups("d", "c", targetBytes = 1L << 20) === 0)
+    assert(retired.forall(p => !new java.io.File(p).exists()),
+      "the next tick's self-heal must sweep the retired dirs")
     val dirsAfter = liveBatchDirs(db, root)
     // everything fits one 1 MiB bin → a single live compacted dir
     assert(dirsAfter.length === 1, s"got ${dirsAfter.mkString(", ")}")
     assert(dirsAfter.head.contains("compact_"))
-    // rollup history is untouched (audit view), compact history appended
-    assert(db.scanRollupRecords("d", "c").count() === rollupRecsBefore)
-    assert(db.scanCompactRecords("d", "c").count() === bins.toLong)
-    // idempotent: nothing left to bin
-    assert(db.compactRollups("d", "c", targetBytes = 1L << 20) === 0)
     assert(fold(db) === before)
     // the log still replays block-exact after compaction + more writes
     db.addDocuments("d", "c", Seq("""{"post":1}"""))
@@ -83,9 +95,11 @@ class GraftDBCompactSpec extends SparkSpec {
     val orphan = new java.io.File(s"$root/d/c/rollups").listFiles()
       .filter(_.getName.startsWith("compact_"))
     assert(orphan.nonEmpty, "crash window should leave the orphan dir")
-    // retry sweeps the orphan and completes
+    // retry sweeps the orphan and completes; the tick after that sweeps
+    // the grace-period litter
     assert(db.compactRollups("d", "c", targetBytes = 1L << 20) >= 1)
     assert(fold(db) === before)
+    db.compactRollups("d", "c", targetBytes = 1L << 20)
     val after = liveBatchDirs(db, root)
     assert(after.length === 1 && !dirsBefore.contains(after.head))
   }
@@ -135,7 +149,9 @@ class GraftDBCompactSpec extends SparkSpec {
     assert(fold(db) === before)
     // minRollupSizeBytes=1 is also the compact target, so the tick's
     // compaction is a structural no-op (every dir alone exceeds it) —
-    // the explicit API with a real target finishes the collapse
+    // the explicit API with a real target finishes the collapse (twice:
+    // the second tick sweeps the first's grace-period litter)
+    db.compactRollups("d", "c", targetBytes = 1L << 20)
     db.compactRollups("d", "c", targetBytes = 1L << 20)
     assert(liveBatchDirs(db, root).length === 1)
     assert(fold(db) === before)

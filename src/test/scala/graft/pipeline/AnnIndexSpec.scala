@@ -30,7 +30,7 @@ class AnnIndexSpec extends SparkSpec {
       "a persisted-index search retrained a quantizer")
 
     // the inverted file is the serving layout: cid is a PARTITION dir
-    val cells = new java.io.File(s"$idx/ivf_cells").listFiles()
+    val cells = new java.io.File(s"$idx/gen0/ivf_cells").listFiles()
       .filter(_.isDirectory).map(_.getName)
     assert(cells.nonEmpty && cells.forall(_.startsWith("cid=")))
   }
@@ -79,6 +79,92 @@ class AnnIndexSpec extends SparkSpec {
     assert(rows(AnnIndex.searchLsh(spark, sf, idx)) === want)
     assert(new java.io.File(idx).isDirectory)
     assert(!new java.io.File(s"$root/idx.old").exists())
+  }
+
+  test("append == one-shot build with the same quantizers; commit is the manifest swap") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-annappend").toString
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val cut = e.agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0) / 2
+    val halfDir = s"$root/half"; val fullDir = s"$root/full"
+    e.filter(col("vec_id") <= cut).coalesce(2).write.parquet(s"$halfDir/embeddings.parquet")
+    e.coalesce(2).write.parquet(s"$fullDir/embeddings.parquet")
+
+    val idxC = s"$root/idxC"; val idxB = s"$root/idxB"
+    AnnIndex.build(spark, halfDir, idxC)
+    val halfRows = rows(AnnIndex.searchLsh(spark, halfDir, idxC))
+    // the equivalence anchor: a ONE-SHOT full index with idxC's
+    // (half-trained) quantizers — exactly what build+append must equal
+    AnnIndex.build(spark, fullDir, idxB, pretrainedFrom = Some(idxC))
+
+    val manPath = java.nio.file.Paths.get(s"$idxC/_INDEX_MANIFEST.json")
+    val preManifest = java.nio.file.Files.readAllBytes(manPath)
+    AnnIndex.append(spark, fullDir, idxC)
+    val fullIvf = rows(AnnIndex.searchIvf(spark, fullDir, idxC))
+    val fullPq = rows(AnnIndex.searchPq(spark, fullDir, idxC))
+    val fullLsh = rows(AnnIndex.searchLsh(spark, fullDir, idxC))
+    assert(fullIvf === rows(AnnIndex.searchIvf(spark, fullDir, idxB)))
+    assert(fullPq === rows(AnnIndex.searchPq(spark, fullDir, idxB)))
+    assert(fullLsh === rows(AnnIndex.searchLsh(spark, fullDir, idxB)))
+    assert(fullLsh !== halfRows, "the appended generation must actually serve")
+
+    // no-op append: nothing uncovered → no new generation
+    AnnIndex.append(spark, fullDir, idxC)
+    assert(!new java.io.File(s"$idxC/gen2").exists())
+    assert(rows(AnnIndex.searchLsh(spark, fullDir, idxC)) === fullLsh)
+
+    // crashed append (before the manifest swap): roll the manifest back,
+    // leaving gen1 as an uncommitted orphan — it must be INVISIBLE
+    // (drop the ChecksumFileSystem sidecar too — the rollback is a raw
+    // byte restore, not a filesystem write)
+    java.nio.file.Files.write(manPath, preManifest)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$idxC/._INDEX_MANIFEST.json.crc"))
+    assert(rows(AnnIndex.searchLsh(spark, halfDir, idxC)) === halfRows,
+      "an orphan generation leaked into the committed view")
+    intercept[IllegalArgumentException] { // stale fp refuses the grown corpus
+      AnnIndex.searchLsh(spark, fullDir, idxC)
+    }
+    // the next append deletes the orphan and recommits
+    AnnIndex.append(spark, fullDir, idxC)
+    assert(rows(AnnIndex.searchLsh(spark, fullDir, idxC)) === fullLsh)
+  }
+
+  test("a half-committed manifest swap self-heals in both windows") {
+    val root = Files.createTempDirectory("graft-annman").toString
+    val idx = s"$root/idx"
+    AnnIndex.build(spark, sf, idx)
+    val want = rows(AnnIndex.searchLsh(spark, sf, idx))
+    val mp = java.nio.file.Paths.get(s"$idx/_INDEX_MANIFEST.json")
+    val np = java.nio.file.Paths.get(s"$idx/_INDEX_MANIFEST.json.new")
+    // window 2: old manifest deleted, .new not yet renamed → heal forward
+    java.nio.file.Files.move(mp, np)
+    assert(rows(AnnIndex.searchLsh(spark, sf, idx)) === want)
+    assert(java.nio.file.Files.exists(mp) && !java.nio.file.Files.exists(np))
+    // window 1: .new written, old still present → old wins, .new dropped
+    java.nio.file.Files.write(np, Array[Byte](123))
+    assert(rows(AnnIndex.searchLsh(spark, sf, idx)) === want)
+    assert(!java.nio.file.Files.exists(np))
+  }
+
+  test("an in-place corpus rewrite under the same file names is refused") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-annfp").toString
+    val cDir = s"$root/c"
+    graft.sources.Tables.embeddings(spark, sf)
+      .coalesce(1).write.parquet(s"$cDir/embeddings.parquet")
+    val idx = s"$root/idx"
+    AnnIndex.build(spark, cDir, idx)
+    assert(rows(AnnIndex.searchLsh(spark, cDir, idx)).nonEmpty)
+    // same names, new mtime — the r12 fingerprint (names only) passed
+    // this and silently served wrong vec_ids
+    val part = new java.io.File(s"$cDir/embeddings.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.setLastModified(part.lastModified() + 5000))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.searchLsh(spark, cDir, idx)
+    }
+    assert(e.getMessage.contains("different corpus"))
   }
 
   test("a leftover build.tmp never shadows the published index; rebuild replaces") {
