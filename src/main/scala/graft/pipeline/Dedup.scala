@@ -498,15 +498,33 @@ object Dedup {
       maxRounds: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, checkpointDir, maxRounds)._1
 
+  /** Edge floor for the driver union-find fast path: ≤ 2^20 edges is
+    * ~16 MB of ids — a bounded collect in the same class as the ANN
+    * centroid sample or the BPE merge table. A dup-heavy 100 TB corpus
+    * blows past it and runs the distributed loop; a curated one whose
+    * above-threshold pair graph is small (the common case — pairs are
+    * the EXCEPTION in a deduped corpus) skips 3–4 shuffle rounds whose
+    * cost is pure per-job overhead at that size. */
+  private[pipeline] val DriverCcFloor: Int = 1 << 20
+
   /** As `connectedComponents`, also returning the number of contraction
-    * rounds run (the O(log n) bound is spec-pinned on a path graph). */
+    * rounds run (the O(log n) bound is spec-pinned on a path graph;
+    * the driver fast path reports 0). `driverFloor` exists for specs
+    * that pin the distributed machinery (0 forces the fixpoint loop). */
   def connectedComponentsWithRounds(pairs: DataFrame,
       checkpointDir: Option[String] = None,
-      maxRounds: Int = 50): (DataFrame, Int) = {
+      maxRounds: Int = 50,
+      driverFloor: Int = DriverCcFloor): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // LAZY checkpoints: the round's `sig` aggregate below is the first
+    // action on each cut frame, so ONE job both materializes the
+    // checkpoint blocks and computes the convergence signature — the
+    // eager form paid a separate materialization job per round (r12
+    // plan-audit finding; ~20% of the fixpoint loop's wall time)
     def cut(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     // materialize the pair source ONCE: nodes and edges both derive from
     // it, and cutting each separately would execute the (often expensive —
     // a minhash-band or jaccard join) upstream plan twice
@@ -528,6 +546,50 @@ object Dedup {
         sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)")),
         expr("bit_xor(xxhash64(u, v))")).head()
     var edgesSig = sig(edges)
+    // SMALL-GRAPH FAST PATH: the sig count is in hand; when the distinct
+    // edge set fits the driver floor, a union-find finishes in one tiny
+    // job over the already-checkpointed blocks instead of 3–4 fixpoint
+    // rounds of window+distinct shuffles (per-round overhead dominates at
+    // this size — measured ~0.8 s of the 2.4 s dedup_clusters_exact
+    // median at sf0.1). Node set is collected with its own bound (it can
+    // exceed 2·edges only via self-loop-only nodes); overflow falls
+    // through to the distributed loop.
+    if (edgesSig.getLong(0) <= driverFloor) {
+      // ONE narrow collect serves edges AND the node set: proper edges
+      // plus self-loop rows (nodes edges filtered out), read straight
+      // off the blocks the sig job just persisted — no distinct shuffle.
+      // The limit bounds runaway self-loop duplication (then: fall
+      // through to the distributed loop).
+      val bound = 2 * driverFloor + 2
+      val rows = edges.select(col("u"), col("v"))
+        .unionByName(p0.filter(col("a_id") === col("b_id"))
+          .select(col("a_id").as("u"), col("b_id").as("v")))
+        .limit(bound).collect()
+      if (rows.length < bound) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x
+          while (parent.getOrDefault(c, c) != c) {
+            val nx = parent.get(c); parent.put(c, r); c = nx
+          }
+          r
+        }
+        val nodeIds = new java.util.TreeSet[java.lang.Long]()
+        rows.foreach { e =>
+          val (a, b) = (e.getLong(0), e.getLong(1))
+          nodeIds.add(a); nodeIds.add(b)
+          val (ra, rb) = (find(a), find(b))
+          // larger root onto smaller → every root is its component's min
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodeIds.size)
+        nodeIds.forEach(id => labels += ((id.longValue, find(id.longValue))))
+        import spark.implicits._
+        return (labels.toSeq.toDF("doc_id", "cluster"), 0)
+      }
+    }
     var converged = edgesSig.getLong(0) == 0L
     var round = 0
     while (!converged && round < maxRounds) {

@@ -246,19 +246,27 @@ class PipelineSpec extends SparkSpec {
     // min-label propagation would need 8+ rounds here (one per hop);
     // star contraction must collapse the whole path to min=0 in <= 4
     val pairs = (0L until 8L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val (ccDf, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    // driverFloor=0 forces the distributed fixpoint loop (the default
+    // would take the driver union-find fast path on a graph this small)
+    val (ccDf, rounds) =
+      Dedup.connectedComponentsWithRounds(pairs, driverFloor = 0)
     val cc = ccDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size === 9)
     assert(cc.values.toSet === Set(0L))
-    assert(rounds <= 4, s"star contraction took $rounds rounds")
+    assert(rounds >= 1 && rounds <= 4, s"star contraction took $rounds rounds")
+    // the default (driver fast path) must agree exactly
+    val (ccFast, roundsFast) = Dedup.connectedComponentsWithRounds(pairs)
+    assert(roundsFast === 0, "small graph should take the driver path")
+    assert(ccFast.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === cc)
     // reliable-checkpoint variant agrees
     val dir = java.nio.file.Files.createTempDirectory("graft-cc").toString
-    val cc2 = Dedup.connectedComponents(pairs, checkpointDir = Some(dir)).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc2 = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc2 === cc)
     // runaway guard trips rather than returning a wrong answer
     intercept[IllegalStateException](
-      Dedup.connectedComponents(pairs, maxRounds = 2).collect())
+      Dedup.connectedComponentsWithRounds(pairs, maxRounds = 2,
+        driverFloor = 0)._1.collect())
   }
 
   test("connected components match a driver union-find on random graphs") {
@@ -283,9 +291,15 @@ class PipelineSpec extends SparkSpec {
       }
       val present = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val expected = present.map(id => id -> find(id.toInt).toLong).toMap
-      val got = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+      // distributed star contraction (floor 0) AND the default driver
+      // fast path must both match the reference union-find
+      val got = Dedup.connectedComponentsWithRounds(edges.toDF("a_id", "b_id"),
+        driverFloor = 0)._1
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected, s"n=$n m=$m")
+      val gotFast = Dedup.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotFast === expected, s"fast path diverged: n=$n m=$m")
     }
   }
 
