@@ -247,7 +247,10 @@ object Bench {
     // min must itself be <⅔ of prev, so one lucky pass can't flag).
     // Explanations: same plan hash = residual jitter; changed = a plan
     // change to audit; legacy = prev hashes use the old normalization.
-    val regressions = results.collect {
+    // Emitted as "changes" with an explicit "dir" — the r12 field name
+    // "regressions" read as failures to anyone grepping artifacts even
+    // when every entry was a >2× SPEEDUP.
+    val changes = results.collect {
       case (name, _) if nowFor.get(name).exists(_ > 0.0) &&
           prevMed.get(name).exists { p =>
             p > 0.0 && {
@@ -269,7 +272,8 @@ object Bench {
             case (Some(_), Some(_)) => "changed"
             case _ => "unknown"
           }
-        (name, prev, now, plan)
+        val dir = if (now / drift > prev) "slower" else "faster"
+        (name, prev, now, plan, dir)
     }
 
     def r3(v: Double): String = BigDecimal(v)
@@ -285,18 +289,18 @@ object Bench {
     val shufParts = spark.conf.get("spark.sql.shuffle.partitions", cpus)
     spark.stop()
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // regressions ride the STDOUT line too (at the end, inside the
+    // changes ride the STDOUT line too (at the end, inside the
     // driver's 2000-char tail): a >2× round-over-round move is loud in
-    // BENCH_r{N}.json itself, already explained
-    val regJson = regressions.map { case (n, p, now, plan) =>
+    // BENCH_r{N}.json itself, already explained and direction-tagged
+    val regJson = changes.map { case (n, p, now, plan, dir) =>
       val mn = minAdj.getOrElse(n, -1.0)
-      s"""{"q":"$n","prev":${r3(p)},"now":${r3(now)},"norm_now":${r3(now / drift)},"min_norm":${r3(if (mn > 0) mn / drift else mn)},"plan":"$plan"}"""
+      s"""{"q":"$n","dir":"$dir","prev":${r3(p)},"now":${r3(now)},"norm_now":${r3(now / drift)},"min_norm":${r3(if (mn > 0) mn / drift else mn)},"plan":"$plan"}"""
     }.mkString("[", ",", "]")
     val cpusInt = scala.util.Try(cpus.toInt).getOrElse(-1)
     // calibration + drift ride the END of the line (the driver tails
     // stdout to 2000 chars — trailing fields always survive)
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"cpus":$cpusInt,"shuffle_partitions":"$shufParts","calibration":${r3(calMed)},"cal_drift":${r3(drift)},"total_norm":${r3(total / drift)},"regressions":$regJson}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"cpus":$cpusInt,"shuffle_partitions":"$shufParts","calibration":${r3(calMed)},"cal_drift":${r3(drift)},"total_norm":${r3(total / drift)},"changes":$regJson}"""
     // the driver keeps only a 2000-char tail of stdout — persist the full
     // per-pass record so timings survive for every round. Path resolved
     // against the repo (user.dir), not whatever cwd the forked JVM got.

@@ -186,7 +186,11 @@ object ScaleSmoke {
     * real 100 TB star shape; see FactLaneShapes' broadcast criterion). */
   val ProbeShapes: Seq[String] =
     Seq("pipeline_keep_list", "dedup_clusters", "pipeline_e2e",
-      "q5_multijoin", "q9_product_profit", "q21_waiting_supplier")
+      "q5_multijoin", "q9_product_profit", "q21_waiting_supplier",
+      // round-13: the exact-jaccard CC chain (pair join + star
+      // contraction / driver union-find dispatch) and the hybrid
+      // BM25+vector RRF fusion (two top-k lanes + a rank join)
+      "dedup_clusters_exact", "ann_hybrid_rrf")
 
   /** Skew-lane shapes that DISPATCH between twins (auto → (direct,
     * bucketed)): their verdict compares against the better twin per
