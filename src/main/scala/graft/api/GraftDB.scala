@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -1246,19 +1246,58 @@ class GraftDB(spark: SparkSession, root: String,
         }
       case other => (None, other)
     }
-    indexed match {
-      case None => DocStore.queryFused(collection(db, coll), q)
-      case Some(FieldFilter(f, op, v)) =>
-        val lit0 = v match {
-          case FieldValue.I64(x) => lit(x)
-          case FieldValue.Dbl(x) => lit(x)
-          case FieldValue.Bool(x) => lit(x)
-          case FieldValue.Str(x) => lit(x)
-          case FieldValue.Arr(_) =>
-            throw new IllegalStateException("array operand is never indexable")
+    def scalarLit(v: FieldValue): Column = v match {
+      case FieldValue.I64(x) => lit(x)
+      case FieldValue.Dbl(x) => lit(x)
+      case FieldValue.Bool(x) => lit(x)
+      case FieldValue.Str(x) => lit(x)
+      case FieldValue.Arr(_) =>
+        throw new IllegalStateException("array operand is never indexable")
+    }
+    // KEYSET-CURSOR range for the index scan: a cursor on the LEADING
+    // order key narrows the index exactly like a range filter — the
+    // O(page) pagination story against the index. Only the
+    // null-REJECTING side can narrow (the index drops null keys, and
+    // the other side's tuple-compare ADMITS null keys, which sort
+    // before/after everything): ascending head key ⇒ startAt implies
+    // idx_key >= v; descending ⇒ endAt implies idx_key >= v. Both
+    // derivable sides are relaxations — the full tuple-compare still
+    // runs in the fused compiler over the narrowed rows, so this is
+    // purely a scan reduction, never a semantics change.
+    // ... and only when the cursor value, the order witness and the
+    // index key all agree on ONE type: an Int64 index narrows
+    // numerically while a string-witnessed ordering compares
+    // lexicographically ("10" < "9"), so a type-crossed bound would
+    // drop rows the query admits.
+    def sparkTypeOf(v: FieldValue): org.apache.spark.sql.types.DataType = v match {
+      case FieldValue.I64(_) => org.apache.spark.sql.types.LongType
+      case FieldValue.Dbl(_) => org.apache.spark.sql.types.DoubleType
+      case FieldValue.Bool(_) => org.apache.spark.sql.types.BooleanType
+      case FieldValue.Str(_) => org.apache.spark.sql.types.StringType
+      case FieldValue.Arr(_) => org.apache.spark.sql.types.NullType
+    }
+    val cursorBound: Option[(String, FieldValue)] =
+      q.orderBy.headOption.flatMap { o =>
+        val side = if (o.desc) q.endAt else q.startAt
+        side.flatMap(_.values.headOption.flatten) match {
+          case Some(v) if !v.isInstanceOf[FieldValue.Arr] &&
+              v.getClass == o.keyType.getClass &&
+              hasIndex(db, coll, o.field) &&
+              index(db, coll, o.field).schema.find(_.name == "idx_key")
+                .exists(_.dataType == sparkTypeOf(v)) =>
+            Some((o.field, v))
+          case _ => None
         }
-        val key = col("idx_key")
-        val pred = op match {
+      }
+    if (indexed.isEmpty && cursorBound.isEmpty)
+      return DocStore.queryFused(collection(db, coll), q)
+    val key = col("idx_key")
+    // pick the scan: the where-filter's index wins; the cursor bound
+    // ANDs in when it binds the same field, else it serves alone
+    val (f, pred) = indexed match {
+      case Some(FieldFilter(f0, op, v)) =>
+        val lit0 = scalarLit(v)
+        val base = op match {
           case Op.Eq => key === lit0
           case Op.Neq => key =!= lit0
           case Op.Lt => key < lit0
@@ -1268,22 +1307,29 @@ class GraftDB(spark: SparkSession, root: String,
           // membership/array/regex ops are filtered out by indexable() above
           case _ => lit(true)
         }
-        val ids = index(db, coll, f).filter(pred).select(col("_id"))
-        // Selective lookups (the indexed-Eq hot path) collect the small
-        // surviving id set and PUSH it into the log scan via
-        // collectionForIds — the parquet reader then skips every block
-        // whose id range excludes the set, so the lookup reads
-        // O(matching blocks), not the whole log. Unselective predicates
-        // keep the distributed left-semi join (never a big driver
-        // collect).
-        val probe = ids.limit(MaxPushedIds + 1).collect()
-        val narrowed =
-          if (probe.length <= MaxPushedIds)
-            collectionForIds(db, coll, probe.map(_.getLong(0)).toSeq).df
-          else collection(db, coll).df
-            .join(ids, Seq("_id"), "left_semi")
-        DocStore.queryFused(DocCollection(coll, narrowed), q.copy(where = rest))
+        cursorBound match {
+          case Some((cf, cv)) if cf == f0 => (f0, base && key >= scalarLit(cv))
+          case _ => (f0, base)
+        }
+      case None =>
+        val (cf, cv) = cursorBound.get
+        (cf, key >= scalarLit(cv))
     }
+    val ids = index(db, coll, f).filter(pred).select(col("_id"))
+    // Selective lookups (the indexed-Eq hot path) collect the small
+    // surviving id set and PUSH it into the log scan via
+    // collectionForIds — the parquet reader then skips every block
+    // whose id range excludes the set, so the lookup reads
+    // O(matching blocks), not the whole log. Unselective predicates
+    // keep the distributed left-semi join (never a big driver
+    // collect).
+    val probe = ids.limit(MaxPushedIds + 1).collect()
+    val narrowed =
+      if (probe.length <= MaxPushedIds)
+        collectionForIds(db, coll, probe.map(_.getLong(0)).toSeq).df
+      else collection(db, coll).df
+        .join(ids, Seq("_id"), "left_semi")
+    DocStore.queryFused(DocCollection(coll, narrowed), q.copy(where = rest))
   }
 
   /** Max index-lookup ids pushed as an In filter into the log scan;

@@ -90,6 +90,11 @@ class PlanAuditSpec extends SparkSpec {
         "quantizer training sample, capped at max(16384, 256*c) vectors"),
       "pipeline/Bpe.scala" -> (1,
         "BPE vocab candidates, capped by .limit(65536) upstream"),
+      "pipeline/Dedup.scala" -> (1,
+        "connected-components driver fast path: guarded by the signature " +
+          "count <= DriverCcFloor (2^20 distinct edges, ~16 MB) and a " +
+          ".limit(2*floor+2) on the collect itself; above the floor the " +
+          "distributed star-contraction loop runs instead"),
       "api/GraftDB.scala" -> (8,
         "rollup-manifest listing (rows = rollup batches, the Delta-log " +
           "analog), newest-snapshot probe (.headOption), per-batch rollup " +

@@ -21,6 +21,17 @@ class PlanPinsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("doc_cursor_page: tuple-compare filter at the scan + TakeOrderedAndProject") {
+    val p = planOf("doc_cursor_page")
+    // keyset paging must be a FILTER fused into the scan stage plus a
+    // per-partition top-N — never a global Sort, never an offset rescan
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Sort ")))
+    assert(shuffles(p) === 0)
+    // both cursor bounds evaluate inside one Filter over the collection
+    assert(p.contains("Filter"))
+  }
+
   test("doc_index_extract is a pure scan-project: zero exchanges") {
     val p = planOf("doc_index_extract")
     assert(shuffles(p) === 0)

@@ -172,6 +172,57 @@ class GraftDBSpec extends SparkSpec {
     assert(rowsRead > 0 && rowsRead <= 200, s"log scan read $rowsRead rows")
   }
 
+  test("keyset cursor on the leading order key prunes the log scan via the index") {
+    import graft.docstore._
+    import graft.docstore.FieldValue._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val db = freshDb()
+    db.createCollection("d1", "c")
+    (0 until 5).foreach { b =>
+      db.addDocuments("d1", "c",
+        (0 until 200).map(i => s"""{"rate":${b * 200 + i},"blk":$b}"""))
+    }
+    db.addIndex("d1", "c", "rate", "Int64Key")
+    // NO where filter — paging alone must ride the index: asc head key +
+    // startAt derives idx_key >= 899, ~100 surviving ids get id-pushed
+    val q = StructuredQuery(
+      orderBy = Seq(Order("rate", keyType = I64(0))),
+      startAt = Some(Cursor(Seq(Some(I64(899))), inclusive = false)),
+      limit = Some(50))
+    val viaIdx = db.queryWithIndex("d1", "c", q)
+    assert(DocFuzz.canon(viaIdx) === DocFuzz.canon(db.query("d1", "c", q)))
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val logScans = scans(viaIdx.queryExecution.executedPlan)
+      .filter(_.metadata.get("PushedFilters").exists(m =>
+        m.contains("In(id") || m.contains("EqualTo(id")))
+    assert(logScans.nonEmpty, "cursor bound never reached the log scan as an id push")
+    viaIdx.collect()
+    val rowsRead = logScans.map(_.metrics("numOutputRows").value).sum
+    assert(rowsRead > 0 && rowsRead <= 200,
+      s"cursor-pruned scan read $rowsRead of 1000 log rows")
+    // the null-ADMITTING side (asc endAt) derives no bound — and must
+    // still return exactly the full-scan answer
+    val qEnd = StructuredQuery(
+      orderBy = Seq(Order("rate", keyType = I64(0))),
+      endAt = Some(Cursor(Seq(Some(I64(99))))),
+      limit = Some(25))
+    assert(DocFuzz.canon(db.queryWithIndex("d1", "c", qEnd)) ===
+      DocFuzz.canon(db.query("d1", "c", qEnd)))
+    // desc head key: endAt is the null-rejecting side and DOES derive
+    val qDesc = StructuredQuery(
+      orderBy = Seq(Order("rate", desc = true, keyType = I64(0))),
+      endAt = Some(Cursor(Seq(Some(I64(950))))),
+      limit = Some(25))
+    assert(DocFuzz.canon(db.queryWithIndex("d1", "c", qDesc)) ===
+      DocFuzz.canon(db.query("d1", "c", qDesc)))
+  }
+
   test("nested dotted paths work end-to-end: queryStr, addIndex, queryWithIndex") {
     import graft.docstore._
     import graft.docstore.FieldValue._
