@@ -76,7 +76,7 @@ object AnnIndex {
     s""""bits":${params.bits},"tables":${params.tables},"gens":$gens}"""
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ArtifactIo.fsOf(spark, p)
 
   /** Stage one generation's encodings under `genTmp`: assignment to the
     * FIXED centroids, PQ codes from the FIXED codebooks, LSH bands (the
@@ -142,24 +142,11 @@ object AnnIndex {
     writeGen(e, cents, flat, params, s"$tmp/gen0")
 
     // manifest LAST inside tmp — the commit point travels with the data
-    val manifest = manifestJson(fingerprint(spark, e), params, gens = 1)
-    val out = fs.create(new Path(tmp, ManifestName), true)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
-
-    // two-rename publish (the Layout.compactSmallFiles pattern): a
-    // crash never leaves ZERO committed indexes on disk — between the
-    // renames the old index lives at `.old` (restored by selfHeal).
-    // delete-then-rename would have a window where the only complete
-    // index is the unpublished tmp the next build's first act deletes.
-    val oldP = new Path(p.getParent, p.getName + ".old")
-    fs.delete(oldP, true)
-    if (fs.exists(p) && !fs.rename(p, oldP))
-      throw new java.io.IOException(s"annindex: cannot retire $p")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(oldP, p) // roll back — previous index untouched
-      throw new java.io.IOException(s"annindex: cannot publish $tmp -> $p")
-    }
-    fs.delete(oldP, true)
+    ArtifactIo.writeText(fs, new Path(tmp, ManifestName),
+      manifestJson(fingerprint(spark, e), params, gens = 1))
+    // two-rename publish (the Layout.compactSmallFiles pattern) — see
+    // ArtifactIo.publish for the crash-window argument
+    ArtifactIo.publish(spark, indexDir, tmp)
   }
 
   /** Incremental ingestion: index the corpus's vectors that no committed
@@ -201,7 +188,7 @@ object AnnIndex {
       writeGen(fresh, cents, readCodebooks(spark, indexDir), params, genTmp.toString)
       if (!fs.rename(genTmp, genP))
         throw new java.io.IOException(s"annindex: cannot stage $genP")
-      swapManifest(fs, p,
+      ArtifactIo.swapManifest(fs, p, ManifestName,
         manifestJson(fingerprint(spark, e), params, gens = n + 1))
     } finally fresh.unpersist()
   }
@@ -219,57 +206,14 @@ object AnnIndex {
     (0 until gens).map(i => spark.read.parquet(s"$indexDir/gen$i/$sub"))
       .reduce(_ unionByName _)
 
-  /** Commit point of an append: write `.new`, drop the old manifest,
-    * rename in. Both crash windows are safe — old+`.new` heals to the
-    * OLD manifest (the staged gen is redone by the next append); `.new`
-    * alone heals forward to the new one (its gen dir landed first). */
-  private def swapManifest(fs: FileSystem, indexDir: Path, txt: String): Unit = {
-    val mp = new Path(indexDir, ManifestName)
-    val np = new Path(indexDir, ManifestName + ".new")
-    val out = fs.create(np, true)
-    try out.write(txt.getBytes("UTF-8")) finally out.close()
-    fs.delete(mp, false)
-    if (!fs.rename(np, mp))
-      throw new java.io.IOException(s"annindex: cannot commit manifest at $mp")
-  }
-
-  private def selfHealManifest(spark: SparkSession, indexDir: String): Unit = {
-    val mp = new Path(indexDir, ManifestName)
-    val np = new Path(indexDir, ManifestName + ".new")
-    val fs = fsOf(spark, mp)
-    if (fs.exists(np)) {
-      if (fs.exists(mp)) fs.delete(np, false) // swap never started: old wins
-      else if (!fs.rename(np, mp)) // swap half-done: finish forward
-        throw new java.io.IOException(s"annindex: cannot heal manifest at $mp")
-    }
-  }
-
-  /** Restore an index a crashed build left retired at `.old` (crash
-    * between the publish renames). Called by every loader AND by build
+  /** Restore an index a crashed build left retired at `.old` — see
+    * [[ArtifactIo.healRetired]]. Called by every loader AND by build
     * itself before it touches `.old`. */
-  private def selfHeal(spark: SparkSession, indexDir: String): Unit = {
-    val p = new Path(indexDir)
-    val fs = fsOf(spark, p)
-    val oldP = new Path(p.getParent, p.getName + ".old")
-    if (!fs.exists(p) && fs.exists(oldP)) {
-      if (!fs.rename(oldP, p))
-        throw new java.io.IOException(s"annindex: cannot restore $oldP")
-    }
-  }
+  private def selfHeal(spark: SparkSession, indexDir: String): Unit =
+    ArtifactIo.healRetired(spark, indexDir)
 
-  private def readManifest(spark: SparkSession, indexDir: String): Map[String, String] = {
-    selfHeal(spark, indexDir)
-    selfHealManifest(spark, indexDir)
-    val mp = new Path(indexDir, ManifestName)
-    val fs = fsOf(spark, mp)
-    require(fs.exists(mp),
-      s"$indexDir has no $ManifestName — not a committed index (crashed build?)")
-    val in = fs.open(mp)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    "\"([a-z_]+)\":\"?([0-9a-f]+)\"?".r.findAllMatchIn(txt)
-      .map(m => m.group(1) -> m.group(2)).toMap
-  }
+  private def readManifest(spark: SparkSession, indexDir: String): Map[String, String] =
+    ArtifactIo.readManifest(spark, indexDir, ManifestName, "index")
 
   /** Validate the manifest against the serving corpus + expected params,
     * returning the manifest (loaders need `gens`). Corpus check is

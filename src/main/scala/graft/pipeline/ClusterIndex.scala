@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+import graft.sources.Tables
+
+/** Persisted NEAR-DUP CLUSTER artifact — the cluster-maintenance twin of
+  * AnnIndex: clustering a 100 TB corpus is a train-once job whose output
+  * is TABLES, and corpus growth must cost O(delta + touched clusters),
+  * never a full re-pair + re-CC. Built over the exact n-gram-jaccard
+  * pair graph (threshold 0.5 — `dedup_ngram_jaccard`'s semantics; the
+  * merge algebra is `Dedup.mergeDelta`, oracle-pinned in the
+  * `dedup_clusters_incremental` CORRECTNESS row).
+  *
+  * Layout under `indexDir` (all parquet):
+  *   gen<N>/members/   (doc_id, cluster) — gen0: the full membership;
+  *                     later gens: rows whose label CHANGED plus docs
+  *                     entering membership (latest gen wins per doc)
+  *   gen<N>/covered/   (doc_id)          — every doc that gen indexed
+  *                     (including pairless singletons — the append
+  *                     anti-join's ledger)
+  *   gen<N>/shingles/  (lang, sh, rid, sz) — the gen's rep inverted
+  *                     index; the union across gens is the corpus side
+  *                     of the next delta's candidate join (same-content
+  *                     reps across gens reconnect at jaccard 1.0, so
+  *                     per-gen rep collapse loses nothing)
+  *   _CLUSTER_MANIFEST.json — commit point ({version, threshold, gens})
+  *
+  * Publish discipline = ArtifactIo's: build stages under `.build.tmp`
+  * with the manifest last and publishes by two renames; append stages
+  * `gen<N>.tmp`, renames it in (still invisible), and commits by the
+  * manifest swap. Crashed appends leave an orphan gen the next append
+  * deletes and rebuilds; every loader self-heals both windows.
+  *
+  * Contract: doc_ids are immutable content ids — the corpus GROWS, it is
+  * never rewritten in place under the same ids (the append anti-join
+  * keys on doc_id; a mutated text behind a covered id would go unseen.
+  * GraftDB's append-only block log is exactly this discipline). */
+object ClusterIndex {
+
+  private val ManifestName = "_CLUSTER_MANIFEST.json"
+  private val Version = 1
+  /** The pair threshold is baked into `Dedup.jaccardPairsOf` (0.5);
+    * recorded in the manifest so a future threshold change can refuse
+    * stale artifacts instead of silently mixing semantics. */
+  private val Threshold = 0.5
+
+  private def manifestJson(gens: Int): String =
+    s"""{"version":$Version,"threshold":$Threshold,"gens":$gens}"""
+
+  private def docsOf(spark: SparkSession, corpusDir: String): DataFrame =
+    Tables.documents(spark, corpusDir)
+      .select(col("doc_id"), col("lang"), trim(col("text")).as("t"))
+
+  private def readManifest(spark: SparkSession, indexDir: String): Map[String, String] = {
+    val m = ArtifactIo.readManifest(spark, indexDir, ManifestName, "cluster index")
+    require(m.get("threshold").contains(Threshold.toString),
+      s"cluster index $indexDir was built at threshold " +
+        s"${m.getOrElse("threshold", "?")}, this build is $Threshold")
+    m
+  }
+
+  private def readGens(spark: SparkSession, indexDir: String, gens: Int,
+      sub: String): DataFrame =
+    (0 until gens).map(i => spark.read.parquet(s"$indexDir/gen$i/$sub"))
+      .reduce(_ unionByName _)
+
+  /** Full clustering of the corpus, persisted as gen0. */
+  def build(spark: SparkSession, corpusDir: String, indexDir: String): Unit = {
+    ArtifactIo.healRetired(spark, indexDir)
+    val p = new Path(indexDir)
+    val fs = ArtifactIo.fsOf(spark, p)
+    val tmp = new Path(p.getParent, p.getName + ".build.tmp")
+    fs.delete(tmp, true)
+    val docs = docsOf(spark, corpusDir)
+    Dedup.connectedComponents(
+        Dedup.jaccardPairsOf(docs).select(col("a_id"), col("b_id")))
+      .write.parquet(s"$tmp/gen0/members")
+    docs.select(col("doc_id")).write.parquet(s"$tmp/gen0/covered")
+    Dedup.repIndexOf(docs).write.parquet(s"$tmp/gen0/shingles")
+    ArtifactIo.writeText(fs, new Path(tmp, ManifestName), manifestJson(1))
+    ArtifactIo.publish(spark, indexDir, tmp)
+  }
+
+  /** Merge the corpus's docs no committed generation covers — one
+    * `Dedup.mergeDelta` against the persisted artifacts, committed as
+    * the next generation by the manifest swap. Only the touched
+    * clusters' rows are rewritten; the untouched corpus is never read
+    * past the membership join. */
+  def append(spark: SparkSession, corpusDir: String, indexDir: String): Unit = {
+    val n = readManifest(spark, indexDir)("gens").toInt
+    val covered = readGens(spark, indexDir, n, "covered")
+    val delta = docsOf(spark, corpusDir)
+      .join(covered, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (delta.limit(1).count() == 0L) return // nothing new: no-op
+      val p = new Path(indexDir)
+      val fs = ArtifactIo.fsOf(spark, p)
+      val genP = new Path(s"$indexDir/gen$n")
+      val genTmp = new Path(s"$indexDir/gen$n.tmp")
+      fs.delete(genTmp, true)
+      fs.delete(genP, true) // a crashed append's orphan — uncommitted garbage
+      val old = members(spark, indexDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val merged = Dedup.mergeDelta(old,
+          readGens(spark, indexDir, n, "shingles"), delta)
+        // latest-gen-wins read model: persist only the rows this merge
+        // MOVED (label changed) or CREATED (doc entered membership)
+        val prev = old.select(col("doc_id"), col("cluster").as("__old"))
+        merged.join(prev, Seq("doc_id"), "left")
+          .filter(col("__old").isNull || col("cluster") =!= col("__old"))
+          .select(col("doc_id"), col("cluster"))
+          .write.parquet(s"$genTmp/members")
+      } finally old.unpersist()
+      delta.select(col("doc_id")).write.parquet(s"$genTmp/covered")
+      Dedup.repIndexOf(delta).write.parquet(s"$genTmp/shingles")
+      if (!fs.rename(genTmp, genP))
+        throw new java.io.IOException(s"clusterindex: cannot stage $genP")
+      ArtifactIo.swapManifest(fs, p, ManifestName, manifestJson(n + 1))
+    } finally delta.unpersist()
+  }
+
+  /** Current membership (doc_id, cluster): union the committed gens,
+    * latest gen wins per doc. One shuffle on doc_id; at 100 TB `compact`
+    * folds the gens back to one so reads stay O(1) dirs. */
+  def members(spark: SparkSession, indexDir: String): DataFrame = {
+    val n = readManifest(spark, indexDir)("gens").toInt
+    val all = (0 until n).map(i =>
+      spark.read.parquet(s"$indexDir/gen$i/members")
+        .select(col("doc_id"), col("cluster"), lit(i).as("__gen")))
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__gen").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("cluster"))
+  }
+
+  /** Fold every committed generation back into a single gen0 — the
+    * rollup-compaction story for this artifact: reads after many appends
+    * pay a per-gen listing + a latest-wins shuffle; compaction restores
+    * the build-fresh shape. Staged as a full `.build.tmp` (resolved
+    * membership + unioned ledgers) and published by the same two-rename
+    * discipline as build, so a crash anywhere leaves the multi-gen
+    * artifact intact and serving. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val n = readManifest(spark, indexDir)("gens").toInt
+    if (n <= 1) return
+    val p = new Path(indexDir)
+    val fs = ArtifactIo.fsOf(spark, p)
+    val tmp = new Path(p.getParent, p.getName + ".build.tmp")
+    fs.delete(tmp, true)
+    members(spark, indexDir).write.parquet(s"$tmp/gen0/members")
+    readGens(spark, indexDir, n, "covered").write.parquet(s"$tmp/gen0/covered")
+    readGens(spark, indexDir, n, "shingles").write.parquet(s"$tmp/gen0/shingles")
+    ArtifactIo.writeText(fs, new Path(tmp, ManifestName), manifestJson(1))
+    ArtifactIo.publish(spark, indexDir, tmp)
+  }
+}

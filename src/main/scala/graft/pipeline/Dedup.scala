@@ -97,7 +97,15 @@ object Dedup {
     jaccardCache.clear()
   }
 
-  private[pipeline] def dedupNgramJaccardPlan(spark: SparkSession, dir: String): DataFrame = {
+  private[pipeline] def dedupNgramJaccardPlan(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), trim(col("text")).as("t")))
+
+  /** The jaccard pair join over an arbitrary doc set `docs`
+    * (doc_id, lang, t) — extracted so the incremental clustering path
+    * can run the IDENTICAL pair semantics over a sub-slice (the
+    * equivalence the merge algebra rests on). */
+  private[pipeline] def jaccardPairsOf(docs0: DataFrame): DataFrame = {
     // Exact set-similarity join via inverted index, over UNIQUE content:
     // explode distinct shingles, join on (lang, shingle) so only pairs
     // sharing content ever materialize, |∩| = co-occurrence count,
@@ -120,9 +128,7 @@ object Dedup {
     // join key = distinct 64-bit shingle hashes straight off the token
     // array (no shingle strings ever materialize; collision odds ~1e-10
     // at 1e6 distinct shingles — below the noise floor).
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), trim(col("text")).as("t"))
-      .withColumn("tk", md5(col("t")))
+    val docs = docs0.withColumn("tk", md5(col("t")))
     val members = docs.select(col("lang"), col("tk"), col("doc_id"))
     // min(t), not first(t): every t in a (lang, md5(t)) group is the same
     // string, and min keeps the aggregate hash-based (first() is
@@ -757,6 +763,129 @@ object Dedup {
       |SELECT u AS doc_id, least(u, MIN(v)) AS cluster
       |FROM reach GROUP BY u""".stripMargin
 
+  /** Representative inverted index of a doc set: one row per
+    * (lang, shingle-hash) of each DISTINCT content's representative —
+    * (lang, sh, rid, sz). The rep collapse is the same duplicate-cluster
+    * armor as the pair join's; `sz == 0` contents (texts under 3 tokens)
+    * index nothing, exactly as the pair join never pairs them. This is
+    * the corpus-side artifact the incremental clustering path joins
+    * against — at 100 TB it is written ONCE per corpus version
+    * (ClusterIndex persists it), never recomputed per arriving batch. */
+  private[pipeline] def repIndexOf(docs: DataFrame): DataFrame =
+    docs.withColumn("tk", md5(col("t")))
+      .groupBy(col("lang"), col("tk"))
+      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
+      .withColumn("ng", shingle_hashes(split(col("t"), "\\s+"), 3))
+      .withColumn("sz", size(col("ng")).cast("long"))
+      .filter(col("sz") > 0)
+      .select(col("lang"), col("rid"), col("sz"), explode(col("ng")).as("sh"))
+
+  /** INCREMENTAL CLUSTER MAINTENANCE — merge a delta batch into an
+    * existing clustering without recomputing the corpus's components.
+    * `members` is the current clustering (doc_id, cluster = component
+    * min over the corpus pair graph); `corpusIdx` the corpus's rep
+    * inverted index ([[repIndexOf]]); `delta` the arriving docs
+    * (doc_id, lang, t). Output: the FULL new membership, row-identical
+    * to one-shot clustering of corpus ∪ delta (spec + oracle pinned).
+    *
+    * The algebra works on a CONTRACTED graph — each existing cluster is
+    * one node (its label), each distinct delta content one rep — so the
+    * merge costs O(delta + its shared content), never O(corpus):
+    *   E1  delta member → its content rep (same-content docs pair at
+    *       jaccard 1.0 whenever they shingle at all)
+    *   E4  delta rep × delta rep with jaccard ≥ 0.5 (inverted join)
+    *   E3  delta rep × corpus rep with jaccard ≥ 0.5, the corpus id
+    *       CONTRACTED to its cluster label (or itself when unclustered)
+    * Connected components over E1 ∪ E4 ∪ E3 then yield, per contracted
+    * component, its min id — which IS the global min of the merged
+    * underlying component: every contracted node (old label, delta id,
+    * corpus singleton id) is the minimum of what it stands for. Old
+    * members relabel through one (old label → new label) map join —
+    * only clusters the delta actually touched move; fresh nodes (delta
+    * docs, corpus docs paired for the first time) append. */
+  private[pipeline] def mergeDelta(members: DataFrame, corpusIdx: DataFrame,
+      delta: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val d = delta.withColumn("tk", md5(col("t")))
+    val reps = d.groupBy(col("lang"), col("tk"))
+      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
+      .withColumn("ng", shingle_hashes(split(col("t"), "\\s+"), 3))
+      .withColumn("sz", size(col("ng")).cast("long"))
+      .drop("t")
+    // E1: same-content delta members hook onto their rep (sz>0 only —
+    // sub-3-token contents never pair, in the full plan or here)
+    val e1 = d.select(col("lang"), col("tk"), col("doc_id"))
+      .join(reps.select(col("lang"), col("tk"), col("rid"), col("sz")),
+        Seq("lang", "tk"))
+      .filter(col("doc_id") =!= col("rid") && col("sz") > 0)
+      .select(col("doc_id").as("u"), col("rid").as("v"))
+    val dx = reps.filter(col("sz") > 0)
+      .select(col("lang"), col("rid"), col("sz"), explode(col("ng")).as("sh"))
+    // E4: cross-content pairs within the delta (each unordered pair once)
+    val x = dx.select(col("lang"), col("sh"), col("rid").as("a_rid"),
+      col("sz").as("a_sz"))
+    val y = dx.select(col("lang"), col("sh"), col("rid").as("b_rid"),
+      col("sz").as("b_sz"))
+    val e4 = x.join(y, Seq("lang", "sh"))
+      .filter(col("a_rid") < col("b_rid"))
+      .groupBy(col("a_rid"), col("b_rid"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("a_sz") + col("b_sz") - col("inter")) >= threshold)
+      .select(col("a_rid").as("u"), col("b_rid").as("v"))
+    // E3: delta rep × corpus rep (identical contents across the boundary
+    // meet here too — equal shingle sets join at jaccard exactly 1.0)
+    val cx = corpusIdx.select(col("lang"), col("sh"), col("rid").as("c_rid"),
+      col("sz").as("c_sz"))
+    val e3 = cx.join(dx.select(col("lang"), col("sh"), col("rid").as("b_rid"),
+        col("sz").as("b_sz")), Seq("lang", "sh"))
+      .groupBy(col("c_rid"), col("b_rid"), col("c_sz"), col("b_sz"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("c_sz") + col("b_sz") - col("inter")) >= threshold)
+      .select(col("c_rid"), col("b_rid"))
+    // contract the corpus side to cluster labels (unclustered corpus
+    // docs — first-time pairers — stand as themselves)
+    val lab = members.select(col("doc_id").as("c_rid"), col("cluster").as("clab"))
+    val e3c = e3.join(lab, Seq("c_rid"), "left")
+      .select(col("b_rid").as("u"), coalesce(col("clab"), col("c_rid")).as("v"))
+    val cc = connectedComponents(
+      e1.unionByName(e4).unionByName(e3c)
+        .select(col("u").as("a_id"), col("v").as("b_id")))
+    // one label-map join relabels exactly the touched clusters; fresh
+    // nodes (delta ids + corpus first-pairers) append as new members
+    val relabel = cc.select(col("doc_id").as("old_lab"),
+      col("cluster").as("new_lab"))
+    val updated = members.join(relabel,
+        members("cluster") === relabel("old_lab"), "left")
+      .select(members("doc_id"),
+        coalesce(col("new_lab"), members("cluster")).as("cluster"))
+    val fresh = cc.join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    updated.unionByName(fresh)
+  }
+
+  /** Oracle row for the incremental clustering path: cluster the ~80%
+    * corpus slice one-shot, then MERGE the arriving ~20% slice (the same
+    * deterministic hash split as `dedup_incremental`) through
+    * [[mergeDelta]] — the result must equal one-shot clustering of the
+    * WHOLE table, which is exactly `dedup_clusters_exact`'s recursive-CTE
+    * oracle. This is the 100 TB cluster-maintenance story: corpus growth
+    * costs O(delta + touched clusters), not a full re-pair + re-CC;
+    * ClusterIndex persists the artifacts this query derives in-session. */
+  def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val isBatch = pmod(col("doc_id") * 2246822519L, lit(100L)) >= 80
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), trim(col("text")).as("t"))
+    val corpus = docs.filter(!isBatch)
+    val delta = docs.filter(isBatch)
+    val base = connectedComponents(
+      jaccardPairsOf(corpus).select(col("a_id"), col("b_id")))
+    mergeDelta(base, repIndexOf(corpus), delta)
+  }
+
+  /** Same oracle as `dedup_clusters_exact`: the merged result IS the
+    * full clustering. */
+  val dedupClustersIncrementalSql: String = dedupClustersExactSql
+
   /** INCREMENTAL dedup — the continuous-ingestion surface: a new batch
     * (a deterministic ~20% hash slice plays the arriving shard) is
     * deduped against the EXISTING corpus without ever re-deduping the
@@ -842,6 +971,7 @@ object Dedup {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters_exact" -> (dedupClustersExact _),
+    "dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_lines" -> (dedupLines _),
     "dedup_substring" -> (dedupSubstring _),
@@ -860,6 +990,7 @@ object Dedup {
   /** dedup_minhash / dedup_simhash / dedup_embedding are rows-only. */
   val oracles: Map[String, String] = Map(
     "dedup_clusters_exact" -> dedupClustersExactSql,
+    "dedup_clusters_incremental" -> dedupClustersIncrementalSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_substring" -> dedupSubstringSql,
