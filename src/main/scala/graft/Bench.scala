@@ -25,8 +25,43 @@ import scala.util.control.NonFatal
   * change alone cannot flip "plan" to "changed". The full per-pass
   * record is persisted to bench_out.json (stdout keeps only the
   * medians — the driver tails it to 2000 chars).
+  *
+  * DATA-MOVEMENT LANE (r13): a SparkListener sums stage-level shuffle
+  * read/write and spill bytes; drained snapshots around each timed run
+  * attribute them per query. Bytes are plan-deterministic — no box
+  * noise — so the gate is tighter than the time gate: same-config
+  * shuffle growth >1.3× AND >16 MB flags in "data_flags" with the
+  * plan-hash verdict, and ANY spill lands the query name in "spilled"
+  * (zero-spill across the suite is the headline a 100 TB sizing story
+  * rests on). Per-query maps persist in bench_out.json as
+  * "shuffle_mb" / "shuffle_read_mb" / "spill_mb".
   */
 object Bench {
+  /** Data-movement counters for the bench's shuffle/spill lane:
+    * stage-level task metrics (already aggregated across the stage's
+    * tasks by the scheduler) summed into atomics. Deltas between
+    * drained snapshots attribute bytes to the query that ran between
+    * them — shuffle WRITE bytes are the headline (each exchange counts
+    * its data once; read ≈ write at local[32]), spill is max'd per
+    * query across passes because ANY spill at bench scale is a sizing
+    * bug worth flagging, not noise to median away. */
+  private final class MovementListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val write = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = e.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+      }
+    }
+    def snap(): (Long, Long, Long) = (read.get, write.get, spill.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,6 +73,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val mover = new MovementListener
+    spark.sparkContext.addSparkListener(mover)
+    def drain(): Unit =
+      org.apache.spark.graftshim.ListenerBridge.drain(spark.sparkContext)
     // Warm up what is shared across queries and NOT the thing being
     // measured: JVM/codegen paths, parquet footers + schema inference for
     // every base table at this SF. Without this the first timed query
@@ -57,6 +96,9 @@ object Bench {
     // its pass 1, so a transient box-load spike cannot poison every pass
     // of the same query
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // per-pass per-query (shuffleWrite, shuffleRead, spill) byte deltas
+    val movePerPass =
+      Array.fill(passes)(Map.empty[String, (Long, Long, Long)])
     // Fixed calibration workload timed once per pass: data-INDEPENDENT
     // (spark.range), pinned size/partitioning, a codegen'd hash + a 1M-key
     // shuffle — the same resources the suite stresses. Its round-over-
@@ -83,7 +125,13 @@ object Bench {
       graft.pipeline.Curation.clearResultCaches()
       graft.operators.OperatorQueries.clearResultCaches()
       graft.operators.SkewDispatch.clearStatsCache()
+      var moves = Map.empty[String, (Long, Long, Long)]
       val res = names.map { case (name, fn) =>
+        // snapshots sit OUTSIDE the timed window; the drains make the
+        // async listener bus consistent with the snapshot (a stage event
+        // from query N must not land after N+1's pre-snapshot)
+        drain()
+        val (r0, w0, s0) = mover.snap()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -92,8 +140,13 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               false
           }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val dt = (System.nanoTime() - t0) / 1e9
+        drain()
+        val (r1, w1, s1) = mover.snap()
+        moves += name -> (w1 - w0, r1 - r0, s1 - s0)
+        name -> (if (ok) dt else -1.0)
       }.toMap
+      movePerPass(pass) = moves
       // calibration AFTER the pass's suite, not before: a fresh-JVM
       // pre-pass-1 calibration runs 1.5-1.8x faster than any later one
       // (clean heap, hot code cache), so it measures a box state no
@@ -134,6 +187,26 @@ object Bench {
     val minAdj: Map[String, Double] = names.map { case (name, _) =>
       val good = adjusted(name).filter(_ >= 0.0)
       name -> (if (good.isEmpty) -1.0 else good.min)
+    }.toMap
+
+    // ---- data-movement lane -------------------------------------------
+    // Per-query shuffle bytes are PLAN-deterministic (same data, same
+    // plan → same bytes modulo compression jitter), so unlike wall time
+    // they need no calibration: the median across passes is the record.
+    // Spill is MAX'd — any pass spilling at bench scale is a sizing bug.
+    def medLong(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.isEmpty) 0L else s(s.length / 2)
+    }
+    def mb(b: Long): Double = b / (1024.0 * 1024.0)
+    val shuffleMb: Map[String, Double] = names.map { case (name, _) =>
+      name -> mb(medLong(movePerPass.toSeq.map(_.get(name).map(_._1).getOrElse(0L))))
+    }.toMap
+    val readMb: Map[String, Double] = names.map { case (name, _) =>
+      name -> mb(medLong(movePerPass.toSeq.map(_.get(name).map(_._2).getOrElse(0L))))
+    }.toMap
+    val spillMbQ: Map[String, Double] = names.map { case (name, _) =>
+      name -> mb(movePerPass.toSeq.map(_.get(name).map(_._3).getOrElse(0L)).max)
     }.toMap
 
     // ---- regression hygiene -------------------------------------------
@@ -276,6 +349,32 @@ object Bench {
         (name, prev, now, plan, dir)
     }
 
+    // shuffle-bytes gate: bytes don't jitter with box load, so the
+    // threshold is tighter than the 2× time gate — growth >1.3× AND
+    // >16 MB absolute vs the previous committed record is a
+    // data-movement regression (a plan that moved more data), flagged
+    // with the plan-hash verdict so "changed" points at the diff to
+    // audit and "same" is a genuine anomaly (AQE runtime re-plan,
+    // compression-shape change in the data).
+    val prevShuffle: Map[String, Double] =
+      if (!comparable) Map.empty
+      else prevJson.map(j => numMap(j \ "shuffle_mb")).getOrElse(Map.empty)
+    val dataFlags = names.flatMap { case (name, _) =>
+      (prevShuffle.get(name), shuffleMb.get(name)) match {
+        case (Some(p), Some(n)) if n > p * 1.3 && n - p > 16.0 =>
+          val plan = (prevHash.get(name), planHashes.get(name)) match {
+            case (Some(a), Some(b)) if a == b => "same"
+            case (Some(_), Some(_)) => "changed"
+            case _ => "unknown"
+          }
+          Some((name, p, n, plan))
+        case _ => None
+      }
+    }
+    val spilled = names.collect {
+      case (n, _) if spillMbQ.getOrElse(n, 0.0) > 0.0 => n
+    }
+
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
@@ -299,8 +398,16 @@ object Bench {
     val cpusInt = scala.util.Try(cpus.toInt).getOrElse(-1)
     // calibration + drift ride the END of the line (the driver tails
     // stdout to 2000 chars — trailing fields always survive)
+    // data-movement lane summary on the stdout line: total shuffled MB,
+    // the spillers by name (empty = zero spill anywhere — the headline),
+    // and the same-config shuffle-growth flags
+    val shufTotal = shuffleMb.values.sum
+    val spillJson = spilled.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val dataFlagJson = dataFlags.map { case (n, p, now, plan) =>
+      s"""{"q":"$n","prev_mb":${r3(p)},"now_mb":${r3(now)},"plan":"$plan"}"""
+    }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"cpus":$cpusInt,"shuffle_partitions":"$shufParts","calibration":${r3(calMed)},"cal_drift":${r3(drift)},"total_norm":${r3(total / drift)},"changes":$regJson}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"cpus":$cpusInt,"shuffle_partitions":"$shufParts","calibration":${r3(calMed)},"cal_drift":${r3(drift)},"total_norm":${r3(total / drift)},"changes":$regJson,"shuffle_total_mb":${r3(shufTotal)},"spilled":$spillJson,"data_flags":$dataFlagJson}"""
     // the driver keeps only a 2000-char tail of stdout — persist the full
     // per-pass record so timings survive for every round. Path resolved
     // against the repo (user.dir), not whatever cwd the forked JVM got.
@@ -329,8 +436,11 @@ object Bench {
       s"\"" + k + "\":" + r3(if (v >= 0.0) v / drift else v)
     }.mkString("{", ",", "}")
     val calPassesJson = calPerPass.map(r3).mkString("[", ",", "]")
+    def mbMap(m: Map[String, Double]): String =
+      names.map { case (k, _) => s"\"" + k + "\":" + r3(m.getOrElse(k, 0.0)) }
+        .mkString("{", ",", "}")
     val fileLine = line.dropRight(1) +
-      s""","queries_raw":$qsRaw,"queries_norm":$qsNorm,"cal_per_pass":$calPassesJson,"per_pass":$passesJson,"spread":$spreadJson,"plan_hashes":$hashJson}"""
+      s""","queries_raw":$qsRaw,"queries_norm":$qsNorm,"cal_per_pass":$calPassesJson,"per_pass":$passesJson,"spread":$spreadJson,"plan_hashes":$hashJson,"shuffle_mb":${mbMap(shuffleMb)},"shuffle_read_mb":${mbMap(readMb)},"spill_mb":${mbMap(spillMbQ)}}"""
     try java.nio.file.Files.write(outPath, (fileLine + "\n").getBytes("UTF-8"))
     catch {
       case NonFatal(e) =>

@@ -57,13 +57,18 @@ object StreamingDedup {
 
   /** Seen-hash state from every micro-batch before `batchId` (empty
     * frame when none). Each batch's dir is self-contained, so a
-    * replayed batch reads exactly the state its first run read. */
+    * replayed batch reads exactly the state its first run read. Listed
+    * through the Hadoop FS API — the state dir lives wherever the
+    * checkpoint does (HDFS/S3 on a cluster), not only on local disk. */
   private def readSeen(spark: SparkSession, stateDir: String,
       batchId: Long): DataFrame = {
-    val dirs = Option(new java.io.File(stateDir).listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
-      .filter(_.getName.drop(6).toLong < batchId)
-      .map(_.getPath)
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      (if (fs.exists(p)) fs.listStatus(p).toSeq else Seq.empty)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .filter(_.getPath.getName.drop(6).toLong < batchId)
+        .map(_.getPath.toString)
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
