@@ -103,18 +103,19 @@ object ClusterIndex {
       fs.delete(genTmp, true)
       fs.delete(genP, true) // a crashed append's orphan — uncommitted garbage
       val old = members(spark, indexDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val merged = Dedup.mergeDelta(old,
-          readGens(spark, indexDir, n, "shingles"), delta)
-        // latest-gen-wins read model: persist only the rows this merge
-        // MOVED (label changed) or CREATED (doc entered membership)
-        val prev = old.select(col("doc_id"), col("cluster").as("__old"))
-        merged.join(prev, Seq("doc_id"), "left")
-          .filter(col("__old").isNull || col("cluster") =!= col("__old"))
-          .select(col("doc_id"), col("cluster"))
-          .write.parquet(s"$genTmp/members")
-      } finally old.unpersist()
+      // latest-gen-wins read model: persist only the rows this merge
+      // MOVED (label changed) or CREATED (doc entered membership). The
+      // merge's outputs (relabel map + fresh rows) are bounded by the
+      // contracted graph, so moved rows come from ONE broadcastable
+      // inner join against the membership — the corpus is scanned, never
+      // shuffled, and never joined against a second full membership.
+      val (relabel, fresh) = Dedup.mergeDeltaParts(old,
+        readGens(spark, indexDir, n, "shingles"), delta)
+      val moved = old.join(
+          relabel.filter(col("old_lab") =!= col("new_lab")),
+          old("cluster") === col("old_lab"))
+        .select(old("doc_id"), col("new_lab").as("cluster"))
+      moved.unionByName(fresh).write.parquet(s"$genTmp/members")
       delta.select(col("doc_id")).write.parquet(s"$genTmp/covered")
       Dedup.repIndexOf(delta).write.parquet(s"$genTmp/shingles")
       if (!fs.rename(genTmp, genP))
@@ -128,6 +129,9 @@ object ClusterIndex {
     * folds the gens back to one so reads stay O(1) dirs. */
   def members(spark: SparkSession, indexDir: String): DataFrame = {
     val n = readManifest(spark, indexDir)("gens").toInt
+    if (n == 1) // build-fresh / compacted: no overlap possible, no shuffle
+      return spark.read.parquet(s"$indexDir/gen0/members")
+        .select(col("doc_id"), col("cluster"))
     val all = (0 until n).map(i =>
       spark.read.parquet(s"$indexDir/gen$i/members")
         .select(col("doc_id"), col("cluster"), lit(i).as("__gen")))

@@ -805,6 +805,30 @@ object Dedup {
     * docs, corpus docs paired for the first time) append. */
   private[pipeline] def mergeDelta(members: DataFrame, corpusIdx: DataFrame,
       delta: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val (relabel, fresh) = mergeDeltaParts(members, corpusIdx, delta, threshold)
+    // one broadcastable label-map join relabels exactly the touched
+    // clusters — the membership is SCANNED once, never shuffled
+    val updated = members.join(relabel,
+        members("cluster") === relabel("old_lab"), "left")
+      .select(members("doc_id"),
+        coalesce(col("new_lab"), members("cluster")).as("cluster"))
+    updated.unionByName(fresh)
+  }
+
+  /** The merge's two SMALL outputs, for callers that must stay
+    * O(delta + touched clusters) end-to-end ([[ClusterIndex.append]]
+    * persists only moved/created rows — joining the full merged
+    * membership back against the old one to find them would cost two
+    * O(corpus) shuffles):
+    *   relabel  (old_lab, new_lab) — every contracted-graph node with
+    *            its component min; joining `members.cluster ===
+    *            old_lab` relabels the touched clusters (non-label
+    *            nodes match nothing)
+    *   fresh    (doc_id, cluster) — nodes entering membership: delta
+    *            docs + corpus docs paired for the first time
+    * Both are bounded by the contracted graph, never the corpus. */
+  private[pipeline] def mergeDeltaParts(members: DataFrame, corpusIdx: DataFrame,
+      delta: DataFrame, threshold: Double = 0.5): (DataFrame, DataFrame) = {
     val d = delta.withColumn("tk", md5(col("t")))
     val reps = d.groupBy(col("lang"), col("tk"))
       .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
@@ -844,23 +868,29 @@ object Dedup {
         (col("c_sz") + col("b_sz") - col("inter")) >= threshold)
       .select(col("c_rid"), col("b_rid"))
     // contract the corpus side to cluster labels (unclustered corpus
-    // docs — first-time pairers — stand as themselves)
+    // docs — first-time pairers — stand as themselves). Joined in the
+    // STREAM-the-big-side direction: members ⋈ broadcast(e3's touched
+    // rep ids) scans the membership once with no shuffle (a left join
+    // FROM small e3 INTO big members would shuffle the membership —
+    // outer sides can't broadcast)
     val lab = members.select(col("doc_id").as("c_rid"), col("cluster").as("clab"))
-    val e3c = e3.join(lab, Seq("c_rid"), "left")
+    val touched = lab.join(e3.select(col("c_rid")).distinct(), Seq("c_rid"))
+    val e3c = e3.join(touched, Seq("c_rid"), "left")
       .select(col("b_rid").as("u"), coalesce(col("clab"), col("c_rid")).as("v"))
     val cc = connectedComponents(
       e1.unionByName(e4).unionByName(e3c)
         .select(col("u").as("a_id"), col("v").as("b_id")))
-    // one label-map join relabels exactly the touched clusters; fresh
-    // nodes (delta ids + corpus first-pairers) append as new members
     val relabel = cc.select(col("doc_id").as("old_lab"),
       col("cluster").as("new_lab"))
-    val updated = members.join(relabel,
-        members("cluster") === relabel("old_lab"), "left")
-      .select(members("doc_id"),
-        coalesce(col("new_lab"), members("cluster")).as("cluster"))
-    val fresh = cc.join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    updated.unionByName(fresh)
+    // fresh = cc nodes NOT already in membership. The only cc nodes in
+    // membership are old labels adopted through e3c's contraction
+    // (non-label member ids never become nodes — their edges carry the
+    // label; delta ids and first-pairer corpus ids are new by
+    // construction), so the anti-join runs against `touched`'s SMALL
+    // label set, not the corpus membership.
+    val fresh = cc.join(touched.select(col("clab").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    (relabel, fresh)
   }
 
   /** Oracle row for the incremental clustering path: cluster the ~80%

@@ -81,6 +81,7 @@ object ScaleSmoke {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     if (args.drop(2).headOption.contains("skew")) { runSkew(base, copies); return }
+    if (args.drop(2).headOption.contains("maint")) { runMaint(base, copies); return }
     if (args.drop(2).headOption.contains("probe")) {
       runProbe(base, copies, args.drop(3).headOption
         .map(_.split(",").toSeq).getOrElse(ProbeShapes))
@@ -294,6 +295,118 @@ object ScaleSmoke {
       sys.exit(1)
     }
     println(s"[scale-probe] all probed shapes ≲linear at ${copies}x with stable plans")
+  }
+
+  /** Index-MAINTENANCE probe (mode=maint): the claim under test is that
+    * growing an indexed corpus costs O(delta + touched state), not
+    * O(corpus) — i.e. `ClusterIndex.append` / `AnnIndex.append` scale
+    * with the ARRIVING batch while `build` scales with the corpus. Two
+    * corpora (1× and COPIES×) each receive the IDENTICAL delta (a 20%
+    * slice of the base tables under fresh ids, text unsalted so it
+    * near-dups copy-0 content — the touched-cluster work is the same on
+    * both sides); we time build and append on both and flag when
+    *   - append(N×) > 60% of build(N×)  (appending no cheaper than a
+    *     full rebuild — the artifact's reason to exist), or
+    *   - append(N×)/append(1×) > copies/2  (append cost tracking the
+    *     corpus, not the delta — a hidden O(corpus) stage), or
+    *   - at 1×, merge-maintained membership ≠ one-shot rebuild
+    *     membership (row identity, both directions).
+    * Artifact: bench_maint.json (committed, drift-readable like the
+    * skew lane). */
+  def runMaint(base: String, copies: Int): Unit = {
+    val scaled = s"/tmp/graft_scale_${copies}x"
+    val root = s"/tmp/graft_maint_${copies}x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    buildCorpus(spark, base, scaled, copies)
+
+    // grown twins: corpus ∪ the SAME delta (fresh ids; docs keep their
+    // text so the delta near-dups copy-0 content in BOTH corpora)
+    val shift = (copies + 1).toLong * IdShift
+    def grow(src: String, out: String): Unit = {
+      val marker = Paths.get(out, "_MAINT_V1_OK")
+      if (Files.exists(marker)) return
+      Files.createDirectories(Paths.get(out))
+      val docs = graft.sources.Tables.documents(spark, src)
+      val dDocs = graft.sources.Tables.documents(spark, base)
+        .filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(shift))
+      docs.unionByName(dDocs).repartition(copies)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      val emb = graft.sources.Tables.embeddings(spark, src)
+      val dEmb = graft.sources.Tables.embeddings(spark, base)
+        .filter(col("vec_id") % 5 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(shift))
+      emb.unionByName(dEmb).repartition(copies)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      Files.write(marker, Array.emptyByteArray)
+    }
+    grow(base, s"$root/grown1")
+    grow(scaled, s"$root/grownN")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def rm(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+    import graft.pipeline.{AnnIndex, ClusterIndex}
+    // warmup: one tiny build per family off the timed corpora
+    ClusterIndex.build(spark, "/root/testdata/sf0.001", s"$root/warm_ci")
+    AnnIndex.build(spark, "/root/testdata/sf0.001", s"$root/warm_ai")
+
+    println(f"%nfamily        build1x   build${copies}x   append1x   append${copies}x   (append ratio /${copies})")
+    val flags = scala.collection.mutable.ListBuffer[String]()
+
+    // ---- ClusterIndex ----
+    rm(s"$root/ci1"); rm(s"$root/ciN")
+    val cb1 = timed(ClusterIndex.build(spark, base, s"$root/ci1"))
+    val cbN = timed(ClusterIndex.build(spark, scaled, s"$root/ciN"))
+    val ca1 = timed(ClusterIndex.append(spark, s"$root/grown1", s"$root/ci1"))
+    val caN = timed(ClusterIndex.append(spark, s"$root/grownN", s"$root/ciN"))
+    println(f"cluster      $cb1%7.1f   $cbN%8.1f   $ca1%8.1f   $caN%9.1f   (${caN / ca1}%.2fx)")
+    if (caN > 0.6 * cbN) flags += "cluster_append_not_cheaper_than_rebuild"
+    if (caN / ca1 > copies / 2.0) flags += "cluster_append_scales_with_corpus"
+    // correctness at 1×: merge-maintained == one-shot rebuild
+    rm(s"$root/ci1_oneshot")
+    ClusterIndex.build(spark, s"$root/grown1", s"$root/ci1_oneshot")
+    val a = ClusterIndex.members(spark, s"$root/ci1")
+    val b = ClusterIndex.members(spark, s"$root/ci1_oneshot")
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    if (diff != 0) flags += s"cluster_merge_diverges_from_rebuild($diff)"
+
+    // ---- AnnIndex ----
+    rm(s"$root/ai1"); rm(s"$root/aiN")
+    val ab1 = timed(AnnIndex.build(spark, base, s"$root/ai1"))
+    val abN = timed(AnnIndex.build(spark, scaled, s"$root/aiN"))
+    val aa1 = timed(AnnIndex.append(spark, s"$root/grown1", s"$root/ai1"))
+    val aaN = timed(AnnIndex.append(spark, s"$root/grownN", s"$root/aiN"))
+    println(f"ann          $ab1%7.1f   $abN%8.1f   $aa1%8.1f   $aaN%9.1f   (${aaN / aa1}%.2fx)")
+    if (aaN > 0.6 * abN) flags += "ann_append_not_cheaper_than_rebuild"
+    if (aaN / aa1 > copies / 2.0) flags += "ann_append_scales_with_corpus"
+
+    def r3(d: Double): String = f"$d%.3f"
+    val json = s"""{"lane":"maint","copies":$copies,""" +
+      s""""cluster":{"build_1x_s":${r3(cb1)},"build_${copies}x_s":${r3(cbN)},""" +
+      s""""append_1x_s":${r3(ca1)},"append_${copies}x_s":${r3(caN)}},""" +
+      s""""ann":{"build_1x_s":${r3(ab1)},"build_${copies}x_s":${r3(abN)},""" +
+      s""""append_1x_s":${r3(aa1)},"append_${copies}x_s":${r3(aaN)}},""" +
+      s""""flags":[${flags.map("\"" + _ + "\"").mkString(",")}]}"""
+    Files.write(Paths.get("bench_maint.json"), json.getBytes("UTF-8"))
+    println(s"[maint-probe] wrote bench_maint.json")
+    spark.stop()
+    if (flags.nonEmpty) {
+      System.err.println(s"[maint-probe] flags: ${flags.mkString(", ")}")
+      sys.exit(1)
+    }
+    println(s"[maint-probe] append is delta-bounded for both artifact families at ${copies}x")
   }
 
   /** Skew-amplified smoke: same 10× volume as the uniform corpus but with
