@@ -88,10 +88,24 @@ object ClusterIndex {
     * the next generation by the manifest swap. Only the touched
     * clusters' rows are rewritten; the untouched corpus is never read
     * past the membership join. */
-  def append(spark: SparkSession, corpusDir: String, indexDir: String): Unit = {
+  def append(spark: SparkSession, corpusDir: String, indexDir: String): Unit =
+    appendDocs(spark, docsOf(spark, corpusDir), indexDir)
+
+  /** [[append]] over an in-memory doc set (doc_id, lang, text|t) — the
+    * streaming maintenance lane hands each micro-batch here. The
+    * covered-ledger anti-join still applies, which is what makes a
+    * crash-REPLAYED micro-batch a no-op (its docs are already covered
+    * by the generation its first run committed) — the lane needs no
+    * idempotence machinery of its own. Appends must be serial (one
+    * writer), the contract a single stream's foreachBatch gives for
+    * free. */
+  def appendDocs(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
     val n = readManifest(spark, indexDir)("gens").toInt
     val covered = readGens(spark, indexDir, n, "covered")
-    val delta = docsOf(spark, corpusDir)
+    val prepped =
+      if (docs.columns.contains("t")) docs.select(col("doc_id"), col("lang"), col("t"))
+      else docs.select(col("doc_id"), col("lang"), trim(col("text")).as("t"))
+    val delta = prepped
       .join(covered, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
