@@ -191,7 +191,11 @@ object ScaleSmoke {
       // round-13: the exact-jaccard CC chain (pair join + star
       // contraction / driver union-find dispatch) and the hybrid
       // BM25+vector RRF fusion (two top-k lanes + a rank join)
-      "dedup_clusters_exact", "ann_hybrid_rrf")
+      "dedup_clusters_exact", "ann_hybrid_rrf",
+      // round-13b: the merge-maintenance chain (corpus clustering +
+      // rep index + contracted-graph merge — the bench's heaviest
+      // query, two clusterings' worth of candidate generation)
+      "dedup_clusters_incremental")
 
   /** Skew-lane shapes that DISPATCH between twins (auto → (direct,
     * bucketed)): their verdict compares against the better twin per
