@@ -193,6 +193,41 @@ object AnnIndex {
     } finally fresh.unpersist()
   }
 
+  /** Fold every committed generation back into a single gen0 — the
+    * rollup-compaction story for this artifact (ClusterIndex.compact's
+    * twin): each append adds a gen dir, and searches pay a per-gen
+    * listing + union until compaction restores the build-fresh shape.
+    * Quantizers and the corpus fingerprint are UNCHANGED (compaction
+    * moves encodings, it re-derives nothing); the folded cells rewrite
+    * under `partitionBy(cid)` so nprobe partition pruning survives.
+    * Staged as a full `.build.tmp` and published by the same two-rename
+    * discipline as build — a crash anywhere leaves the multi-gen index
+    * intact and serving. */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    val man = readManifest(spark, indexDir)
+    val n = man("gens").toInt
+    if (n <= 1) return
+    val params = Params(man("c").toInt, man("m").toInt, man("ksub").toInt,
+      man("bits").toInt, man("tables").toInt)
+    val p = new Path(indexDir)
+    val fs = fsOf(spark, p)
+    val tmp = new Path(p.getParent, p.getName + ".build.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(s"$indexDir/ivf_centroids")
+      .write.parquet(s"$tmp/ivf_centroids")
+    spark.read.parquet(s"$indexDir/pq_codebooks")
+      .write.parquet(s"$tmp/pq_codebooks")
+    readAcrossGens(spark, indexDir, n, "ivf_cells")
+      .write.partitionBy("cid").parquet(s"$tmp/gen0/ivf_cells")
+    readAcrossGens(spark, indexDir, n, "pq_codes")
+      .write.parquet(s"$tmp/gen0/pq_codes")
+    readAcrossGens(spark, indexDir, n, "lsh_tables")
+      .write.parquet(s"$tmp/gen0/lsh_tables")
+    ArtifactIo.writeText(fs, new Path(tmp, ManifestName),
+      manifestJson(man("corpus_fingerprint"), params, gens = 1))
+    ArtifactIo.publish(spark, indexDir, tmp)
+  }
+
   private def readCodebooks(spark: SparkSession, indexDir: String): Array[Float] = {
     val row = spark.read.parquet(s"$indexDir/pq_codebooks").head()
     row.getSeq[Float](row.fieldIndex("flat")).toArray
