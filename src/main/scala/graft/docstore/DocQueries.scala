@@ -491,7 +491,53 @@ object DocQueries {
       |WHERE regexp_matches(event_type, '^(sign|err)')
       |ORDER BY event_id LIMIT 30""".stripMargin
 
+  /** UnaryFilter — the proto's LAST declared-next query-surface item
+    * (db3_database_v2.proto:127-129, `UnaryFilter unary_filter = 3`):
+    * IS_NULL / IS_NAN / IS_NOT_NULL / IS_NOT_NAN over the unary fixture
+    * collection, whose docs exercise all three null-ish states (missing
+    * field, explicit JSON null, NaN-serialized double — see
+    * [[DocStore.eventsUnaryCollection]]). One OR of two AND arms uses all
+    * four ops, so the hash only matches if each op's semantics — including
+    * Firestore's "missing fields match no filter" rule — is exact. */
+  def docFilterUnary(spark: SparkSession, dir: String): DataFrame = {
+    import UnaryOp._
+    val q = StructuredQuery(where = Some(OrFilter(Seq(
+      AndFilter(Seq(UnaryFilter("k", IsNull), UnaryFilter("q", IsNotNan))),
+      AndFilter(Seq(UnaryFilter("q", IsNan), UnaryFilter("k", IsNotNull)))))))
+    DocStore.queryFused(DocStore.eventsUnaryCollection(spark, dir), q)
+      .select("_id")
+  }
+
+  // the oracle recomputes the fixture's field states relationally from
+  // the raw events columns (the docArrayContains precedent): k present ⇔
+  // k0 % 3 <> 1, null ⇔ k0 % 5 = 0, q NaN ⇔ k0 % 7 = 0
+  val docFilterUnarySql: String =
+    """SELECT event_id AS _id FROM (
+      |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k0
+      |  FROM events) t
+      |WHERE (k0 % 3 <> 1 AND k0 % 5 = 0 AND k0 % 7 <> 0)
+      |   OR (k0 % 7 = 0 AND k0 % 3 <> 1 AND k0 % 5 <> 0)""".stripMargin
+
+  /** JQL membership spellings through the query-string language —
+    * EJDB2's `in` and the `not in` negation prefix over array-literal
+    * operands, mapped onto Op.In/Op.NotIn (`ni` is the spelled
+    * equivalent of `not in` and QueryStrFuzzSpec pins all three). */
+  def docQstrIn(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = QueryStr.parse(
+      "/[event_type in ['signup', 'view']] and /[k not in [0, 1, 2, 3]]" +
+        " | /{event_type} | limit 35")
+    DocStore.queryFused(coll(spark, dir), parsed.sq)
+  }
+
+  val docQstrInSql: String =
+    """SELECT event_id AS _id, event_type FROM events
+      |WHERE event_type IN ('signup', 'view')
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) NOT IN (0, 1, 2, 3)
+      |ORDER BY event_id LIMIT 35""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_filter_unary" -> (docFilterUnary _),
+    "doc_qstr_in" -> (docQstrIn _),
     "doc_cursor_page" -> (docCursorPage _),
     "doc_array_contains_any" -> (docArrayContainsAny _),
     "doc_qstr_regex" -> (docQstrRegex _),
@@ -522,6 +568,8 @@ object DocQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_filter_unary" -> docFilterUnarySql,
+    "doc_qstr_in" -> docQstrInSql,
     "doc_cursor_page" -> docCursorPageSql,
     "doc_array_contains_any" -> docArrayContainsAnySql,
     "doc_qstr_regex" -> docQstrRegexSql,

@@ -88,6 +88,36 @@ object DocStore {
       })
   }
 
+  /** Compile a [[UnaryFilter]] against the RAW doc text — both compilers
+    * share this probe, exactly like `Op.Regex`: `get_json_object` returns
+    * SQL NULL for BOTH a JSON-null value and a missing field, so null-ness
+    * alone cannot honor Firestore's "missing fields match no filter" rule.
+    * IsNull therefore additionally requires the field key to be PRESENT in
+    * its parent object (`json_object_keys` — a streaming probe over the
+    * same text, no parse fence needed). IsNotNull needs no presence probe:
+    * a non-null extraction already implies presence. NaN-ness views the
+    * raw text as a double (`try_cast`: a non-numeric value is simply not
+    * NaN, never a scan abort — see fieldCol). All probes are codegen'd
+    * expressions that fuse into the scan's Filter like every other op. */
+  private def compileUnary(doc: Column, field: String, op: UnaryOp): Column = {
+    val raw = get_json_object(doc, "$." + field)
+    def present: Column = {
+      val (parent, leaf) = field.lastIndexOf('.') match {
+        case -1 => (doc, field)
+        case i => (get_json_object(doc, "$." + field.take(i)), field.drop(i + 1))
+      }
+      // null/scalar parent → json_object_keys is null → null (no match)
+      array_contains(json_object_keys(parent), leaf)
+    }
+    op match {
+      case UnaryOp.IsNull => present && raw.isNull
+      case UnaryOp.IsNotNull => raw.isNotNull
+      case UnaryOp.IsNan => isnan(raw.try_cast("double"))
+      case UnaryOp.IsNotNan =>
+        raw.isNotNull && !coalesce(isnan(raw.try_cast("double")), lit(false))
+    }
+  }
+
   /** Empty In = membership in the empty set (always false); empty NotIn
     * excludes nothing (always true); empty ArrayContainsAny shares no
     * element with anything (always false). Guarded explicitly so an
@@ -105,6 +135,7 @@ object DocStore {
   def compileFilter(doc: Column, f: Filter): Column = f match {
     case AndFilter(fs) => fs.map(compileFilter(doc, _)).reduce(_ && _)
     case OrFilter(fs) => fs.map(compileFilter(doc, _)).reduce(_ || _)
+    case UnaryFilter(field, op) => compileUnary(doc, field, op)
     case ff: FieldFilter if emptyArrShortCircuit(ff).isDefined =>
       emptyArrShortCircuit(ff).get
     case FieldFilter(field, op @ (Op.ArrayContains | Op.ArrayContainsAny), v) =>
@@ -224,6 +255,10 @@ object DocStore {
     def leaves(f: Filter): Int = f match {
       case AndFilter(fs) => fs.map(leaves).sum
       case OrFilter(fs) => fs.map(leaves).sum
+      // unary probes run raw in both compilers; IsNull/IsNotNan probe
+      // twice (presence/null-ness + value)
+      case UnaryFilter(_, UnaryOp.IsNull | UnaryOp.IsNotNan) => 2
+      case UnaryFilter(_, _) => 1
       case ff: FieldFilter => if (emptyArrShortCircuit(ff).isDefined) 0 else 1
     }
     q.where.map(leaves).getOrElse(0) + q.select.size + q.orderBy.size +
@@ -273,6 +308,10 @@ object DocStore {
       // fused slot would stringify typed values ("1.50" ≠ 1.5.toString)
       // and collide with a typed filter slot on the same field
       case FieldFilter(_, Op.Regex, _) => Seq.empty
+      // unary filters probe the raw text too: the fused struct cannot
+      // distinguish JSON-null from missing, which is exactly the
+      // distinction IsNull needs
+      case UnaryFilter(_, _) => Seq.empty
       case FieldFilter(field, _, v) => Seq(field -> scalarType(v))
     }
     def keyTypeOf(v: FieldValue): DataType = v match {
@@ -363,6 +402,9 @@ object DocStore {
       case FieldFilter(field, Op.Regex, v) =>
         // raw-text probe in both compilers (see filterFields)
         compileOp(get_json_object(col("doc"), "$." + field), Op.Regex, v)
+      case UnaryFilter(field, uop) =>
+        // raw-text probe in both compilers (see filterFields)
+        compileUnary(col("doc"), field, uop)
       case FieldFilter(field, op, v) =>
         compileOp(ref(field, scalarType(v)), op, v)
     }
@@ -420,6 +462,33 @@ object DocStore {
         get_json_object(ev("props"), "$.k").cast("long").as("k")))
       DocCollection("events",
         ev.select(ev("event_id").as("_id"), doc.as("doc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+
+  private val unaryCollCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DocCollection]()
+
+  /** Events re-shaped as the UNARY-FILTER fixture: docs that exercise all
+    * three null-ish field states the schemaless model distinguishes —
+    * MISSING (`k` omitted when k≡1 mod 3), EXPLICIT NULL (`"k":null` when
+    * k≡0 mod 5, via ignoreNullFields=false), and NaN (`q` is the string
+    * "NaN" when k≡0 mod 7, the serialization JSON forces on NaN doubles).
+    * Deterministic in the raw events columns so DuckDB can recompute the
+    * same predicate relationally. Materialized once per (session, table)
+    * like `eventsCollection`. */
+  def eventsUnaryCollection(spark: SparkSession, dir: String): DocCollection =
+    unaryCollCache.computeIfAbsent((spark, dir), _ => {
+      val ev = Tables.events(spark, dir)
+      val k0 = get_json_object(ev("props"), "$.k").cast("long")
+      val kn = when(k0 % 5 === 0, lit(null).cast("long")).otherwise(k0)
+      val q = when(k0 % 7 === 0, lit("NaN")).otherwise(ev("value").cast("string"))
+      val withK = to_json(
+        struct(kn.as("k"), q.as("q"), ev("event_type").as("t")),
+        Map("ignoreNullFields" -> "false"))
+      val noK = to_json(struct(q.as("q"), ev("event_type").as("t")))
+      DocCollection("events_unary",
+        ev.select(ev("event_id").as("_id"),
+            when(k0 % 3 === 1, noK).otherwise(withK).as("doc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 

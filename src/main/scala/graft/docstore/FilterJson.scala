@@ -33,15 +33,26 @@ object FilterJson {
     }
   }
 
-  private def parseField(o: JObject): FieldFilter = {
+  private val unarySpellings =
+    Set("is-null", "is-nan", "is-not-null", "is-not-nan")
+
+  private def parseField(o: JObject): Filter = {
     val field = o \ "field" match {
       case JString(s) => s
       case _ => throw new IllegalArgumentException("field is required in filter json")
     }
-    val op = o \ "op" match {
-      case JString(s) => Op.parse(s)
+    val opStr = o \ "op" match {
+      case JString(s) => s
       case _ => throw new IllegalArgumentException("op is required in filter json")
     }
+    // UnaryFilter (proto's declared-next unary_filter = 3): one field, no
+    // operand — a `value` member is a malformed filter, not ignorable
+    if (unarySpellings(opStr)) {
+      if ((o \ "value") != JNothing)
+        throw new IllegalArgumentException(s"unary op $opStr takes no value")
+      return UnaryFilter(field, UnaryOp.parse(opStr))
+    }
+    val op = Op.parse(opStr)
     def scalar(v: JValue): FieldValue = v match {
       case JInt(x) => FieldValue.I64(x.toLong)
       case JLong(x) => FieldValue.I64(x)

@@ -30,9 +30,13 @@ object QueryStr {
   final case class ParsedQuery(sq: StructuredQuery, count: Boolean)
 
   // the value may itself contain one level of [...] (regex char classes
-  // in `~` patterns); anything else stops at the node's closing bracket
+  // in `~` patterns, array literals of `in`/`ni` operands); anything else
+  // stops at the node's closing bracket. JQL word ops: `in`, `ni`
+  // (not-in) and the `not` negation prefix (`not in`, `not =`) — listed
+  // BEFORE `ni`/`in` in the alternation so "not in" never half-matches
+  // as op `ni` + value "t in …".
   private val filterRe: Regex =
-    """\[\s*([A-Za-z_][\w.]*)\s*(!=|>=|<=|=|>|<|~)\s*((?:[^\]\[]|\[[^\]]*\])+?)\s*\]""".r
+    """\[\s*([A-Za-z_][\w.]*)\s*(!=|>=|<=|not\s+in|not\s+=|ni|in|=|>|<|~)\s*((?:[^\]\[]|\[[^\]]*\])+?)\s*\]""".r
   private val projRe: Regex = """\{\s*([^}]+)\s*\}""".r
   private val limitRe: Regex = """limit\s+(\d+)""".r
   private val skipRe: Regex = """skip\s+(\d+)""".r
@@ -72,7 +76,19 @@ object QueryStr {
       if (body.replace("/", "").trim == "*") return // match-all
       filterRe.findAllMatchIn(body).foreach { m =>
         val op = Op.parse(opSpelling(m.group(2)))
-        val v = parseValue(m.group(3), params) match {
+        // `in`/`ni` operands are JQL array literals `[v1, v2, …]`; a bare
+        // value degenerates to single-element membership and a bound
+        // placeholder may already be an Arr. Elements split on commas
+        // (string elements containing commas are outside the JQL subset).
+        def membershipValue(raw: String): FieldValue = {
+          val t = raw.trim
+          if (t.startsWith("[") && t.endsWith("]"))
+            FieldValue.Arr(t.substring(1, t.length - 1).split(",")
+              .map(e => parseValue(e, params)).toVector)
+          else parseValue(t, params)
+        }
+        val v = (if (op == Op.In || op == Op.NotIn) membershipValue(m.group(3))
+                 else parseValue(m.group(3), params)) match {
           // `~` operands are PATTERNS — numeric-looking literals like
           // /[s ~ 123] are still pattern strings, and the RE2-safe
           // validation runs at parse time so a bad pattern fails fast
@@ -122,8 +138,16 @@ object QueryStr {
     ParsedQuery(StructuredQuery(where, select, limit, orderBy, offset), count)
   }
 
-  private def opSpelling(s: String): String = s match {
+  /** Map JQL spellings onto the canonical [[Op.parse]] spellings:
+    * `=`/`in` pass through (with `=` doubled), `ni` is EJDB2's not-in,
+    * and the `not` negation prefix composes with `in` and `=` — the two
+    * ops whose negations exist as first-class Ops (`not ~` has no
+    * negated-regex Op and fails fast). */
+  private def opSpelling(s: String): String = s.replaceAll("\\s+", " ") match {
     case "=" => "=="
+    case "in" => "in"
+    case "ni" | "not in" => "not-in"
+    case "not =" => "!="
     case other => other
   }
 

@@ -97,8 +97,44 @@ object Op {
   }
 }
 
+/** The proto's declared-next `UnaryFilter` (db3_database_v2.proto:127-129,
+  * commented `// TODO: Support in the future P1 — UnaryFilter unary_filter
+  * = 3;`) — Firestore's one-field, no-operand filter ops. Semantics over
+  * SCHEMALESS JSON docs, pinned here and fuzzed in DocFuzz:
+  *  - IsNull:     the field is PRESENT and its value is JSON null. A doc
+  *                missing the field does not match (Firestore: missing
+  *                fields match no filter).
+  *  - IsNotNull:  the field is present with a non-null value.
+  *  - IsNan:      the field's value, viewed as a double, is NaN (JSON has
+  *                no NaN literal; the engine's writers serialize NaN as
+  *                the string "NaN", which is what this matches).
+  *  - IsNotNan:   the field is present, non-null, and NOT NaN — strings
+  *                and other non-numeric values qualify (they are not NaN),
+  *                matching the != -family rule that null never matches.
+  */
+sealed trait UnaryOp
+object UnaryOp {
+  case object IsNull extends UnaryOp
+  case object IsNan extends UnaryOp
+  case object IsNotNull extends UnaryOp
+  case object IsNotNan extends UnaryOp
+
+  /** Firestore REST spells these IS_NULL/IS_NAN/IS_NOT_NULL/IS_NOT_NAN;
+    * the JSON filter syntax uses the kebab spellings alongside the
+    * existing `array-contains` style. */
+  def parse(s: String): UnaryOp = s match {
+    case "is-null" => IsNull
+    case "is-nan" => IsNan
+    case "is-not-null" => IsNotNull
+    case "is-not-nan" => IsNotNan
+    case other => throw new IllegalArgumentException(s"Invalid unary OP $other")
+  }
+}
+
 sealed trait Filter
 final case class FieldFilter(field: String, op: Op, value: FieldValue) extends Filter
+/** One-field, no-operand filter (see [[UnaryOp]]). */
+final case class UnaryFilter(field: String, op: UnaryOp) extends Filter
 final case class AndFilter(filters: Seq[Filter]) extends Filter
 /** OR composite — the proto's declared-next operator
   * (db3_database_v2.proto:143-145, commented `OR = 2`). */

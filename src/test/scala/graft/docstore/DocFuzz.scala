@@ -78,6 +78,17 @@ object DocFuzz {
     } else if (r.nextInt(3) == 0) {
       parts += "\"tags\":" + jstr("scalar") // scalar where array expected
     }
+    // `nv` exists for the UNARY ops only (never typed-filtered: a quoted
+    // "NaN" is a double to the raw probe but a null to the token-strict
+    // fused slot, so it must stay out of scalarFields — see the caveat
+    // above). Exercises all three null-ish states + NaN.
+    r.nextInt(8) match {
+      case 0 => // missing
+      case 1 => parts += "\"nv\":null"
+      case 2 | 3 => parts += "\"nv\":" + jstr("NaN")
+      case 4 => parts += "\"nv\":" + jstr(vocab(r.nextInt(vocab.size)))
+      case _ => parts += "\"nv\":" + r.nextInt(30)
+    }
     if (r.nextBoolean()) parts += "\"junk\":" + r.nextInt(5)
     "{" + parts.result().mkString(",") + "}"
   }
@@ -117,6 +128,15 @@ object DocFuzz {
         // probe raw, so numeric fields are legal targets)
         return FieldFilter(scalarFields(r.nextInt(scalarFields.size))._1,
           Op.Regex, Str(regexPatterns(r.nextInt(regexPatterns.size))))
+      case 3 => // UnaryFilter (proto unary_filter = 3): IS_NULL/IS_NAN and
+        // negations over any field — incl. `nv` (the NaN-able fixture),
+        // nested paths (parent presence probing) and `tags`/`m` (arrays /
+        // objects at the probed path)
+        val ufields = scalarFields.map(_._1) :+ "nv" :+ "tags"
+        val uops = Vector(UnaryOp.IsNull, UnaryOp.IsNan,
+          UnaryOp.IsNotNull, UnaryOp.IsNotNan)
+        return UnaryFilter(ufields(r.nextInt(ufields.size)),
+          uops(r.nextInt(uops.size)))
       case _ =>
     }
     val (f, k) = scalarFields(r.nextInt(scalarFields.size))

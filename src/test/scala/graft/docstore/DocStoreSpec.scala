@@ -46,6 +46,41 @@ class DocStoreSpec extends SparkSpec {
     assert(got === Seq(1L))
   }
 
+  test("UnaryFilter pins the three null-ish states: missing vs null vs NaN") {
+    import spark.implicits._
+    // doc 1: k explicit null; doc 2: k missing; doc 3: k numeric;
+    // doc 4: k is the NaN-serialized double; doc 5: k non-numeric string;
+    // doc 6: k null at a NESTED path whose parent exists / is scalar
+    val docs = Seq(
+      (1L, """{"k":null,"t":1}"""),
+      (2L, """{"t":2}"""),
+      (3L, """{"k":7,"t":3}"""),
+      (4L, """{"k":"NaN","t":4}"""),
+      (5L, """{"k":"abc","t":5}"""),
+      (6L, """{"m":{"k":null},"t":6}"""),
+      (7L, """{"m":"scalar","t":7}""")).toDF("_id", "doc")
+    val c = DocCollection("u", docs)
+    def ids(f: Filter): Seq[Long] =
+      DocStore.query(c, StructuredQuery(where = Some(f)))
+        .select("_id").as[Long].collect().toSeq.sorted
+    import UnaryOp._
+    // Firestore rule: a MISSING field matches no filter — doc 2 never appears
+    assert(ids(UnaryFilter("k", IsNull)) === Seq(1L))
+    assert(ids(UnaryFilter("k", IsNotNull)) === Seq(3L, 4L, 5L))
+    assert(ids(UnaryFilter("k", IsNan)) === Seq(4L))
+    // not-NaN admits non-numeric values (they are not NaN) but never null
+    assert(ids(UnaryFilter("k", IsNotNan)) === Seq(3L, 5L))
+    // nested path: parent presence probed; scalar parent matches nothing
+    assert(ids(UnaryFilter("m.k", IsNull)) === Seq(6L))
+    assert(ids(UnaryFilter("m.k", IsNotNull)) === Seq())
+    // both compilers agree (the fused path probes raw for unary ops)
+    val q = StructuredQuery(where = Some(AndFilter(Seq(
+      UnaryFilter("k", IsNotNan), FieldFilter("t", Op.Ge, I64(0)),
+      FieldFilter("t", Op.Le, I64(9)), FieldFilter("t", Op.Neq, I64(99))))))
+    assert(DocStore.queryFused(c, q).select("_id").as[Long].collect().toSeq.sorted
+      === Seq(3L, 5L))
+  }
+
   test("projection returns _id plus selected fields only") {
     val df = DocStore.query(coll,
       StructuredQuery(select = Seq("user_id", "event_type"), limit = Some(5)))

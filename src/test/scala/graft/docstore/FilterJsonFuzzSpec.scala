@@ -38,9 +38,18 @@ class FilterJsonFuzzSpec extends AnyFunSuite {
     case Arr(xs) => xs.map(renderValue).mkString("[", ",", "]")
   }
 
+  private def renderUnaryOp(op: UnaryOp): String = op match {
+    case UnaryOp.IsNull => "is-null"
+    case UnaryOp.IsNan => "is-nan"
+    case UnaryOp.IsNotNull => "is-not-null"
+    case UnaryOp.IsNotNan => "is-not-nan"
+  }
+
   private def render(f: Filter): String = f match {
     case FieldFilter(field, op, v) =>
       s"""{"field":"$field","op":"${renderOp(op)}","value":${renderValue(v)}}"""
+    case UnaryFilter(field, op) => // no value member — unary is one-field
+      s"""{"field":"$field","op":"${renderUnaryOp(op)}"}"""
     case AndFilter(fs) => fs.map(render).mkString("""{"and":[""", ",", "]}")
     case OrFilter(fs) => fs.map(render).mkString("""{"or":[""", ",", "]}")
   }
@@ -64,5 +73,11 @@ class FilterJsonFuzzSpec extends AnyFunSuite {
       FilterJson.parse("""{"op":"==","value":1}"""))
     intercept[IllegalArgumentException](
       FilterJson.parse("""{"and":[]}"""))
+    // unary ops are one-field filters: a value member is malformed
+    intercept[IllegalArgumentException](
+      FilterJson.parse("""{"field":"a","op":"is-null","value":1}"""))
+    // and the non-unary ops still require one
+    intercept[IllegalArgumentException](
+      FilterJson.parse("""{"field":"a","op":"=="}"""))
   }
 }

@@ -51,8 +51,25 @@ class QueryStrFuzzSpec extends SparkSpec {
           val pat = pats(rnd.nextInt(pats.length))
           sb.append(s"/[${ws(rnd)}$f${ws(rnd)}~${ws(rnd)}$pat${ws(rnd)}]")
           expFilters :+= FieldFilter(f, Op.Regex, Str(pat))
+        } else if (rnd.nextInt(5) == 0) { // JQL membership: in / ni / not in
+          val spell = Seq("in", "ni", "not in", "not  in")(rnd.nextInt(4))
+          val op = if (spell == "in") Op.In else Op.NotIn
+          // one element type per operand (ArrayValue is homogeneous)
+          val mk: () => (String, FieldValue) = rnd.nextInt(3) match {
+            case 0 => () => { val x = rnd.nextInt(500).toLong; (x.toString, I64(x)) }
+            case 1 => () => { val s = s"word${rnd.nextInt(50)}"; (s"'$s'", Str(s)) }
+            case _ => () => { val d = rnd.nextInt(100) / 4.0; (d.toString, Dbl(d)) }
+          }
+          val elems = Vector.fill(1 + rnd.nextInt(4))(mk())
+          val arrTxt = elems.map(_._1).mkString("[", s",${ws(rnd)}", "]")
+          // word ops need a real separator before them (else they'd be
+          // lexed into the field name)
+          sb.append(s"/[${ws(rnd)}$f $spell${ws(rnd)}$arrTxt${ws(rnd)}]")
+          expFilters :+= FieldFilter(f, op, Arr(elems.map(_._2)))
         } else {
-          val (opTxt, op) = ops(rnd.nextInt(ops.length))
+          val neqAsNot = rnd.nextInt(8) == 0 // `not =` spells !=
+          val (opTxt, op) =
+            if (neqAsNot) ("not =", Op.Neq) else ops(rnd.nextInt(ops.length))
           val (vTxt, v) =
             if (rnd.nextInt(5) == 0) { // bound parameter
               val pname = s"p$i"
@@ -60,7 +77,8 @@ class QueryStrFuzzSpec extends SparkSpec {
               params += pname -> pv
               (s":$pname", pv)
             } else genValue(rnd)
-          sb.append(s"/[${ws(rnd)}$f${ws(rnd)}$opTxt${ws(rnd)}$vTxt${ws(rnd)}]")
+          val sep = if (opTxt.head.isLetter) " " else ws(rnd)
+          sb.append(s"/[${ws(rnd)}$f$sep$opTxt${ws(rnd)}$vTxt${ws(rnd)}]")
           expFilters :+= FieldFilter(f, op, v)
         }
       }
