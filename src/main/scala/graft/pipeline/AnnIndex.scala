@@ -177,7 +177,9 @@ object AnnIndex {
     val fresh = e.join(existing, Seq("vec_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (fresh.limit(1).count() == 0L) return // nothing new: no-op
+      // full count: no-op probe + cache materialization in ONE job (the
+      // three encode jobs below all consume the persisted delta)
+      if (fresh.count() == 0L) return // nothing new: no-op
       val p = new Path(indexDir)
       val fs = fsOf(spark, p)
       val genP = new Path(s"$indexDir/gen$n")
@@ -203,6 +205,14 @@ object AnnIndex {
     * Staged as a full `.build.tmp` and published by the same two-rename
     * discipline as build — a crash anywhere leaves the multi-gen index
     * intact and serving. */
+  /** Auto-compaction for the maintenance tick — ClusterIndex
+    * .compactIfDue's twin: fold when the committed gen count reaches
+    * `maxGens`, so repeated appends hold O(maxGens) gen dirs. Crash
+    * mid-compact is harmless (two-rename publish). */
+  def compactIfDue(spark: SparkSession, indexDir: String, maxGens: Int = 8): Unit =
+    if (readManifest(spark, indexDir)("gens").toInt >= maxGens)
+      compact(spark, indexDir)
+
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val man = readManifest(spark, indexDir)
     val n = man("gens").toInt
@@ -233,13 +243,20 @@ object AnnIndex {
     row.getSeq[Float](row.fieldIndex("flat")).toArray
   }
 
-  /** Union of one artifact across every committed generation. Filters
-    * (cid probes) push through the union into each gen's partition
-    * pruning. */
+  /** Union of one artifact across every committed generation. Flat
+    * artifacts (pq_codes, lsh_tables) read all gen paths in ONE reader
+    * call — per-gen reads pay a listing + schema job each, which at 20
+    * gens dominated the append's fixed cost. The `cid=`-partitioned
+    * ivf_cells must stay a per-gen union: Spark refuses multiple
+    * partition-discovery roots in one read (KD009), and the union keeps
+    * per-gen partition pruning for nprobe probes anyway. */
   private def readAcrossGens(spark: SparkSession, indexDir: String,
       gens: Int, sub: String): DataFrame =
-    (0 until gens).map(i => spark.read.parquet(s"$indexDir/gen$i/$sub"))
-      .reduce(_ unionByName _)
+    if (sub == "ivf_cells")
+      (0 until gens).map(i => spark.read.parquet(s"$indexDir/gen$i/$sub"))
+        .reduce(_ unionByName _)
+    else
+      spark.read.parquet((0 until gens).map(i => s"$indexDir/gen$i/$sub"): _*)
 
   /** Restore an index a crashed build left retired at `.old` — see
     * [[ArtifactIo.healRetired]]. Called by every loader AND by build

@@ -55,16 +55,20 @@ object ClusterIndex {
 
   private def readManifest(spark: SparkSession, indexDir: String): Map[String, String] = {
     val m = ArtifactIo.readManifest(spark, indexDir, ManifestName, "cluster index")
-    require(m.get("threshold").contains(Threshold.toString),
+    // numeric compare: the serialized literal ("0.5") need not equal
+    // Double.toString for every representable threshold
+    require(m.get("threshold").exists(_.toDouble == Threshold),
       s"cluster index $indexDir was built at threshold " +
         s"${m.getOrElse("threshold", "?")}, this build is $Threshold")
     m
   }
 
+  /** ONE reader call over every committed generation (vs one
+    * read-per-gen: each `spark.read.parquet` is a listing + schema job —
+    * at 20 gens that alone dominated the append's fixed cost). */
   private def readGens(spark: SparkSession, indexDir: String, gens: Int,
       sub: String): DataFrame =
-    (0 until gens).map(i => spark.read.parquet(s"$indexDir/gen$i/$sub"))
-      .reduce(_ unionByName _)
+    spark.read.parquet((0 until gens).map(i => s"$indexDir/gen$i/$sub"): _*)
 
   /** Full clustering of the corpus, persisted as gen0. */
   def build(spark: SparkSession, corpusDir: String, indexDir: String): Unit = {
@@ -109,7 +113,9 @@ object ClusterIndex {
       .join(covered, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (delta.limit(1).count() == 0L) return // nothing new: no-op
+      // full count, not limit(1): the no-op probe and the cache
+      // materialization the merge needs anyway become ONE job
+      if (delta.count() == 0L) return // nothing new: no-op
       val p = new Path(indexDir)
       val fs = ArtifactIo.fsOf(spark, p)
       val genP = new Path(s"$indexDir/gen$n")
@@ -138,23 +144,25 @@ object ClusterIndex {
     } finally delta.unpersist()
   }
 
-  /** Current membership (doc_id, cluster): union the committed gens,
-    * latest gen wins per doc. One shuffle on doc_id; at 100 TB `compact`
-    * folds the gens back to one so reads stay O(1) dirs. */
+  /** Current membership (doc_id, cluster): ONE reader over the committed
+    * gens (gen recovered from the file path — the layout is ours), latest
+    * gen wins per doc as an ARGMAX AGGREGATION: `max_by(cluster, __gen)`
+    * gets partial aggregation, so a doc key rewritten by many gens — the
+    * streaming-maintenance steady state — collapses map-side instead of
+    * sorting its whole history in one window task (the doc_state_latest
+    * rewrite). At 100 TB `compact` folds the gens back to one so reads
+    * stay O(1) dirs. */
   def members(spark: SparkSession, indexDir: String): DataFrame = {
     val n = readManifest(spark, indexDir)("gens").toInt
     if (n == 1) // build-fresh / compacted: no overlap possible, no shuffle
       return spark.read.parquet(s"$indexDir/gen0/members")
         .select(col("doc_id"), col("cluster"))
-    val all = (0 until n).map(i =>
-      spark.read.parquet(s"$indexDir/gen$i/members")
-        .select(col("doc_id"), col("cluster"), lit(i).as("__gen")))
-      .reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("__gen").desc)
-    all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("doc_id"), col("cluster"))
+    readGens(spark, indexDir, n, "members")
+      .select(col("doc_id"), col("cluster"),
+        regexp_extract(col("_metadata.file_path"), "/gen([0-9]+)/members/", 1)
+          .cast("int").as("__gen"))
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("cluster"), col("__gen")).as("cluster"))
   }
 
   /** Fold every committed generation back into a single gen0 — the
@@ -164,6 +172,17 @@ object ClusterIndex {
     * membership + unioned ledgers) and published by the same two-rename
     * discipline as build, so a crash anywhere leaves the multi-gen
     * artifact intact and serving. */
+  /** Auto-compaction policy for the maintenance tick (the
+    * `GraftDB.rollupIfDue`/compactRollups pattern): fold when the gen
+    * count reaches `maxGens`. Called by the streaming lane's foreachBatch
+    * after each append, so a week-long stream holds O(maxGens) gen dirs
+    * instead of one per micro-batch; a crash mid-compact is harmless
+    * (compact publishes via the same two-rename discipline — the
+    * multi-gen artifact keeps serving until the swap). */
+  def compactIfDue(spark: SparkSession, indexDir: String, maxGens: Int = 8): Unit =
+    if (readManifest(spark, indexDir)("gens").toInt >= maxGens)
+      compact(spark, indexDir)
+
   def compact(spark: SparkSession, indexDir: String): Unit = {
     val n = readManifest(spark, indexDir)("gens").toInt
     if (n <= 1) return

@@ -29,10 +29,16 @@ object StreamingCluster {
   /** Maintain `indexDir` (an existing [[ClusterIndex]]) from documents
     * streaming in under `srcDir`. Serial by construction: foreachBatch
     * runs one micro-batch at a time, satisfying appendDocs's
-    * single-writer contract. */
+    * single-writer contract. After each append the lifecycle tick folds
+    * the artifact once `maxGens` generations accumulate (the
+    * `rollupIfDue` pattern) — a week-long stream holds O(maxGens) gen
+    * dirs, not one per micro-batch. A crash between the append and the
+    * compact loses nothing: compaction is a pure re-layout, retried at
+    * the next tick. */
   def clusterMaintainStream(spark: SparkSession, srcDir: String,
       indexDir: String, checkpointDir: String,
-      glob: String = "documents.parquet", filesPerTrigger: Int = 0)
+      glob: String = "documents.parquet", filesPerTrigger: Int = 0,
+      maxGens: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val r = spark.readStream.schema(Streaming.docSchema)
       .option("pathGlobFilter", glob)
@@ -41,7 +47,13 @@ object StreamingCluster {
       .parquet(srcDir)
     src.writeStream
       .foreachBatch { (mb: DataFrame, _: Long) =>
-        if (!mb.isEmpty) ClusterIndex.appendDocs(spark, mb, indexDir)
+        // the micro-batch's OWN session (the documented foreachBatch
+        // footgun: the outer session's per-batch configs may diverge)
+        val s = mb.sparkSession
+        if (!mb.isEmpty) {
+          ClusterIndex.appendDocs(s, mb, indexDir)
+          ClusterIndex.compactIfDue(s, indexDir, maxGens)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

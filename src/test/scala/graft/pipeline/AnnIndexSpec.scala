@@ -167,6 +167,40 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("different corpus"))
   }
 
+  test("compactIfDue folds gens at the policy threshold; searches identical") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-anncompact").toString
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val cut = e.agg(org.apache.spark.sql.functions.max("vec_id")).head().getLong(0) / 2
+    val halfDir = s"$root/half"; val fullDir = s"$root/full"
+    e.filter(col("vec_id") <= cut).coalesce(2).write.parquet(s"$halfDir/embeddings.parquet")
+    e.coalesce(2).write.parquet(s"$fullDir/embeddings.parquet")
+    val idx = s"$root/idx"
+    AnnIndex.build(spark, halfDir, idx)
+    AnnIndex.append(spark, fullDir, idx) // gens = 2
+    val ivf = rows(AnnIndex.searchIvf(spark, fullDir, idx))
+    val pq = rows(AnnIndex.searchPq(spark, fullDir, idx))
+    val lsh = rows(AnnIndex.searchLsh(spark, fullDir, idx))
+
+    // below the policy threshold: a no-op (gen1 still there)
+    AnnIndex.compactIfDue(spark, idx, maxGens = 3)
+    assert(new java.io.File(s"$idx/gen1").isDirectory)
+    // at the threshold: folds to a single gen0, all three families
+    // serve identically (quantizers + fingerprint untouched)
+    AnnIndex.compactIfDue(spark, idx, maxGens = 2)
+    assert(!new java.io.File(s"$idx/gen1").exists())
+    assert(new java.io.File(s"$idx/gen0").isDirectory)
+    assert(rows(AnnIndex.searchIvf(spark, fullDir, idx)) === ivf)
+    assert(rows(AnnIndex.searchPq(spark, fullDir, idx)) === pq)
+    assert(rows(AnnIndex.searchLsh(spark, fullDir, idx)) === lsh)
+    // nprobe partition pruning survives the fold: cid= dirs under gen0
+    assert(new java.io.File(s"$idx/gen0/ivf_cells").listFiles()
+      .exists(_.getName.startsWith("cid=")))
+    // and a further append against the compacted artifact still works
+    AnnIndex.append(spark, fullDir, idx) // covered: no-op
+    assert(rows(AnnIndex.searchLsh(spark, fullDir, idx)) === lsh)
+  }
+
   test("a leftover build.tmp never shadows the published index; rebuild replaces") {
     val root = Files.createTempDirectory("graft-annindex-tmp").toString
     val idx = s"$root/idx"

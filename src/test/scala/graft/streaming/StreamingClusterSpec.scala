@@ -77,4 +77,71 @@ class StreamingClusterSpec extends SparkSpec {
     val gensAfter = manifest()
     assert(gensAfter === gensBefore, "re-delivered batches must not commit generations")
   }
+
+  test("50-micro-batch stream auto-compacts to O(1) gens, membership identical") {
+    import org.apache.spark.sql.Row
+    val root = java.nio.file.Files.createTempDirectory("scluster50").toString
+    // deterministic jaccard structure: 10 families × 5 variants sharing
+    // 7 of 8 tokens (3-gram jaccard 5/7 ≈ 0.71 within a family, 0 across)
+    // + 10 singletons of unique tokens (never pair)
+    def famText(f: Int, v: Int): String =
+      ((0 until 7).map(w => s"w${f}x$w") :+ s"v$v").mkString(" ")
+    def singText(i: Int): String = (0 until 8).map(w => s"s${i}y$w").mkString(" ")
+    val baseDocs = (0 until 10).map(f => (f * 5L, famText(f, 0)))
+    val streamDocs =
+      (for { f <- 0 until 10; v <- 1 until 5 } yield (f * 5L + v, famText(f, v))) ++
+        (0 until 10).map(i => (1000L + i, singText(i)))
+    def toDf(docs: Seq[(Long, String)]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          docs.map { case (id, t) => Row(id, t, "en", "fixture", t.length.toLong) }),
+        Streaming.docSchema)
+
+    val corpusDir = s"$root/corpus"
+    toDf(baseDocs).coalesce(1).write.parquet(s"$corpusDir/documents.parquet")
+    ClusterIndex.build(spark, corpusDir, s"$root/idx")
+
+    // 50 single-doc files = 50 micro-batches at one file per trigger
+    val srcDir = s"$root/src"; new java.io.File(srcDir).mkdirs()
+    val tmp = s"$root/stage"
+    toDf(streamDocs.toSeq).repartitionByRange(50, col("doc_id")).write.parquet(tmp)
+    val parts = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = new java.io.File(srcDir, f"docs$i%03d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.setLastModified(1000000L * (i + 1))
+    }
+
+    val q = StreamingCluster.clusterMaintainStream(spark, srcDir,
+      s"$root/idx", s"$root/cp", glob = "docs*.parquet",
+      filesPerTrigger = 1, maxGens = 5)
+    try q.processAllAvailable() finally q.stop()
+
+    // the lifecycle tick kept the artifact at O(maxGens) generations
+    val genDirs = new java.io.File(s"$root/idx").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen")).map(_.getName)
+    assert(genDirs.length <= 5, s"auto-compact failed: ${genDirs.mkString(",")}")
+
+    // membership identical to the one-shot clustering of all 60 docs
+    val fullDir = s"$root/full"
+    toDf((baseDocs ++ streamDocs).toSeq).coalesce(1)
+      .write.parquet(s"$fullDir/documents.parquet")
+    val want = graft.pipeline.Dedup.dedupClustersExact(spark, fullDir)
+    val got = ClusterIndex.members(spark, s"$root/idx")
+    assert(got.count() === 50L) // 10 families × 5 members; singletons absent
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "auto-compacted streamed membership != one-shot clustering")
+
+    // crash MID-COMPACT (between the publish renames): live retired at
+    // .old, a half-staged .build.tmp lying around — the next reader
+    // self-heals and serves the identical membership
+    val before = got.collect().map(_.toString).sorted.toSeq
+    val idxF = new java.io.File(s"$root/idx")
+    assert(idxF.renameTo(new java.io.File(s"$root/idx.old")))
+    new java.io.File(s"$root/idx.build.tmp/gen0").mkdirs() // junk stage
+    val healed = ClusterIndex.members(spark, s"$root/idx")
+      .collect().map(_.toString).sorted.toSeq
+    assert(healed === before, "crash mid-compact lost the committed artifact")
+  }
 }
