@@ -267,12 +267,43 @@ object DocStore {
       q.endAt.map(_.values.size).getOrElse(0)
   }
 
+  /** Whether any TYPED field is probed by more than one operator stage
+    * (where/cursor vs sort vs projection). Codegen CSE merges repeated
+    * probes WITHIN one operator, but not across Filter → Sort → Project —
+    * each stage re-streams the raw JSON for its probe, so a 3-probe
+    * single-field query (the cursor-paging shape: the order key in the
+    * cursor predicates, the sort, and the projection) pays 2-3 full text
+    * scans per row where the fused compiler pays one parse. Measured at
+    * sf0.1: cursor paging 0.87 s per-field vs 0.49 s fused. Raw probes
+    * (Regex/unary) are identical in both compilers and don't count. */
+  private def repeatedFieldAcrossStages(q: StructuredQuery): Boolean = {
+    def leafFields(f: Filter): Seq[String] = f match {
+      case AndFilter(fs) => fs.flatMap(leafFields)
+      case OrFilter(fs) => fs.flatMap(leafFields)
+      case ff: FieldFilter if emptyArrShortCircuit(ff).isDefined => Seq.empty
+      case FieldFilter(_, Op.Regex, _) => Seq.empty
+      case UnaryFilter(_, _) => Seq.empty
+      case FieldFilter(field, _, _) => Seq(field)
+    }
+    // cursors evaluate in the filter stage alongside the where
+    val filterStage = (q.where.toSeq.flatMap(leafFields) ++
+      q.orderBy.take(math.max(
+        q.startAt.map(_.values.size).getOrElse(0),
+        q.endAt.map(_.values.size).getOrElse(0))).map(_.field)).distinct
+    val sortStage = q.orderBy.map(_.field).distinct
+    val projStage = q.select.distinct
+    val stages = Seq(filterStage, sortStage, projStage)
+    stages.flatten.groupBy(identity).values.exists(_.size > 1)
+  }
+
   /** Single-parse variant of `query` with a NARROW-QUERY fast path: a
     * query whose per-field compilation would run at most 3 JSON-path
-    * extractions executes per-field (independent `get_json_object`s —
-    * each a streaming path probe, no struct materialization and no parse
-    * fence), because the fence's Generate overhead buys nothing when
-    * there is no multi-field parse to fuse. Wider queries derive the
+    * extractions — and probes no field from more than one operator stage
+    * (see [[repeatedFieldAcrossStages]]) — executes per-field
+    * (independent `get_json_object`s — each a streaming path probe, no
+    * struct materialization and no parse fence), because the fence's
+    * Generate overhead buys nothing when there is no multi-field parse
+    * to fuse and nothing is re-probed across stages. Wider queries derive the
     * narrow struct schema of every referenced field and run ONE
     * `from_json` per row behind the fence — the winning shape when
     * filters touch several fields of multi-KB docs (the 100 TB hot
@@ -280,7 +311,8 @@ object DocStore {
     * 24-field docs). Both paths have identical semantics (asserted
     * row-for-row by the QueryFuzzSpec property tests). */
   def queryFused(coll: DocCollection, q: StructuredQuery): DataFrame =
-    if (perFieldExtractions(q) <= 3) query(coll, q)
+    if (perFieldExtractions(q) <= 3 && !repeatedFieldAcrossStages(q))
+      query(coll, q)
     else queryFusedAlways(coll, q)
 
   /** The fused compiler proper — no fast-path dispatch (exposed within
