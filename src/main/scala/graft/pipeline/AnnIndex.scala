@@ -85,17 +85,26 @@ object AnnIndex {
     * (gen N, quantizers read back from the index). */
   private def writeGen(vectors: DataFrame, cents: DataFrame,
       flat: Array[Float], params: Params, genTmp: String): Unit = {
-    Ann.nearestCell(vectors, cents, 1)
-      .select(col("cid"), col("vec_id"), col("embedding"))
-      .write.partitionBy("cid").parquet(s"$genTmp/ivf_cells")
-    vectors.select(col("vec_id"),
-        pq_encode(col("embedding"), float_array_lit(flat),
-          params.m, params.ksub).as("codes"))
-      .write.parquet(s"$genTmp/pq_codes")
-    vectors.select(col("vec_id"),
-        posexplode(hyperplane_buckets(col("embedding"), params.bits, params.tables)))
-      .select(col("pos").as("tbl"), col("col").as("bucket"), col("vec_id"))
-      .write.parquet(s"$genTmp/lsh_tables")
+    // three independent encodings of the same vector set — concurrent
+    // jobs (the ClusterIndex gen-write pattern): at small deltas each
+    // write is fixed-overhead-dominated, so serializing them tripled the
+    // append's constant
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Seq(
+      Future(Ann.nearestCell(vectors, cents, 1)
+        .select(col("cid"), col("vec_id"), col("embedding"))
+        .write.partitionBy("cid").parquet(s"$genTmp/ivf_cells")),
+      Future(vectors.select(col("vec_id"),
+          pq_encode(col("embedding"), float_array_lit(flat),
+            params.m, params.ksub).as("codes"))
+        .write.parquet(s"$genTmp/pq_codes")),
+      Future(vectors.select(col("vec_id"),
+          posexplode(hyperplane_buckets(col("embedding"), params.bits, params.tables)))
+        .select(col("pos").as("tbl"), col("col").as("bucket"), col("vec_id"))
+        .write.parquet(s"$genTmp/lsh_tables")))
+      .foreach(Await.result(_, Duration.Inf))
   }
 
   /** Train + encode + write every index family, publish atomically.

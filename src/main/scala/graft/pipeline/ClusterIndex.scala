@@ -78,11 +78,17 @@ object ClusterIndex {
     val tmp = new Path(p.getParent, p.getName + ".build.tmp")
     fs.delete(tmp, true)
     val docs = docsOf(spark, corpusDir)
-    Dedup.connectedComponents(
-        Dedup.jaccardPairsOf(docs).select(col("a_id"), col("b_id")))
-      .write.parquet(s"$tmp/gen0/members")
-    docs.select(col("doc_id")).write.parquet(s"$tmp/gen0/covered")
-    Dedup.repIndexOf(docs).write.parquet(s"$tmp/gen0/shingles")
+    val members = Dedup.connectedComponents(
+      Dedup.jaccardPairsOf(docs).select(col("a_id"), col("b_id")))
+    // independent writes → concurrent jobs (the append pattern below)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    Seq(
+      Future(members.write.parquet(s"$tmp/gen0/members")),
+      Future(docs.select(col("doc_id")).write.parquet(s"$tmp/gen0/covered")),
+      Future(Dedup.repIndexOf(docs).write.parquet(s"$tmp/gen0/shingles")))
+      .foreach(Await.result(_, Duration.Inf))
     ArtifactIo.writeText(fs, new Path(tmp, ManifestName), manifestJson(1))
     ArtifactIo.publish(spark, indexDir, tmp)
   }
@@ -113,15 +119,21 @@ object ClusterIndex {
       .join(covered, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // full count, not limit(1): the no-op probe and the cache
-      // materialization the merge needs anyway become ONE job
-      if (delta.count() == 0L) return // nothing new: no-op
       val p = new Path(indexDir)
       val fs = ArtifactIo.fsOf(spark, p)
       val genP = new Path(s"$indexDir/gen$n")
       val genTmp = new Path(s"$indexDir/gen$n.tmp")
       fs.delete(genTmp, true)
       fs.delete(genP, true) // a crashed append's orphan — uncommitted garbage
+      // FIRST real job: the covered-ledger write. Materializing any slice
+      // of a persisted frame builds the full cached batches, so the no-op
+      // probe after it is a cache-local count — the probe, the ledger
+      // write and the cache warm the merge needs are ONE corpus scan.
+      delta.select(col("doc_id")).write.parquet(s"$genTmp/covered")
+      if (delta.count() == 0L) { // nothing new: no-op, drop the staging
+        fs.delete(genTmp, true)
+        return
+      }
       val old = members(spark, indexDir)
       // latest-gen-wins read model: persist only the rows this merge
       // MOVED (label changed) or CREATED (doc entered membership). The
@@ -131,13 +143,25 @@ object ClusterIndex {
       // shuffled, and never joined against a second full membership.
       val (relabel, fresh) = Dedup.mergeDeltaParts(old,
         readGens(spark, indexDir, n, "shingles"), delta)
+      // relabel is bounded by the contracted graph — broadcast it so the
+      // membership is SCANNED, never shuffled (at 100 TB a sort-merge
+      // here would move the whole membership for a handful of labels)
       val moved = old.join(
-          relabel.filter(col("old_lab") =!= col("new_lab")),
+          broadcast(relabel.filter(col("old_lab") =!= col("new_lab"))),
           old("cluster") === col("old_lab"))
         .select(old("doc_id"), col("new_lab").as("cluster"))
-      moved.unionByName(fresh).write.parquet(s"$genTmp/members")
-      delta.select(col("doc_id")).write.parquet(s"$genTmp/covered")
-      Dedup.repIndexOf(delta).write.parquet(s"$genTmp/shingles")
+      // the remaining gen writes are independent (delta is persisted, the
+      // merge outputs sit on checkpointed CC blocks / driver arrays) —
+      // run them as concurrent jobs: at append scale each write is
+      // fixed-overhead-dominated, and serializing them was most of the
+      // append-vs-build fixed-cost gap the maint lane flags
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(
+        Future(moved.unionByName(fresh).write.parquet(s"$genTmp/members")),
+        Future(Dedup.repIndexOf(delta).write.parquet(s"$genTmp/shingles")))
+        .foreach(Await.result(_, Duration.Inf))
       if (!fs.rename(genTmp, genP))
         throw new java.io.IOException(s"clusterindex: cannot stage $genP")
       ArtifactIo.swapManifest(fs, p, ManifestName, manifestJson(n + 1))

@@ -363,6 +363,22 @@ object ScaleSmoke {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     }
+    // staging copy so APPEND can be timed more than once (an append is
+    // one-shot: the second run no-ops on the covered ledger)
+    def copyDir(src: String, dst: String): Unit = {
+      rm(dst)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val s = new org.apache.hadoop.fs.Path(src)
+      val d = new org.apache.hadoop.fs.Path(dst)
+      org.apache.hadoop.fs.FileUtil.copy(
+        s.getFileSystem(conf), s, d.getFileSystem(conf), d, false, conf)
+    }
+    // MIN of 2 repetitions per timed call (the bench's per-pass
+    // discipline): these are seconds of fixed-cost-dominated work on a
+    // shared box — a single sample bounces ±0.8 s run-over-run, which is
+    // the whole append-vs-build margin under test
+    def timedMin(prep: => Unit)(f: => Unit): Double =
+      (0 until 2).map { _ => prep; timed(f) }.min
     import graft.pipeline.{AnnIndex, ClusterIndex}
     // warmup: one tiny build per family off the timed corpora
     ClusterIndex.build(spark, "/root/testdata/sf0.001", s"$root/warm_ci")
@@ -372,38 +388,59 @@ object ScaleSmoke {
     val flags = scala.collection.mutable.ListBuffer[String]()
 
     // ---- ClusterIndex ----
-    rm(s"$root/ci1"); rm(s"$root/ciN")
-    val cb1 = timed(ClusterIndex.build(spark, base, s"$root/ci1"))
-    val cbN = timed(ClusterIndex.build(spark, scaled, s"$root/ciN"))
-    val ca1 = timed(ClusterIndex.append(spark, s"$root/grown1", s"$root/ci1"))
-    val caN = timed(ClusterIndex.append(spark, s"$root/grownN", s"$root/ciN"))
+    val cb1 = timedMin(rm(s"$root/ci1"))(
+      ClusterIndex.build(spark, base, s"$root/ci1"))
+    val cbN = timedMin(rm(s"$root/ciN"))(
+      ClusterIndex.build(spark, scaled, s"$root/ciN"))
+    val ca1 = timedMin(copyDir(s"$root/ci1", s"$root/ci1_app"))(
+      ClusterIndex.append(spark, s"$root/grown1", s"$root/ci1_app"))
+    val caN = timedMin(copyDir(s"$root/ciN", s"$root/ciN_app"))(
+      ClusterIndex.append(spark, s"$root/grownN", s"$root/ciN_app"))
     println(f"cluster      $cb1%7.1f   $cbN%8.1f   $ca1%8.1f   $caN%9.1f   (${caN / ca1}%.2fx)")
     // the rebuild comparison is only meaningful when append actually
     // tracks the data: at bench scale both sides are fixed-cost-bound
     // (append pays ~20 small jobs, build one big one), and a FLAT
     // append extrapolates below any data-linear build — the flat
     // ratio IS the pass. Flag rebuild-parity only alongside growth.
-    if (caN > 0.6 * cbN && caN / ca1 > 2.0)
+    // every timing flag also requires a MINIMUM ABSOLUTE DELTA (the
+    // shuffle gate's rule): ca1/cb1 are seconds of fixed-cost-dominated
+    // work on a shared box, so a pure-ratio gate can fire off one
+    // transient stall in the denominator run
+    if (caN > 0.6 * cbN && caN / ca1 > 2.0 && caN - ca1 > 10.0)
       flags += "cluster_append_not_cheaper_than_rebuild"
-    if (caN / ca1 > copies / 2.0) flags += "cluster_append_scales_with_corpus"
-    // correctness at 1×: merge-maintained == one-shot rebuild
+    if (caN / ca1 > copies / 2.0 && caN - ca1 > 10.0)
+      flags += "cluster_append_scales_with_corpus"
+    // fixed-overhead criterion (r14): at 1× the append's ~fixed cost must
+    // not exceed the full build's — one artifact read + one bounded merge
+    // vs training + encoding the whole corpus (margin + floor for box
+    // noise on few-second runs)
+    if (ca1 > cb1 * 1.25 && ca1 - cb1 > 2.0)
+      flags += "cluster_append_fixed_overhead_exceeds_build"
+    // correctness at 1×: merge-maintained == one-shot rebuild (the last
+    // timed rep's appended copy IS the maintained artifact)
     rm(s"$root/ci1_oneshot")
     ClusterIndex.build(spark, s"$root/grown1", s"$root/ci1_oneshot")
-    val a = ClusterIndex.members(spark, s"$root/ci1")
+    val a = ClusterIndex.members(spark, s"$root/ci1_app")
     val b = ClusterIndex.members(spark, s"$root/ci1_oneshot")
     val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
     if (diff != 0) flags += s"cluster_merge_diverges_from_rebuild($diff)"
 
     // ---- AnnIndex ----
-    rm(s"$root/ai1"); rm(s"$root/aiN")
-    val ab1 = timed(AnnIndex.build(spark, base, s"$root/ai1"))
-    val abN = timed(AnnIndex.build(spark, scaled, s"$root/aiN"))
-    val aa1 = timed(AnnIndex.append(spark, s"$root/grown1", s"$root/ai1"))
-    val aaN = timed(AnnIndex.append(spark, s"$root/grownN", s"$root/aiN"))
+    val ab1 = timedMin(rm(s"$root/ai1"))(
+      AnnIndex.build(spark, base, s"$root/ai1"))
+    val abN = timedMin(rm(s"$root/aiN"))(
+      AnnIndex.build(spark, scaled, s"$root/aiN"))
+    val aa1 = timedMin(copyDir(s"$root/ai1", s"$root/ai1_app"))(
+      AnnIndex.append(spark, s"$root/grown1", s"$root/ai1_app"))
+    val aaN = timedMin(copyDir(s"$root/aiN", s"$root/aiN_app"))(
+      AnnIndex.append(spark, s"$root/grownN", s"$root/aiN_app"))
     println(f"ann          $ab1%7.1f   $abN%8.1f   $aa1%8.1f   $aaN%9.1f   (${aaN / aa1}%.2fx)")
-    if (aaN > 0.6 * abN && aaN / aa1 > 2.0)
+    if (aaN > 0.6 * abN && aaN / aa1 > 2.0 && aaN - aa1 > 10.0)
       flags += "ann_append_not_cheaper_than_rebuild"
-    if (aaN / aa1 > copies / 2.0) flags += "ann_append_scales_with_corpus"
+    if (aaN / aa1 > copies / 2.0 && aaN - aa1 > 10.0)
+      flags += "ann_append_scales_with_corpus"
+    if (aa1 > ab1 * 1.25 && aa1 - ab1 > 2.0)
+      flags += "ann_append_fixed_overhead_exceeds_build"
 
     def r3(d: Double): String = f"$d%.3f"
     val json = s"""{"lane":"maint","copies":$copies,""" +

@@ -64,6 +64,23 @@ object StreamingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Fixed calibration workload (the batch Bench's): data-independent,
+    // pinned size/partitioning — its round-over-round ratio measures BOX
+    // drift, so the throughput gates below compare DRIFT-NORMALIZED
+    // events/sec instead of letting a slow box day read as a streaming
+    // regression (r13's ~20% uniform dip was exactly this shape). Median
+    // of 3 runs, timed after a warm-up run.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 48L * 1000 * 1000, 1L, 32)
+        .selectExpr("id % 1000000 AS k", "pmod(xxhash64(id), 1000003) AS h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h").as("s"))
+        .selectExpr("sum(s)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // warm the path before timing it
+    val calMed = Seq.fill(3)(calibrate()).sorted.apply(1)
+
     val root = Files.createTempDirectory("graft_streambench").toString
     val ev = graft.sources.Tables.eventsRaw(spark, base)
     val perCopy = ev.count()
@@ -200,9 +217,16 @@ object StreamingBench {
         prevRe.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
     def r1(d: Double): String = f"$d%.1f"
-    // flags: (a) >2x events/sec drop vs the previous committed record
-    // (the uniform bench's rule); (b) the scale section's bounded-state
-    // and throughput-linearity assertions
+    // Drift normalization: cal_drift = this box / prev box (in cal
+    // seconds; >1 = slower box). A slower box lowers every eps uniformly,
+    // so the gate compares prev against eps×drift — quiet-box units. A
+    // legacy record without "calibration" gets drift 1 (raw compare).
+    val prevCal = prev.getOrElse("calibration", -1.0)
+    val drift = if (prevCal > 0 && calMed > 0) calMed / prevCal else 1.0
+    // flags: (a) >1.5x NORMALIZED events/sec drop vs the previous
+    // committed record (tighter than the old raw 2x gate — box noise is
+    // divided out, so the threshold can afford to be); (b) the scale
+    // section's bounded-state and throughput-linearity assertions
     val throughputFlags = Seq(
       "ingest_events_per_sec" -> ingestEps,
       "sessionize_events_per_sec" -> baseStats.sessEps,
@@ -210,7 +234,7 @@ object StreamingBench {
       "scale_ingest_events_per_sec" -> scaleIngestEps,
       "scale_sessionize_events_per_sec" -> scaleStats.sessEps,
       "scale_ratelimit_events_per_sec" -> scaleStats.rateEps).collect {
-      case (n, v) if v > 0 && prev.get(n).exists(p => p > 0 && p / v > 2.0) => n
+      case (n, v) if v > 0 && prev.get(n).exists(p => p > 0 && p / (v * drift) > 1.5) => n
     }
     val scaleFlags = scala.collection.mutable.ListBuffer.empty[String]
     // state must stay ~FLAT at fixed key cardinality while events go
@@ -236,6 +260,7 @@ object StreamingBench {
     def strArr(xs: Seq[String]): String = xs.map("\"" + _ + "\"").mkString(",")
     val json = s"""{"lane":"streaming","base":"$base","copies":$copies,""" +
       s""""events":$total,"flags":[${strArr(flags)}],""" +
+      s""""calibration":${r1(calMed)},"cal_drift":${f"$drift%.3f"},""" +
       s""""errors":[${strArr(errors.toSeq)}],""" +
       s""""ingest_events_per_sec":${r1(ingestEps)}${prevStr("ingest_events_per_sec")},""" +
       s""""ingest_rollups":$rollups,""" +
