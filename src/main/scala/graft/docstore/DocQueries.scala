@@ -509,14 +509,16 @@ object DocQueries {
   }
 
   // the oracle recomputes the fixture's field states relationally from
-  // the raw events columns (the docArrayContains precedent): k present ⇔
-  // k0 % 3 <> 1, null ⇔ k0 % 5 = 0, q NaN ⇔ k0 % 7 = 0
+  // the raw events columns (the docArrayContains precedent): with
+  // km = pmod(coalesce(k, 13), 105) — total over null/missing/quoted k —
+  // k present ⇔ km % 3 <> 1, null ⇔ km % 5 = 0, q NaN ⇔ km % 7 = 0
   val docFilterUnarySql: String =
     """SELECT event_id AS _id FROM (
-      |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k0
+      |  SELECT event_id,
+      |    ((COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 13) % 105) + 105) % 105 AS km
       |  FROM events) t
-      |WHERE (k0 % 3 <> 1 AND k0 % 5 = 0 AND k0 % 7 <> 0)
-      |   OR (k0 % 7 = 0 AND k0 % 3 <> 1 AND k0 % 5 <> 0)""".stripMargin
+      |WHERE (km % 3 <> 1 AND km % 5 = 0 AND km % 7 <> 0)
+      |   OR (km % 7 = 0 AND km % 3 <> 1 AND km % 5 <> 0)""".stripMargin
 
   /** JQL membership spellings through the query-string language —
     * EJDB2's `in` and the `not in` negation prefix over array-literal

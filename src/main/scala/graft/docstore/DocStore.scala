@@ -502,25 +502,31 @@ object DocStore {
 
   /** Events re-shaped as the UNARY-FILTER fixture: docs that exercise all
     * three null-ish field states the schemaless model distinguishes —
-    * MISSING (`k` omitted when k≡1 mod 3), EXPLICIT NULL (`"k":null` when
-    * k≡0 mod 5, via ignoreNullFields=false), and NaN (`q` is the string
-    * "NaN" when k≡0 mod 7, the serialization JSON forces on NaN doubles).
-    * Deterministic in the raw events columns so DuckDB can recompute the
-    * same predicate relationally. Materialized once per (session, table)
-    * like `eventsCollection`. */
+    * MISSING (`k` omitted when km≡1 mod 3), EXPLICIT NULL (`"k":null`
+    * when km≡0 mod 5, via ignoreNullFields=false), and NaN (`q` is the
+    * string "NaN" when km≡0 mod 7, the serialization JSON forces on NaN
+    * doubles). The rule basis km = pmod(coalesce(k, 13), 105) is TOTAL
+    * over the adversarial corpora (null/missing/quoted k, null value —
+    * GenCorpus emits all of them): 105 = 3·5·7 keeps the CRT residues,
+    * pmod guards sign, the coalesces pin every null a three-valued SQL
+    * mirror would diverge on. Deterministic in the raw events columns so
+    * DuckDB can recompute the same predicate relationally. Materialized
+    * once per (session, table) like `eventsCollection`. */
   def eventsUnaryCollection(spark: SparkSession, dir: String): DocCollection =
     unaryCollCache.computeIfAbsent((spark, dir), _ => {
       val ev = Tables.events(spark, dir)
-      val k0 = get_json_object(ev("props"), "$.k").cast("long")
-      val kn = when(k0 % 5 === 0, lit(null).cast("long")).otherwise(k0)
-      val q = when(k0 % 7 === 0, lit("NaN")).otherwise(ev("value").cast("string"))
+      val k0 = get_json_object(ev("props"), "$.k").try_cast("long")
+      val km = pmod(coalesce(k0, lit(13L)), lit(105L))
+      val kn = when(km % 5 === 0, lit(null).cast("long")).otherwise(km)
+      val q = when(km % 7 === 0, lit("NaN"))
+        .otherwise(coalesce(ev("value"), lit(0.0)).cast("string"))
       val withK = to_json(
         struct(kn.as("k"), q.as("q"), ev("event_type").as("t")),
         Map("ignoreNullFields" -> "false"))
       val noK = to_json(struct(q.as("q"), ev("event_type").as("t")))
       DocCollection("events_unary",
         ev.select(ev("event_id").as("_id"),
-            when(k0 % 3 === 1, noK).otherwise(withK).as("doc"))
+            when(km % 3 === 1, noK).otherwise(withK).as("doc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 

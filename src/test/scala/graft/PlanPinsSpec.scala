@@ -154,14 +154,30 @@ class PlanPinsSpec extends SparkSpec {
   }
 
   test("narrow doc queries take the per-field fast path (no fence)") {
-    // ≤3 extractions: independent get_json_object probes, no struct
-    // parse and no Generate — the fence overhead buys nothing here
-    Seq("doc_filter_eq", "doc_qstr", "doc_filter_range", "doc_projection",
-        "doc_filter_not_in", "doc_orderby").foreach { q =>
+    // ≤3 extractions AND no field re-probed across operator stages:
+    // independent get_json_object probes, no struct parse and no
+    // Generate — the fence overhead buys nothing here
+    Seq("doc_qstr", "doc_filter_range", "doc_projection",
+        "doc_filter_not_in").foreach { q =>
       val p = planOf(q)
       assert(p.linesIterator.map(l =>
         "from_json".r.findAllIn(l).size).sum === 0, s"struct parse in $q")
       assert(!p.contains("Generate"), s"parse fence in narrow query $q")
+    }
+  }
+
+  test("cross-stage repeated-field doc queries take the fused path") {
+    // a field probed by more than one operator stage (filter/cursor vs
+    // sort vs projection) re-streams the raw JSON per stage on the
+    // per-field path (codegen CSE is per-operator) — these dispatch to
+    // the single-parse compiler even though they are ≤3 extractions.
+    // doc_cursor_page is the r14 motivating case (0.87 s → 0.49 s at
+    // sf0.1); doc_filter_eq (filter+select on event_type) and
+    // doc_orderby (sort+select on k) follow the same rule.
+    Seq("doc_filter_eq", "doc_orderby", "doc_cursor_page").foreach { q =>
+      val p = planOf(q)
+      assert(p.linesIterator.map(l =>
+        "from_json".r.findAllIn(l).size).sum === 1, s"parse count in $q")
     }
   }
 
