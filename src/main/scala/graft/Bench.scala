@@ -96,6 +96,14 @@ object Bench {
       catch { case NonFatal(_) => }
     }
     try SparkEntry.entry(spark).count() catch { case NonFatal(_) => }
+    // input-fixture caches are SHARED session state that stays warm
+    // across passes by design (see the pass loop note below) — build
+    // them here so pass 1 of whichever query happens to run first isn't
+    // charged the one-time materialization (r14: ann_hybrid_rrf's 1.4 s
+    // pass-1 spread was the BM25 tf projection + doc collection builds)
+    for (warm <- Seq("doc_filter_eq", "doc_filter_unary", "text_search_bm25"))
+      try SparkEntry.queries(warm)(spark, sfDir).count()
+      catch { case NonFatal(_) => }
     // pass-major order: query q's pass 2 runs a full suite-length after
     // its pass 1, so a transient box-load spike cannot poison every pass
     // of the same query
