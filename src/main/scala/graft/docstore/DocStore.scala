@@ -101,16 +101,15 @@ object DocStore {
     * expressions that fuse into the scan's Filter like every other op. */
   private def compileUnary(doc: Column, field: String, op: UnaryOp): Column = {
     val raw = get_json_object(doc, "$." + field)
-    def present: Column = {
-      val (parent, leaf) = field.lastIndexOf('.') match {
-        case -1 => (doc, field)
-        case i => (get_json_object(doc, "$." + field.take(i)), field.drop(i + 1))
-      }
-      // null/scalar parent → json_object_keys is null → null (no match)
-      array_contains(json_object_keys(parent), leaf)
-    }
     op match {
-      case UnaryOp.IsNull => present && raw.isNull
+      // present-with-JSON-null is the one state get_json_object cannot
+      // see (SQL NULL for both null and missing) — the codegen'd
+      // one-pass [[graft.functions.JsonFieldStateEval]] walker
+      // classifies it in a single early-exit stream (the
+      // json_object_keys(parent)+raw form streamed the doc twice and
+      // allocated a keys array per row)
+      case UnaryOp.IsNull =>
+        graft.functions.GraftFunctions.json_field_state(doc, field) === 1
       case UnaryOp.IsNotNull => raw.isNotNull
       case UnaryOp.IsNan => isnan(raw.try_cast("double"))
       case UnaryOp.IsNotNan =>
@@ -255,9 +254,9 @@ object DocStore {
     def leaves(f: Filter): Int = f match {
       case AndFilter(fs) => fs.map(leaves).sum
       case OrFilter(fs) => fs.map(leaves).sum
-      // unary probes run raw in both compilers; IsNull/IsNotNan probe
-      // twice (presence/null-ness + value)
-      case UnaryFilter(_, UnaryOp.IsNull | UnaryOp.IsNotNan) => 2
+      // unary probes run raw in both compilers — one stream each (IsNull
+      // is the single-pass json_field_state kernel; IsNotNan's two raw
+      // references CSE within the filter)
       case UnaryFilter(_, _) => 1
       case ff: FieldFilter => if (emptyArrShortCircuit(ff).isDefined) 0 else 1
     }

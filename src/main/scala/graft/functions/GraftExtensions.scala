@@ -39,6 +39,9 @@ object GraftExtensions {
     "graft_shingle_hashes" -> { exprs =>
       val e = need(2, "graft_shingle_hashes")(exprs); ShingleHashes(e(0), e(1))
     },
+    "graft_json_field_state" -> { exprs =>
+      val e = need(2, "graft_json_field_state")(exprs); JsonFieldState(e(0), e(1))
+    },
     "graft_hyperplane_buckets" -> { exprs =>
       val e = need(3, "graft_hyperplane_buckets")(exprs)
       HyperplaneBuckets(e(0), e(1), e(2))

@@ -20,6 +20,8 @@ object GraftFunctions {
 
   def cosine_sim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
+  def json_field_state(json: Column, path: String): Column =
+    column(JsonFieldState(expression(json), Literal(path)))
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def minhash_sig(tokens: Column, k: Int): Column =
     column(MinHashSig(expression(tokens), Literal(k)))
@@ -144,6 +146,86 @@ case class CosineSim(left: Expression, right: Expression)
 /** 64-bit SimHash over an array of string tokens (FNV-1a token hashes,
   * unit weights). Standard construction: per bit, sum +1/-1 across token
   * hashes; sign of the sum is the output bit. */
+/** Streaming one-pass classifier of a JSON field's null-ish state —
+  * the probe the schemaless UnaryFilter surface needs (reference:
+  * db3_database_v2.proto:127-129 UnaryFilter IS_NULL/IS_NOT_NULL):
+  * returns 0 = MISSING (path absent, parent not an object, or malformed
+  * JSON), 1 = present with JSON null, 2 = present with a non-null value.
+  * `get_json_object` cannot make the 0-vs-1 distinction (SQL NULL for
+  * both), and the `json_object_keys(parent)`+raw two-probe form streams
+  * the document twice and allocates a keys array per row; this walks the
+  * dotted path once with Jackson's streaming parser, early-exits at the
+  * first match, and allocates nothing. First occurrence wins on
+  * duplicate keys (get_json_object's behavior). Codegen'd: the state
+  * call inlines into the scan's Filter like every other probe. */
+object JsonFieldStateEval {
+  import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
+  private val factory = new JsonFactory()
+
+  def stateOf(json: String, segs: Array[String]): Int =
+    try {
+      val p = factory.createParser(json)
+      try {
+        if (p.nextToken() != JsonToken.START_OBJECT) 0
+        else walk(p, segs, 0)
+      } finally p.close()
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+
+  /** Inside an object (START_OBJECT consumed): find segs(i), descend or
+    * classify. skipChildren is a no-op on scalar value tokens. */
+  @annotation.tailrec
+  private def walk(p: JsonParser, segs: Array[String], i: Int): Int = {
+    if (p.nextToken() != JsonToken.FIELD_NAME) return 0 // END_OBJECT: absent
+    val name = p.currentName()
+    val t = p.nextToken() // the value token
+    if (name == segs(i)) {
+      if (i == segs.length - 1) {
+        if (t == JsonToken.VALUE_NULL) 1 else 2
+      } else if (t != JsonToken.START_OBJECT) 0 // path into scalar/array
+      else walk(p, segs, i + 1)
+    } else {
+      p.skipChildren()
+      walk(p, segs, i)
+    }
+  }
+}
+
+/** See [[JsonFieldStateEval]]; `path` must be a foldable string literal
+  * (a dotted field path, compiled to segments once at plan time). */
+case class JsonFieldState(json: Expression, path: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = json
+  override def right: Expression = path
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (json.dataType != StringType || path.dataType != StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "json_field_state expects (string json, string path)")
+    else if (!path.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "json_field_state path must be a literal")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val segs: Array[String] =
+    path.eval().asInstanceOf[UTF8String].toString.split('.')
+
+  override def nullSafeEval(j: Any, p: Any): Any =
+    JsonFieldStateEval.stateOf(j.asInstanceOf[UTF8String].toString, segs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (j, _) => {
+      val segsRef = ctx.addReferenceObj("segs", segs, "java.lang.String[]")
+      s"""${ev.value} = graft.functions.JsonFieldStateEval$$.MODULE$$
+         |  .stateOf($j.toString(), $segsRef);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(json = l, path = r)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
