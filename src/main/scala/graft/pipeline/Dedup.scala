@@ -763,6 +763,54 @@ object Dedup {
       |SELECT u AS doc_id, least(u, MIN(v)) AS cluster
       |FROM reach GROUP BY u""".stripMargin
 
+  /** NEAR-DUP COLLAPSE keeping the BEST representative — what a curation
+    * pass actually does with a near-dup cluster: keep ONE member chosen
+    * by a QUALITY key (here: longest text wins, min doc_id breaks ties —
+    * the "keep the longest version" heuristic), rather than the min-id
+    * convention of the raw membership view. One grouped ARGMAX over the
+    * membership ⋈ doc-stats join: `max_by` gets partial aggregation so a
+    * cluster's members collapse map-side (no window, no per-cluster
+    * sort), and the membership side is bounded by the above-threshold
+    * pair graph — tiny next to the corpus, so the stats join broadcasts
+    * at any scale where clustering itself is feasible. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClustersExact(spark, dir) // (doc_id, cluster)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    clusters.join(docs, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(col("doc_id"), struct(col("n_chars"), -col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("cluster"), col("keep_id"), col("n_members"), col("max_chars"))
+  }
+
+  val dedupKeepBestSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(range(1, greatest(len(string_split(trim(text), ' ')) - 2, 0) + 1),
+      |      i -> string_split(trim(text), ' ')[i] || ' ' || string_split(trim(text), ' ')[i+1] || ' ' || string_split(trim(text), ' ')[i+2])) AS ng
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.ng, b.ng)) AS DOUBLE)
+      |        / len(list_distinct(list_concat(a.ng, b.ng))) >= 0.5),
+      |e AS (SELECT a_id AS u, b_id AS v FROM pairs
+      |      UNION SELECT b_id, a_id FROM pairs),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM e
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u WHERE e.v <> r.u),
+      |comp AS (
+      |  SELECT u AS doc_id, least(u, MIN(v)) AS cluster FROM reach GROUP BY u)
+      |SELECT comp.cluster,
+      |  (array_agg(m.doc_id ORDER BY m.n_chars DESC, m.doc_id ASC))[1] AS keep_id,
+      |  COUNT(*) AS n_members,
+      |  MAX(m.n_chars) AS max_chars
+      |FROM comp JOIN documents m USING (doc_id)
+      |GROUP BY comp.cluster""".stripMargin
+
   /** Representative inverted index of a doc set: one row per
     * (lang, shingle-hash) of each DISTINCT content's representative —
     * (lang, sh, rid, sz). The rep collapse is the same duplicate-cluster
@@ -1001,6 +1049,7 @@ object Dedup {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters_exact" -> (dedupClustersExact _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_lines" -> (dedupLines _),
@@ -1020,6 +1069,7 @@ object Dedup {
   /** dedup_minhash / dedup_simhash / dedup_embedding are rows-only. */
   val oracles: Map[String, String] = Map(
     "dedup_clusters_exact" -> dedupClustersExactSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_clusters_incremental" -> dedupClustersIncrementalSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_lines" -> dedupLinesSql,
