@@ -195,7 +195,9 @@ object ScaleSmoke {
       // round-13b: the merge-maintenance chain (corpus clustering +
       // rep index + contracted-graph merge — the bench's heaviest
       // query, two clusterings' worth of candidate generation)
-      "dedup_clusters_incremental")
+      "dedup_clusters_incremental",
+      // round-14: best-representative collapse (clusters + stats argmax)
+      "dedup_keep_best")
 
   /** Skew-lane shapes that DISPATCH between twins (auto → (direct,
     * bucketed)): their verdict compares against the better twin per
