@@ -82,10 +82,16 @@ object QueryStr {
         // (string elements containing commas are outside the JQL subset).
         def membershipValue(raw: String): FieldValue = {
           val t = raw.trim
-          if (t.startsWith("[") && t.endsWith("]"))
-            FieldValue.Arr(t.substring(1, t.length - 1).split(",")
+          if (t.startsWith("[") && t.endsWith("]")) {
+            val inner = t.substring(1, t.length - 1)
+            // `in []` / `ni []` are the EMPTY set — "".split(",") would
+            // yield [""], i.e. membership in {""}; short-circuit to the
+            // empty Arr so the structured surface's emptyArrShortCircuit
+            // (In [] = never, NotIn [] = always) applies.
+            if (inner.trim.isEmpty) FieldValue.Arr(Vector.empty)
+            else FieldValue.Arr(inner.split(",")
               .map(e => parseValue(e, params)).toVector)
-          else parseValue(t, params)
+          } else parseValue(t, params)
         }
         val v = (if (op == Op.In || op == Op.NotIn) membershipValue(m.group(3))
                  else parseValue(m.group(3), params)) match {

@@ -14,6 +14,20 @@ private[pipeline] object ArtifactIo {
   def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Await a group of concurrent staging jobs, DRAINING every future
+    * before propagating the first failure. Awaiting them one by one and
+    * rethrowing early leaves sibling jobs still writing into the staging
+    * dir — a same-JVM retry (e.g. a restarted streaming query) then
+    * deletes the staging dir and can interleave with the orphaned
+    * writer, renaming in a dir that mixes stale part files from the
+    * failed attempt with the retry's. */
+  def awaitAll(futures: Seq[scala.concurrent.Future[_]]): Unit = {
+    import scala.concurrent.Await
+    import scala.concurrent.duration.Duration
+    val outcomes = futures.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
+  }
+
   def writeText(fs: FileSystem, p: Path, txt: String): Unit = {
     val out = fs.create(p, true)
     try out.write(txt.getBytes("UTF-8")) finally out.close()
