@@ -92,7 +92,7 @@ object AnnIndex {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    Seq(
+    ArtifactIo.awaitAll(Seq(
       Future(Ann.nearestCell(vectors, cents, 1)
         .select(col("cid"), col("vec_id"), col("embedding"))
         .write.partitionBy("cid").parquet(s"$genTmp/ivf_cells")),
@@ -103,8 +103,7 @@ object AnnIndex {
       Future(vectors.select(col("vec_id"),
           posexplode(hyperplane_buckets(col("embedding"), params.bits, params.tables)))
         .select(col("pos").as("tbl"), col("col").as("bucket"), col("vec_id"))
-        .write.parquet(s"$genTmp/lsh_tables")))
-      .foreach(Await.result(_, Duration.Inf))
+        .write.parquet(s"$genTmp/lsh_tables"))))
   }
 
   /** Train + encode + write every index family, publish atomically.

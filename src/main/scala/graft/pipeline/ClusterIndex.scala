@@ -84,11 +84,10 @@ object ClusterIndex {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    Seq(
+    ArtifactIo.awaitAll(Seq(
       Future(members.write.parquet(s"$tmp/gen0/members")),
       Future(docs.select(col("doc_id")).write.parquet(s"$tmp/gen0/covered")),
-      Future(Dedup.repIndexOf(docs).write.parquet(s"$tmp/gen0/shingles")))
-      .foreach(Await.result(_, Duration.Inf))
+      Future(Dedup.repIndexOf(docs).write.parquet(s"$tmp/gen0/shingles"))))
     ArtifactIo.writeText(fs, new Path(tmp, ManifestName), manifestJson(1))
     ArtifactIo.publish(spark, indexDir, tmp)
   }
@@ -158,10 +157,9 @@ object ClusterIndex {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      Seq(
+      ArtifactIo.awaitAll(Seq(
         Future(moved.unionByName(fresh).write.parquet(s"$genTmp/members")),
-        Future(Dedup.repIndexOf(delta).write.parquet(s"$genTmp/shingles")))
-        .foreach(Await.result(_, Duration.Inf))
+        Future(Dedup.repIndexOf(delta).write.parquet(s"$genTmp/shingles"))))
       if (!fs.rename(genTmp, genP))
         throw new java.io.IOException(s"clusterindex: cannot stage $genP")
       ArtifactIo.swapManifest(fs, p, ManifestName, manifestJson(n + 1))
