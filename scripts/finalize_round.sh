@@ -17,8 +17,15 @@ export SPARK_GRAFT_CPUS=32
 export SPARK_GRAFT_BENCH_PASSES=5
 sbt -batch "runMain graft.Bench" 2>&1 | grep '"metric"' | tail -1
 
-git add bench_out.json bench_maint.json bench_recall.json \
-  bench_skew.json bench_streaming.json 2>/dev/null || true
+# each artifact staged on its own, gated on existence — one missing file
+# must not abort staging the rest (git add with N pathspecs stages
+# NOTHING when any pathspec misses, and the old `2>/dev/null || true`
+# swallowed exactly that failure, silently skipping the gate-baseline
+# commit this script exists to make — ADVICE r14)
+for f in bench_out.json bench_maint.json bench_recall.json \
+    bench_skew.json bench_streaming.json; do
+  if [ -f "$f" ]; then git add -- "$f"; fi
+done
 if ! git diff --cached --quiet; then
   git commit -m "$TAG: clean-box bench + lane artifacts (gate baseline)"
 fi

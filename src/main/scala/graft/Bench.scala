@@ -335,6 +335,26 @@ object Bench {
     // Emitted as "changes" with an explicit "dir" — the r12 field name
     // "regressions" read as failures to anyone grepping artifacts even
     // when every entry was a >2× SPEEDUP.
+    // ---- ONE directional headline (r15) -------------------------------
+    // The round-over-round question ("is this round faster?") was
+    // normalization-dependent in r14 (0.92× on the adjusted series vs
+    // 1.08× on the cross-record normalized one, because the two records'
+    // cal_drift stamps differed 1.18×). The gate's single headline is
+    // now the ADJUSTED series — the same basis the per-query flags
+    // already use: sum this run's adjusted medians over the queries BOTH
+    // records carry, divide by drift (this-box → prev-box units), and
+    // compare to the prev record's sum over the same queries.
+    // bench_vs_prev < 1 ⟺ this round is faster; total_norm stays
+    // informational only.
+    val commonQ = results.collect {
+      case (n, v) if v > 0.0 && prevMed.get(n).exists(_ > 0.0) => n
+    }
+    val prevCommonTotal = commonQ.map(prevMed(_)).sum
+    val nowCommonAdj = commonQ.map(n => results.toMap.apply(n)).sum /
+      (if (drift > 0.0) drift else 1.0)
+    val vsPrev =
+      if (commonQ.nonEmpty && prevCommonTotal > 0.0) nowCommonAdj / prevCommonTotal
+      else -1.0
     val changes = results.collect {
       case (name, _) if nowFor.get(name).exists(_ > 0.0) &&
           prevMed.get(name).exists { p =>
@@ -419,7 +439,7 @@ object Bench {
       s"""{"q":"$n","prev_mb":${r3(p)},"now_mb":${r3(now)},"plan":"$plan"}"""
     }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"cpus":$cpusInt,"shuffle_partitions":"$shufParts","calibration":${r3(calMed)},"cal_drift":${r3(drift)},"total_norm":${r3(total / drift)},"changes":$regJson,"shuffle_total_mb":${r3(shufTotal)},"spilled":$spillJson,"data_flags":$dataFlagJson}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","passes":$passes,"cpus":$cpusInt,"shuffle_partitions":"$shufParts","calibration":${r3(calMed)},"cal_drift":${r3(drift)},"total_norm":${r3(total / drift)},"bench_vs_prev":${r3(vsPrev)},"prev_total_common":${r3(prevCommonTotal)},"now_total_common_adj":${r3(nowCommonAdj)},"common_n":${commonQ.size},"changes":$regJson,"shuffle_total_mb":${r3(shufTotal)},"spilled":$spillJson,"data_flags":$dataFlagJson}"""
     // the driver keeps only a 2000-char tail of stdout — persist the full
     // per-pass record so timings survive for every round. Path resolved
     // against the repo (user.dir), not whatever cwd the forked JVM got.

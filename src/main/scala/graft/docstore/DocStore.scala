@@ -266,15 +266,34 @@ object DocStore {
       q.endAt.map(_.values.size).getOrElse(0)
   }
 
-  /** Whether any TYPED field is probed by more than one operator stage
-    * (where/cursor vs sort vs projection). Codegen CSE merges repeated
-    * probes WITHIN one operator, but not across Filter → Sort → Project —
-    * each stage re-streams the raw JSON for its probe, so a 3-probe
-    * single-field query (the cursor-paging shape: the order key in the
-    * cursor predicates, the sort, and the projection) pays 2-3 full text
-    * scans per row where the fused compiler pays one parse. Measured at
-    * sf0.1: cursor paging 0.87 s per-field vs 0.49 s fused. Raw probes
-    * (Regex/unary) are identical in both compilers and don't count. */
+  /** Whether a SORT-stage field is also probed by the FILTER stage
+    * (where leaves or cursor predicates) — the one overlap where the
+    * fused parse fence measurably pays. Codegen CSE merges repeated
+    * probes WITHIN one operator, but not across Filter → Sort → Project;
+    * still, not every cross-stage repeat costs a full extra text stream
+    * PER ROW:
+    *   - filter↔projection overlap: the projection probe runs only on
+    *     filter SURVIVORS (and post-limit rows when a limit exists) —
+    *     cheap, while the fence's Generate + from_json costs every row;
+    *   - sort↔projection overlap: the projection again runs post-top-N
+    *     (TakeOrderedAndProject), so the sort key is streamed once per
+    *     row, not twice;
+    *   - sort↔filter overlap (the keyset-cursor shape): the cursor
+    *     predicates probe the order key for EVERY row and the sort
+    *     streams it again for every survivor — 2-3 full text scans per
+    *     row, the fence's winning case.
+    * The r14 rule (ANY cross-stage repeat → fused) was calibrated on the
+    * cursor shape and cost the most common shapes 1.2-1.7× vs r13
+    * (committed records: doc_filter_eq 0.34→0.45 s, doc_filter_in
+    * 0.35→0.43 s at sf0.1). Re-measured per shape this round with a
+    * same-JVM alternating A/B (DispatchBench, sf0.1, local[32], two
+    * independent 9-pass runs): per-field wins filter↔proj (eq 1.17-1.20×,
+    * in 1.21-1.41×, neq 1.13-1.14×, limit 1.19-1.23×) AND sort↔proj
+    * (orderby 1.14-1.22×); fused wins sort↔filter (cursor paging
+    * 2.3-2.4×). The one loss: the offset shape (sort↔proj + offset)
+    * prefers fused by a noise-level 4-7% — accepted for the sharper
+    * rule; see OPTIMIZATION_r15.md. Raw probes (Regex/unary) are
+    * identical in both compilers and don't count. */
   private def repeatedFieldAcrossStages(q: StructuredQuery): Boolean = {
     def leafFields(f: Filter): Seq[String] = f match {
       case AndFilter(fs) => fs.flatMap(leafFields)
@@ -290,9 +309,7 @@ object DocStore {
         q.startAt.map(_.values.size).getOrElse(0),
         q.endAt.map(_.values.size).getOrElse(0))).map(_.field)).distinct
     val sortStage = q.orderBy.map(_.field).distinct
-    val projStage = q.select.distinct
-    val stages = Seq(filterStage, sortStage, projStage)
-    stages.flatten.groupBy(identity).values.exists(_.size > 1)
+    sortStage.exists(filterStage.contains)
   }
 
   /** Single-parse variant of `query` with a NARROW-QUERY fast path: a

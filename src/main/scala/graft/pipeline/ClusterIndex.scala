@@ -109,6 +109,16 @@ object ClusterIndex {
     * writer), the contract a single stream's foreachBatch gives for
     * free. */
   def appendDocs(spark: SparkSession, docs: DataFrame, indexDir: String): Unit = {
+    // opt-in phase timing for the maint lane's fixed-overhead work
+    // (set GRAFT_MAINT_PROFILE=1): stderr-only, no behavior change
+    val prof = sys.env.contains("GRAFT_MAINT_PROFILE")
+    val t0 = System.nanoTime()
+    var tPrev = t0
+    def mark(phase: String): Unit = if (prof) {
+      val now = System.nanoTime()
+      System.err.println(f"[ci-append] $phase%-12s ${(now - tPrev) / 1e9}%6.2f s  (total ${(now - t0) / 1e9}%6.2f)")
+      tPrev = now
+    }
     val n = readManifest(spark, indexDir)("gens").toInt
     val covered = readGens(spark, indexDir, n, "covered")
     val prepped =
@@ -124,15 +134,34 @@ object ClusterIndex {
       val genTmp = new Path(s"$indexDir/gen$n.tmp")
       fs.delete(genTmp, true)
       fs.delete(genP, true) // a crashed append's orphan — uncommitted garbage
-      // FIRST real job: the covered-ledger write. Materializing any slice
-      // of a persisted frame builds the full cached batches, so the no-op
-      // probe after it is a cache-local count — the probe, the ledger
-      // write and the cache warm the merge needs are ONE corpus scan.
-      delta.select(col("doc_id")).write.parquet(s"$genTmp/covered")
-      if (delta.count() == 0L) { // nothing new: no-op, drop the staging
-        fs.delete(genTmp, true)
-        return
-      }
+      // FIRST real job: the no-op probe. Materializing any slice of a
+      // persisted frame builds the full cached batches, so the probe IS
+      // the one corpus-scan cache warm every job below reads from (and
+      // an empty delta returns before anything is staged).
+      val deltaRows = delta.count()
+      if (deltaRows == 0L) return // nothing new: no-op
+      mark("delta-count")
+      // the covered-ledger write only needs the (now cached) delta —
+      // run it CONCURRENTLY with the merge's candidate join + CC jobs
+      // below instead of as its own barrier in front of them (r15
+      // barrier fusion: count → [covered ∥ merge] → [members ∥
+      // shingles], 4 sequential job waves vs the previous 6)
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val coveredF = Future(
+        delta.select(col("doc_id")).write.parquet(s"$genTmp/covered"))
+      // drain coveredF even when the MERGE below throws — a merge
+      // failure must not propagate past an in-flight staging write (the
+      // ArtifactIo.awaitAll hazard: a same-JVM retry deletes genTmp
+      // while the orphaned writer is still renaming parts into it)
+      def drained[T](body: => T): T =
+        try body catch {
+          case t: Throwable =>
+            scala.util.Try(scala.concurrent.Await.result(
+              coveredF, scala.concurrent.duration.Duration.Inf))
+            throw t
+        }
+      drained {
       val old = members(spark, indexDir)
       // latest-gen-wins read model: persist only the rows this merge
       // MOVED (label changed) or CREATED (doc entered membership). The
@@ -140,26 +169,41 @@ object ClusterIndex {
       // contracted graph, so moved rows come from ONE broadcastable
       // inner join against the membership — the corpus is scanned, never
       // shuffled, and never joined against a second full membership.
-      val (relabel, fresh) = Dedup.mergeDeltaParts(old,
-        readGens(spark, indexDir, n, "shingles"), delta)
+      // deltaBounded: the probe's count is in hand — a ≤2^16-doc delta
+      // (every streaming micro-batch; any sane append batch) broadcasts
+      // its derived shingle index, so the corpus-side artifacts
+      // (inverted index, membership) are SCANNED, never shuffled, inside
+      // the merge. A bulk backfill above the bound keeps planner choice.
+      val (relabel, fresh, bounded) = Dedup.mergeDeltaParts(old,
+        readGens(spark, indexDir, n, "shingles"), delta,
+        deltaBounded = deltaRows <= (1L << 16))
+      mark("merge-cc")
       // relabel is bounded by the contracted graph — broadcast it so the
       // membership is SCANNED, never shuffled (at 100 TB a sort-merge
-      // here would move the whole membership for a handful of labels)
+      // here would move the whole membership for a handful of labels).
+      // Forced only when the merge CC resolved on the driver fast path
+      // (relabel is then a ≤2^20-row LocalRelation); a bulk backfill
+      // whose contracted graph ran the distributed loop lets the
+      // planner pick, instead of failing the append on the 8 GB
+      // broadcast cap (ADVICE r14).
+      val relabelMoved = relabel.filter(col("old_lab") =!= col("new_lab"))
       val moved = old.join(
-          broadcast(relabel.filter(col("old_lab") =!= col("new_lab"))),
+          if (bounded) broadcast(relabelMoved) else relabelMoved,
           old("cluster") === col("old_lab"))
         .select(old("doc_id"), col("new_lab").as("cluster"))
       // the remaining gen writes are independent (delta is persisted, the
       // merge outputs sit on checkpointed CC blocks / driver arrays) —
       // run them as concurrent jobs: at append scale each write is
       // fixed-overhead-dominated, and serializing them was most of the
-      // append-vs-build fixed-cost gap the maint lane flags
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      ArtifactIo.awaitAll(Seq(
+      // append-vs-build fixed-cost gap the maint lane flags. The
+      // covered-ledger future joins the same drain point, so a merge
+      // failure above still propagates only after awaitAll has drained
+      // it (no orphaned writer racing a same-JVM retry).
+      ArtifactIo.awaitAll(Seq(coveredF,
         Future(moved.unionByName(fresh).write.parquet(s"$genTmp/members")),
         Future(Dedup.repIndexOf(delta).write.parquet(s"$genTmp/shingles"))))
+      mark("gen-writes")
+      }
       if (!fs.rename(genTmp, genP))
         throw new java.io.IOException(s"clusterindex: cannot stage $genP")
       ArtifactIo.swapManifest(fs, p, ManifestName, manifestJson(n + 1))
@@ -181,7 +225,12 @@ object ClusterIndex {
         .select(col("doc_id"), col("cluster"))
     readGens(spark, indexDir, n, "members")
       .select(col("doc_id"), col("cluster"),
-        regexp_extract(col("_metadata.file_path"), "/gen([0-9]+)/members/", 1)
+        // anchored to the FILE NAME: an indexDir whose own path contains
+        // a /genN/members/ segment must not capture that outer segment
+        // for every row (ADVICE r14 — it would collapse __gen to one
+        // value and degrade latest-wins to an arbitrary tie-break)
+        regexp_extract(col("_metadata.file_path"),
+            "/gen([0-9]+)/members/[^/]*$", 1)
           .cast("int").as("__gen"))
       .groupBy(col("doc_id"))
       .agg(max_by(col("cluster"), col("__gen")).as("cluster"))

@@ -641,13 +641,43 @@ object Curation {
   }
 
   def pipelineDsir(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val B = DsirBuckets
+    // ONE tokenize+bucket pass (r15): training the per-bucket λ and
+    // scoring every doc both reduce over the same (doc, bucket) token
+    // counts, and the per-char polynomial bucket hash is the dominant
+    // CPU of this query — the previous shape ran it twice (once inside
+    // dsirLambda, once for the scoring join). perDoc is ≤ |docs|·B rows
+    // (tiny next to the token stream), so a lazy localCheckpoint makes
+    // the single pass shared by both consumers; λ math is bit-identical
+    // to dsirLambda's (same counts, same formula), and the per-doc score
+    // sums lam·cnt in DECIMAL — exact, equal to the per-token sum.
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
       .withColumn("b", dsirBucket(col("tok")))
-    toks.join(broadcast(dsirLambda(spark, dir)), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val counts = perDoc.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("cr"),
+        sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lam = counts
+      .withColumn("r_tot", sum(col("cr")).over(wAll))
+      .withColumn("t_tot", sum(col("ct")).over(wAll))
+      .select(col("b"),
+        round(log((col("ct") + 1).cast("double") / (col("t_tot") + B)) -
+          log((col("cr") + 1).cast("double") / (col("r_tot") + B)), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("lam"))
+    // cnt cast to DECIMAL(10,0): (18,9)·(10,0) stays inside decimal
+    // precision 38, so the product — and therefore the sum — is exact
+    // (a BIGINT operand would promote past 38 and round the scale)
+    perDoc.join(broadcast(lam), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("lam")).cast("double") / count(lit(1)), 6).as("dsir_score"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round((sum(col("lam") *
+            col("cnt").cast(org.apache.spark.sql.types.DecimalType(10, 0))))
+          .cast("double") / sum(col("cnt")), 6).as("dsir_score"))
   }
 
   val pipelineDsirSql: String =

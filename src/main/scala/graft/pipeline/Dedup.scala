@@ -551,27 +551,31 @@ object Dedup {
       df.agg(count(lit(1)),
         sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)")),
         expr("bit_xor(xxhash64(u, v))")).head()
-    var edgesSig = sig(edges)
-    // SMALL-GRAPH FAST PATH: the sig count is in hand; when the distinct
-    // edge set fits the driver floor, a union-find finishes in one tiny
-    // job over the already-checkpointed blocks instead of 3–4 fixpoint
-    // rounds of window+distinct shuffles (per-round overhead dominates at
-    // this size — measured ~0.8 s of the 2.4 s dedup_clusters_exact
-    // median at sf0.1). Node set is collected with its own bound (it can
-    // exceed 2·edges only via self-loop-only nodes); overflow falls
-    // through to the distributed loop.
-    if (edgesSig.getLong(0) <= driverFloor) {
-      // ONE narrow collect serves edges AND the node set: proper edges
-      // plus self-loop rows (nodes edges filtered out), read straight
-      // off the blocks the sig job just persisted — no distinct shuffle.
-      // The limit bounds runaway self-loop duplication (then: fall
-      // through to the distributed loop).
+    // SMALL-GRAPH FAST PATH, collect-first (r15): when the distinct edge
+    // set fits the driver floor, a union-find finishes on the driver
+    // instead of 3–4 fixpoint rounds of window+distinct shuffles
+    // (per-round overhead dominates at this size — measured ~0.8 s of
+    // the 2.4 s dedup_clusters_exact median at sf0.1). The bounded
+    // collect runs FIRST and doubles as the size probe (rows.length <
+    // bound ⟺ the old sig-count criterion), so the fast path costs ONE
+    // action, not a sig job followed by a collect — at merge/append
+    // scale every action is ~0.2-0.4 s of fixed overhead (r15 stage
+    // profile). The same collect materializes the lazy p0/edges
+    // checkpoints, exactly as the sig job used to. A big graph pays one
+    // ≤~32 MB discarded collect (bound-limited) before the distributed
+    // loop — noise against the rounds it then runs; specs that force the
+    // loop pass driverFloor = 0, which skips the collect entirely.
+    // Proper edges plus self-loop rows ride one collect (self-loop-only
+    // nodes must be labeled too); the limit bounds runaway self-loop
+    // duplication (then: fall through to the distributed loop).
+    if (driverFloor > 0) {
       val bound = 2 * driverFloor + 2
       val rows = edges.select(col("u"), col("v"))
         .unionByName(p0.filter(col("a_id") === col("b_id"))
           .select(col("a_id").as("u"), col("b_id").as("v")))
         .limit(bound).collect()
-      if (rows.length < bound) {
+      if (rows.length < bound &&
+          rows.count(e => e.getLong(0) != e.getLong(1)) <= driverFloor) {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
@@ -596,6 +600,7 @@ object Dedup {
         return (labels.toSeq.toDF("doc_id", "cluster"), 0)
       }
     }
+    var edgesSig = sig(edges)
     var converged = edgesSig.getLong(0) == 0L
     var round = 0
     while (!converged && round < maxRounds) {
@@ -853,9 +858,15 @@ object Dedup {
     * docs, corpus docs paired for the first time) append. */
   private[pipeline] def mergeDelta(members: DataFrame, corpusIdx: DataFrame,
       delta: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val (relabel, fresh) = mergeDeltaParts(members, corpusIdx, delta, threshold)
+    val (relabel0, fresh, bounded) = mergeDeltaParts(members, corpusIdx, delta, threshold)
     // one broadcastable label-map join relabels exactly the touched
-    // clusters — the membership is SCANNED once, never shuffled
+    // clusters — the membership is SCANNED once, never shuffled. The
+    // broadcast is HINTED only when the merge CC took the driver
+    // fast path (≤2^20-edge contracted graph → the label map is a
+    // bounded LocalRelation); a bulk backfill whose contracted graph
+    // ran the distributed loop falls back to the planner's choice
+    // instead of forcing an over-limit broadcast (ADVICE r14).
+    val relabel = if (bounded) broadcast(relabel0) else relabel0
     val updated = members.join(relabel,
         members("cluster") === relabel("old_lab"), "left")
       .select(members("doc_id"),
@@ -874,9 +885,31 @@ object Dedup {
     *            nodes match nothing)
     *   fresh    (doc_id, cluster) — nodes entering membership: delta
     *            docs + corpus docs paired for the first time
-    * Both are bounded by the contracted graph, never the corpus. */
+    * Both are bounded by the contracted graph, never the corpus. The
+    * third element reports whether the merge CC resolved on the DRIVER
+    * fast path (contracted graph ≤ the 2^20-edge floor) — then relabel
+    * is a bounded LocalRelation callers may safely force-broadcast;
+    * when false (a bulk backfill touching >2^20 contracted edges) a
+    * forced broadcast could exceed the 8 GB broadcast cap and callers
+    * must let the planner choose.
+    *
+    * `deltaBounded` (r15): the caller asserts the DELTA is small enough
+    * that its derived shingle index fits a broadcast (ClusterIndex
+    * .appendDocs passes `delta.count() <= 2^16` — it has the count in
+    * hand from its no-op probe; a streaming micro-batch always
+    * qualifies). Then every delta-derived join side is broadcast-HINTED,
+    * and in particular E3 becomes corpus-index ⋈ broadcast(delta
+    * shingles): the corpus inverted index is SCANNED, never shuffled —
+    * without the hint a stats-blind planner can sort-merge that join
+    * and move the whole O(corpus) index for a micro-batch of arrivals
+    * (guide §3.1: broadcast the side you know is small; estimates
+    * cannot know it after checkpoints/caches). Default false = the
+    * planner's own estimates decide (the in-session oracle-query path,
+    * whose inputs carry parquet statistics). */
   private[pipeline] def mergeDeltaParts(members: DataFrame, corpusIdx: DataFrame,
-      delta: DataFrame, threshold: Double = 0.5): (DataFrame, DataFrame) = {
+      delta: DataFrame, threshold: Double = 0.5,
+      deltaBounded: Boolean = false): (DataFrame, DataFrame, Boolean) = {
+    def hinted(df: DataFrame): DataFrame = if (deltaBounded) broadcast(df) else df
     val d = delta.withColumn("tk", md5(col("t")))
     val reps = d.groupBy(col("lang"), col("tk"))
       .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
@@ -886,35 +919,48 @@ object Dedup {
     // E1: same-content delta members hook onto their rep (sz>0 only —
     // sub-3-token contents never pair, in the full plan or here)
     val e1 = d.select(col("lang"), col("tk"), col("doc_id"))
-      .join(reps.select(col("lang"), col("tk"), col("rid"), col("sz")),
+      .join(hinted(reps.select(col("lang"), col("tk"), col("rid"), col("sz"))),
         Seq("lang", "tk"))
       .filter(col("doc_id") =!= col("rid") && col("sz") > 0)
       .select(col("doc_id").as("u"), col("rid").as("v"))
     val dx = reps.filter(col("sz") > 0)
       .select(col("lang"), col("rid"), col("sz"), explode(col("ng")).as("sh"))
-    // E4: cross-content pairs within the delta (each unordered pair once)
-    val x = dx.select(col("lang"), col("sh"), col("rid").as("a_rid"),
-      col("sz").as("a_sz"))
-    val y = dx.select(col("lang"), col("sh"), col("rid").as("b_rid"),
-      col("sz").as("b_sz"))
-    val e4 = x.join(y, Seq("lang", "sh"))
-      .filter(col("a_rid") < col("b_rid"))
-      .groupBy(col("a_rid"), col("b_rid"), col("a_sz"), col("b_sz"))
+    // E4 (delta×delta) and E3 (corpus×delta) FUSED into one join + one
+    // aggregation (r15): both probe the same delta shingle index, so the
+    // stream side is (corpus ∪ delta) with a side tag and the build side
+    // is ONE broadcast of the delta index — at append scale the merge's
+    // cost is per-stage fixed overhead (stage profile: ~20 stages of
+    // 0.05-0.4 s, no stage dominating), and this halves the candidate
+    // plan's join+agg chains; at 100 TB it is also one fewer pass over
+    // the corpus inverted index. The unordered-once constraint applies
+    // only to the delta-delta side (a_rid < b_rid); corpus-delta pairs
+    // keep every (c_rid, b_rid) exactly as the unfused E3 did (corpus
+    // and delta rep ids are disjoint — doc ids are immutable and the
+    // covered-ledger anti-join keeps re-arrivals out).
+    val cx = corpusIdx.select(col("lang"), col("sh"), col("rid").as("c_rid"),
+      col("sz").as("c_sz"))
+    val stream = cx.select(col("lang"), col("sh"), col("c_rid").as("a_rid"),
+        col("c_sz").as("a_sz"), lit(false).as("isd"))
+      .unionByName(dx.select(col("lang"), col("sh"), col("rid").as("a_rid"),
+        col("sz").as("a_sz"), lit(true).as("isd")))
+    // LAZY local checkpoint (the connectedComponents `cut` discipline):
+    // the candidate set feeds the CC pair graph (via e4/e3c), `touched`
+    // and `fresh` — without the cut the join executed three times.
+    // Lazy, so the blocks materialize inside the CC's own sig job (no
+    // extra job barrier); every later reference reads the blocks.
+    val cand = stream.join(hinted(dx.select(col("lang"), col("sh"),
+        col("rid").as("b_rid"), col("sz").as("b_sz"))), Seq("lang", "sh"))
+      .filter(!col("isd") || col("a_rid") < col("b_rid"))
+      .groupBy(col("a_rid"), col("b_rid"), col("a_sz"), col("b_sz"), col("isd"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast("double") /
         (col("a_sz") + col("b_sz") - col("inter")) >= threshold)
+      .select(col("a_rid"), col("b_rid"), col("isd"))
+      .localCheckpoint(false)
+    val e4 = cand.filter(col("isd"))
       .select(col("a_rid").as("u"), col("b_rid").as("v"))
-    // E3: delta rep × corpus rep (identical contents across the boundary
-    // meet here too — equal shingle sets join at jaccard exactly 1.0)
-    val cx = corpusIdx.select(col("lang"), col("sh"), col("rid").as("c_rid"),
-      col("sz").as("c_sz"))
-    val e3 = cx.join(dx.select(col("lang"), col("sh"), col("rid").as("b_rid"),
-        col("sz").as("b_sz")), Seq("lang", "sh"))
-      .groupBy(col("c_rid"), col("b_rid"), col("c_sz"), col("b_sz"))
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter").cast("double") /
-        (col("c_sz") + col("b_sz") - col("inter")) >= threshold)
-      .select(col("c_rid"), col("b_rid"))
+    val e3 = cand.filter(!col("isd"))
+      .select(col("a_rid").as("c_rid"), col("b_rid"))
     // contract the corpus side to cluster labels (unclustered corpus
     // docs — first-time pairers — stand as themselves). Joined in the
     // STREAM-the-big-side direction: members ⋈ broadcast(e3's touched
@@ -922,10 +968,20 @@ object Dedup {
     // FROM small e3 INTO big members would shuffle the membership —
     // outer sides can't broadcast)
     val lab = members.select(col("doc_id").as("c_rid"), col("cluster").as("clab"))
-    val touched = lab.join(e3.select(col("c_rid")).distinct(), Seq("c_rid"))
+    // same cut for `touched`: it scans the MEMBERSHIP (O(corpus) when the
+    // caller's members is the persisted multi-gen artifact) and is
+    // referenced both inside the CC pair graph (e3c) and by `fresh`'s
+    // anti-join below — one materialization, in the CC's sig job
+    // under deltaBounded the touched-rep id set broadcasts too (ids
+    // only, bounded by the delta's candidate pairs) — the membership is
+    // then scanned with NO shuffle; a checkpointed e3 has no stats, so
+    // without the hint this join sort-merges and shuffles the whole
+    // membership for a micro-batch of arrivals
+    val touched = lab.join(hinted(e3.select(col("c_rid")).distinct()), Seq("c_rid"))
+      .localCheckpoint(false)
     val e3c = e3.join(touched, Seq("c_rid"), "left")
       .select(col("b_rid").as("u"), coalesce(col("clab"), col("c_rid")).as("v"))
-    val cc = connectedComponents(
+    val (cc, rounds) = connectedComponentsWithRounds(
       e1.unionByName(e4).unionByName(e3c)
         .select(col("u").as("a_id"), col("v").as("b_id")))
     val relabel = cc.select(col("doc_id").as("old_lab"),
@@ -936,9 +992,16 @@ object Dedup {
     // label; delta ids and first-pairer corpus ids are new by
     // construction), so the anti-join runs against `touched`'s SMALL
     // label set, not the corpus membership.
-    val fresh = cc.join(touched.select(col("clab").as("doc_id")).distinct(),
+    // rounds == 0 ⟺ the CC resolved on the driver fast path ⟺ cc,
+    // relabel AND touched are bounded by the 2^20-edge floor — then the
+    // anti side broadcasts (a checkpointed `touched` has no stats, so
+    // without the hint this join degrades to a sort-merge that shuffles
+    // both sides — observed in the r15 plan diff)
+    val touchedLabs = touched.select(col("clab").as("doc_id")).distinct()
+    val fresh = cc.join(
+      if (rounds == 0) broadcast(touchedLabs) else touchedLabs,
       Seq("doc_id"), "left_anti")
-    (relabel, fresh)
+    (relabel, fresh, rounds == 0)
   }
 
   /** Oracle row for the incremental clustering path: cluster the ~80%

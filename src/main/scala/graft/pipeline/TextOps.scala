@@ -213,6 +213,13 @@ object TextOps {
     * log-prob is rounded to 9dp once and summed as DECIMAL (exact,
     * order-independent); only the final mean is IEEE, rounded to 6dp. */
   def textUnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    // two-scan shape KEPT (r15 note): a one-pass rewrite through a
+    // checkpointed per-(doc, token) count table was built and MEASURED
+    // SLOWER at sf0.1 (0.47 → ~1.0 s): it trades the second cheap
+    // pruned-parquet tokenize for a corpus-wide (doc, tok) shuffle plus
+    // a checkpoint materialization — distinct (doc, token) pairs barely
+    // collapse, unlike DSIR's 256-bucket fold. Reverted per guide §1
+    // (re-measure, keep the measured winner).
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
@@ -248,8 +255,12 @@ object TextOps {
     * over bigrams starting with w) — the corpus itself never enters a
     * window or a third scan. (A persist of the per-doc counts would make
     * it one pass, but a builder-level persist leaks across bench passes
-    * via CacheManager canonical matching — the consumer's call, not the
-    * library's.) Unlike the unigram's vocab-sized table, the bigram
+    * via CacheManager canonical matching; a localCheckpoint avoids the
+    * leak — instance-tied, no canonical-plan matching — but was built
+    * and MEASURED SLOWER at sf0.1 in r15: materializing the barely-
+    * collapsing (doc, bigram) table costs more than the second pruned
+    * tokenize it saves. Reverted per guide §1.) Unlike the unigram's
+    * vocab-sized table, the bigram
     * table scales with corpus vocabulary² — so the score join is NOT
     * forced broadcast; it shuffles by bigram key (AQE picks broadcast
     * when it fits), and the per-doc side is the aggregated count table,

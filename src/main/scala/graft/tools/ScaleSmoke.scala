@@ -332,6 +332,21 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // stage-level profiling under GRAFT_MAINT_PROFILE: prints every
+    // completed stage's duration + task count + callsite, so the
+    // append-vs-build fixed-cost question is answered from stage truth
+    // instead of wall-clock guesswork
+    if (sys.env.contains("GRAFT_MAINT_PROFILE"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val ms = (for {s <- si.submissionTime; c <- si.completionTime}
+              yield c - s).getOrElse(-1L)
+            System.err.println(f"[stage] ${ms / 1000.0}%7.2f s ${si.numTasks}%4d tasks  ${si.name.takeWhile(_ != '\n').take(90)}")
+          }
+        })
     buildCorpus(spark, base, scaled, copies)
 
     // grown twins: corpus ∪ the SAME delta (fresh ids; docs keep their
@@ -414,9 +429,13 @@ object ScaleSmoke {
       flags += "cluster_append_scales_with_corpus"
     // fixed-overhead criterion (r14): at 1× the append's ~fixed cost must
     // not exceed the full build's — one artifact read + one bounded merge
-    // vs training + encoding the whole corpus (margin + floor for box
-    // noise on few-second runs)
-    if (ca1 > cb1 * 1.25 && ca1 - cb1 > 2.0)
+    // vs training + encoding the whole corpus. r15: the absolute floor
+    // drops 2.0 → 1.0 s — min-of-2 timing already suppresses the
+    // single-sample stalls the 2 s floor guarded against, and at a
+    // ~2.7 s build denominator a 2 s floor made the criterion
+    // unfalsifiable (r14 missed the 1.25× target by 1.64 s and still
+    // passed).
+    if (ca1 > cb1 * 1.25 && ca1 - cb1 > 1.0)
       flags += "cluster_append_fixed_overhead_exceeds_build"
     // correctness at 1×: merge-maintained == one-shot rebuild (the last
     // timed rep's appended copy IS the maintained artifact)
@@ -441,7 +460,7 @@ object ScaleSmoke {
       flags += "ann_append_not_cheaper_than_rebuild"
     if (aaN / aa1 > copies / 2.0 && aaN - aa1 > 10.0)
       flags += "ann_append_scales_with_corpus"
-    if (aa1 > ab1 * 1.25 && aa1 - ab1 > 2.0)
+    if (aa1 > ab1 * 1.25 && aa1 - ab1 > 1.0)
       flags += "ann_append_fixed_overhead_exceeds_build"
 
     def r3(d: Double): String = f"$d%.3f"

@@ -154,11 +154,17 @@ class PlanPinsSpec extends SparkSpec {
   }
 
   test("narrow doc queries take the per-field fast path (no fence)") {
-    // ≤3 extractions AND no field re-probed across operator stages:
+    // ≤3 extractions AND no sort-stage field re-probed by another stage:
     // independent get_json_object probes, no struct parse and no
-    // Generate — the fence overhead buys nothing here
+    // Generate — the fence overhead buys nothing here. doc_filter_eq /
+    // doc_filter_in (filter+select on the SAME field) are per-field
+    // again as of r15: the projection probe runs only on filter
+    // SURVIVORS, and the r14 any-repeat rule cost them 1.2-1.7× vs r13
+    // (committed records; OPTIMIZATION_r15.md has the per-shape
+    // measurement).
     Seq("doc_qstr", "doc_filter_range", "doc_projection",
-        "doc_filter_not_in").foreach { q =>
+        "doc_filter_not_in", "doc_filter_eq", "doc_filter_in",
+        "doc_filter_neq", "doc_limit", "doc_orderby", "doc_offset").foreach { q =>
       val p = planOf(q)
       assert(p.linesIterator.map(l =>
         "from_json".r.findAllIn(l).size).sum === 0, s"struct parse in $q")
@@ -166,15 +172,19 @@ class PlanPinsSpec extends SparkSpec {
     }
   }
 
-  test("cross-stage repeated-field doc queries take the fused path") {
-    // a field probed by more than one operator stage (filter/cursor vs
-    // sort vs projection) re-streams the raw JSON per stage on the
-    // per-field path (codegen CSE is per-operator) — these dispatch to
-    // the single-parse compiler even though they are ≤3 extractions.
-    // doc_cursor_page is the r14 motivating case (0.87 s → 0.49 s at
-    // sf0.1); doc_filter_eq (filter+select on event_type) and
-    // doc_orderby (sort+select on k) follow the same rule.
-    Seq("doc_filter_eq", "doc_orderby", "doc_cursor_page").foreach { q =>
+  test("sort∩filter repeated-field doc queries take the fused path") {
+    // a field probed by BOTH the sort stage and the filter stage (the
+    // keyset-cursor shape: cursor predicates test the order key on
+    // every row, then the sort streams it again) re-streams the raw
+    // JSON 2-3× per row on the per-field path (codegen CSE is
+    // per-operator) — these dispatch to the single-parse compiler even
+    // though they are ≤3 extractions. doc_cursor_page is the motivating
+    // case (per-field 0.93 s vs fused 0.38-0.41 s in the r15 same-JVM
+    // A/B at sf0.1). Sort↔projection-only overlap (doc_orderby,
+    // doc_offset) measured FASTER per-field (the projection probe runs
+    // post-top-N) and stays on the fast path — the narrow-queries pin
+    // above covers them.
+    Seq("doc_cursor_page").foreach { q =>
       val p = planOf(q)
       assert(p.linesIterator.map(l =>
         "from_json".r.findAllIn(l).size).sum === 1, s"parse count in $q")

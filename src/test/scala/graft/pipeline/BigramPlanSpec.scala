@@ -17,7 +17,8 @@ class BigramPlanSpec extends SparkSpec {
     val fin = full.split("== Initial Plan ==")(0)
     // stats-then-score is inherently two-pass (the DSIR precedent); a
     // third scan means the prefix-count rollup regressed to its own
-    // corpus tokenize
+    // corpus tokenize (a checkpointed one-pass variant was measured
+    // SLOWER in r15 — see textBigramLm's doc)
     assert(fin.linesIterator.count(_.contains("FileScan parquet")) === 2, fin)
     // the n1 window partitions by the bigram prefix over the AGGREGATED
     // vocab-squared table — the corpus itself must never enter a Window
