@@ -651,13 +651,12 @@ object Curation {
     // the single pass shared by both consumers; λ math is bit-identical
     // to dsirLambda's (same counts, same formula), and the per-doc score
     // sums lam·cnt in DECIMAL — exact, equal to the per-token sum.
-    val perDoc = Tables.documents(spark, dir)
+    val perDoc = Cut(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .withColumn("b", dsirBucket(col("tok")))
       .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .agg(count(lit(1)).as("cnt")), "dsir.perDoc")
     val counts = perDoc.groupBy(col("b"))
       .agg(sum(col("cnt")).as("cr"),
         sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"))

@@ -530,7 +530,7 @@ object Dedup {
     // plan-audit finding; ~20% of the fixpoint loop's wall time)
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+      else Cut(df, "cc.round")
     // materialize the pair source ONCE: nodes and edges both derive from
     // it, and cutting each separately would execute the (often expensive —
     // a minhash-band or jaccard join) upstream plan twice
@@ -948,15 +948,14 @@ object Dedup {
     // and `fresh` — without the cut the join executed three times.
     // Lazy, so the blocks materialize inside the CC's own sig job (no
     // extra job barrier); every later reference reads the blocks.
-    val cand = stream.join(hinted(dx.select(col("lang"), col("sh"),
+    val cand = Cut(stream.join(hinted(dx.select(col("lang"), col("sh"),
         col("rid").as("b_rid"), col("sz").as("b_sz"))), Seq("lang", "sh"))
       .filter(!col("isd") || col("a_rid") < col("b_rid"))
       .groupBy(col("a_rid"), col("b_rid"), col("a_sz"), col("b_sz"), col("isd"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast("double") /
         (col("a_sz") + col("b_sz") - col("inter")) >= threshold)
-      .select(col("a_rid"), col("b_rid"), col("isd"))
-      .localCheckpoint(false)
+      .select(col("a_rid"), col("b_rid"), col("isd")), "merge.cand")
     val e4 = cand.filter(col("isd"))
       .select(col("a_rid").as("u"), col("b_rid").as("v"))
     val e3 = cand.filter(!col("isd"))
@@ -977,8 +976,8 @@ object Dedup {
     // then scanned with NO shuffle; a checkpointed e3 has no stats, so
     // without the hint this join sort-merges and shuffles the whole
     // membership for a micro-batch of arrivals
-    val touched = lab.join(hinted(e3.select(col("c_rid")).distinct()), Seq("c_rid"))
-      .localCheckpoint(false)
+    val touched = Cut(lab.join(hinted(e3.select(col("c_rid")).distinct()),
+      Seq("c_rid")), "merge.touched")
     val e3c = e3.join(touched, Seq("c_rid"), "left")
       .select(col("b_rid").as("u"), coalesce(col("clab"), col("c_rid")).as("v"))
     val (cc, rounds) = connectedComponentsWithRounds(

@@ -256,14 +256,56 @@ class PlanPinsSpec extends SparkSpec {
     assert(!ps.contains("CartesianProduct"), ps)
   }
 
-  test("pipeline_dsir: two corpus passes (λ + score), bucket agg evaluated once") {
-    val p = planOf("pipeline_dsir")
-    // DSIR is inherently two-pass (the λ table needs a full token count
-    // before scoring) — but never three: the totals window must not
-    // re-run the bucket aggregation
-    assert(p.linesIterator.count(_.contains("Scan parquet")) === 2, p)
-    assert(shuffles(p) <= 3, p) // bucket agg + 256-row totals window + doc agg
-    assert(p.contains("BroadcastExchange"), p) // λ broadcasts back
+  test("pipeline_dsir: ONE tokenize+bucket pass behind the cut; λ broadcasts back") {
+    // r15 rewrote DSIR to reduce both consumers (λ training + scoring)
+    // over one checkpointed (doc, bucket) count table; the executed plan
+    // downstream of the cut reads checkpoint blocks, so the pin covers
+    // BOTH sides of the fence (r15 verdict #1/#2): the final plan must
+    // never re-scan parquet, and the pre-cut lineage must tokenize the
+    // corpus exactly once — a second (or third) bucket pass sneaking
+    // back fails here, not in a cross-run bench comparison.
+    val pre = collection.mutable.Map[String, String]()
+    graft.pipeline.Cut.probe = (tag, df) =>
+      if (tag == "dsir.perDoc")
+        pre(tag) = df.queryExecution.executedPlan.toString
+    try {
+      val p = planOf("pipeline_dsir")
+      assert(p.linesIterator.count(_.contains("Scan parquet")) === 0, p)
+      assert(p.contains("Scan ExistingRDD"), p) // both consumers read the cut
+      assert(shuffles(p) <= 3, p) // λ agg + 256-row totals window + doc agg
+      assert(p.linesIterator.count(_.contains("BroadcastExchange")) === 1, p)
+      val pd = pre.getOrElse("dsir.perDoc",
+        fail("dsir.perDoc cut not observed — did pipelineDsir stop cutting?"))
+      assert(pd.linesIterator.count(_.contains("Scan parquet")) === 1, pd)
+      assert(shuffles(pd) === 1, pd) // the (doc, lang, b) count aggregate
+    } finally graft.pipeline.Cut.probe = null
+  }
+
+  test("dedup_clusters_incremental: merge cuts pinned upstream, ≤6 exchanges total") {
+    // r15 fused E4/E3 into one candidate join+agg and cut the candidate
+    // and touched sets (18 → 6 exchanges in the final plan). The cuts
+    // hide the fused shape behind ExistingRDD scans, so pin the pre-cut
+    // lineages through the Cut probe: the candidate set must stay ONE
+    // join (stream ∪-side × delta index), and `touched` must read the
+    // candidate CHECKPOINT, never re-derive it.
+    val pre = collection.mutable.Map[String, String]()
+    graft.pipeline.Cut.probe = (tag, df) =>
+      if (tag.startsWith("merge."))
+        pre(tag) = df.queryExecution.executedPlan.toString
+    try {
+      val p = planOf("dedup_clusters_incremental")
+      assert(shuffles(p) <= 4, p)
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 6, p)
+      def joins(plan: String): Int = plan.linesIterator.count(l =>
+        l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+          l.contains("ShuffledHashJoin"))
+      val cand = pre.getOrElse("merge.cand", fail("merge.cand cut not observed"))
+      assert(joins(cand) === 1, cand) // the fused E4/E3 candidate join
+      val touched = pre.getOrElse("merge.touched",
+        fail("merge.touched cut not observed"))
+      assert(joins(touched) === 1, touched)
+      assert(touched.contains("Scan ExistingRDD"), touched) // reads cand's cut
+    } finally graft.pipeline.Cut.probe = null
   }
 
   test("q_window_funcs: four window functions share ONE Window (one shuffle, one sort)") {
