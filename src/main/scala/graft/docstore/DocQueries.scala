@@ -212,8 +212,14 @@ object DocQueries {
     // lists present paths) — a 'click' without `k` (or with JSON null)
     // leaves the previous masked_k standing, so the gate requires the
     // field non-null alongside the type match.
+    // parse props ONLY on the rows whose type can mask `k` (r16): the
+    // aggregate's gate already nulls non-click rows, so hoisting the
+    // type test into the `when` skips the JSON parse — the dominant
+    // per-row CPU of this query — on every non-click event. Identical
+    // output: non-click rows contributed null either way.
     val ev = Tables.events(spark, dir)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k", when(col("event_type") === "click",
+        get_json_object(col("props"), "$.k")).cast("long"))
     def latestOf(tpe: String, field: String) =
       max_by(when(col("event_type") === tpe && col(field).isNotNull, col(field)),
         when(col("event_type") === tpe && col(field).isNotNull,

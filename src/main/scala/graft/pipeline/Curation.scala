@@ -38,17 +38,23 @@ object Curation {
     * One declarative plan: two aggregations + one anti join. */
   def pipelineKeepList(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+    // Quality floor BEFORE the exact-dedup aggregate (r16): every copy
+    // of a content hash carries the same text, so a content group either
+    // fully passes the ≥20-token floor or fully fails — filtering first
+    // leaves min(doc_id) per surviving group unchanged, and drops the
+    // old shape's third step (re-joining the survivor ids against the
+    // docs table just to fetch the text back for the filter): one fewer
+    // join, one fewer corpus scan, and the exact-dedup shuffle carries
+    // only quality survivors. Row-identical by the group-level argument
+    // above (oracle hash pins it).
     val exactKeep = d
+      .filter(size(split(trim(col("text")), "\\s+")) >= 20)
       .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val nearDupLosers = Dedup.dedupNgramJaccard(spark, dir)
       .select(col("b_id").as("doc_id")).distinct()
-    exactKeep
-      .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .join(d.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .filter(size(split(trim(col("text")), "\\s+")) >= 20)
-      .select(col("doc_id"))
+    exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
   }
 
   val pipelineKeepListSql: String =

@@ -105,7 +105,30 @@ object Dedup {
     * (doc_id, lang, t) — extracted so the incremental clustering path
     * can run the IDENTICAL pair semantics over a sub-slice (the
     * equivalence the merge algebra rests on). */
-  private[pipeline] def jaccardPairsOf(docs0: DataFrame): DataFrame = {
+  private[pipeline] def jaccardPairsOf(docs0: DataFrame): DataFrame =
+    jaccardPairsOfIdx(docs0, repIndexFullOf(docs0))
+
+  /** The exploded distinct-content shingle index WITH its content key —
+    * (lang, tk, rid, sz, sh). [[jaccardPairsOf]] probes it for the pair
+    * join (tk re-attaches cluster members); dropping tk yields exactly
+    * [[repIndexOf]], the merge path's corpus artifact — so the
+    * incremental clustering path can compute the index ONCE and share it
+    * between the base pair join and the merge (r15 left it computed
+    * twice: once inside jaccardPairsOf, once by repIndexOf). */
+  private[pipeline] def repIndexFullOf(docs0: DataFrame): DataFrame =
+    // min(t), not first(t): every t in a (lang, md5(t)) group is the same
+    // string, and min keeps the aggregate hash-based (first() is
+    // order-sensitive and forces a sort-based aggregate)
+    docs0.withColumn("tk", md5(col("t")))
+      .groupBy(col("lang"), col("tk"))
+      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
+      .withColumn("ng", shingle_hashes(split(col("t"), "\\s+"), 3))
+      .withColumn("sz", size(col("ng")).cast("long"))
+      .select(col("lang"), col("tk"), col("rid"), col("sz"),
+        explode(col("ng")).as("sh"))
+
+  private[pipeline] def jaccardPairsOfIdx(docs0: DataFrame,
+      ex: DataFrame): DataFrame = {
     // Exact set-similarity join via inverted index, over UNIQUE content:
     // explode distinct shingles, join on (lang, shingle) so only pairs
     // sharing content ever materialize, |∩| = co-occurrence count,
@@ -130,16 +153,6 @@ object Dedup {
     // at 1e6 distinct shingles — below the noise floor).
     val docs = docs0.withColumn("tk", md5(col("t")))
     val members = docs.select(col("lang"), col("tk"), col("doc_id"))
-    // min(t), not first(t): every t in a (lang, md5(t)) group is the same
-    // string, and min keeps the aggregate hash-based (first() is
-    // order-sensitive and forces a sort-based aggregate)
-    val reps = docs.groupBy(col("lang"), col("tk"))
-      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
-      .withColumn("ng", shingle_hashes(split(col("t"), "\\s+"), 3))
-      .withColumn("sz", size(col("ng")).cast("long"))
-      .drop("t")
-    val ex = reps.select(col("lang"), col("tk"), col("rid"), col("sz"),
-      explode(col("ng")).as("sh"))
     val x = ex.select(col("lang"), col("sh"), col("tk").as("a_tk"),
       col("rid").as("a_rid"), col("sz").as("a_sz"))
     val y = ex.select(col("lang"), col("sh"), col("tk").as("b_tk"),
@@ -825,13 +838,10 @@ object Dedup {
     * against — at 100 TB it is written ONCE per corpus version
     * (ClusterIndex persists it), never recomputed per arriving batch. */
   private[pipeline] def repIndexOf(docs: DataFrame): DataFrame =
-    docs.withColumn("tk", md5(col("t")))
-      .groupBy(col("lang"), col("tk"))
-      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
-      .withColumn("ng", shingle_hashes(split(col("t"), "\\s+"), 3))
-      .withColumn("sz", size(col("ng")).cast("long"))
-      .filter(col("sz") > 0)
-      .select(col("lang"), col("rid"), col("sz"), explode(col("ng")).as("sh"))
+    // the explode already drops sz == 0 contents (empty shingle arrays
+    // produce no rows), so this is exactly the old filter(sz > 0) shape
+    repIndexFullOf(docs)
+      .select(col("lang"), col("rid"), col("sz"), col("sh"))
 
   /** INCREMENTAL CLUSTER MAINTENANCE — merge a delta batch into an
     * existing clustering without recomputing the corpus's components.
@@ -911,18 +921,30 @@ object Dedup {
       deltaBounded: Boolean = false): (DataFrame, DataFrame, Boolean) = {
     def hinted(df: DataFrame): DataFrame = if (deltaBounded) broadcast(df) else df
     val d = delta.withColumn("tk", md5(col("t")))
-    val reps = d.groupBy(col("lang"), col("tk"))
-      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"))
+    // member ids ride the rep aggregate (r16): the delta rep collapse
+    // already groups every member by content, so collecting the group's
+    // ids there makes E1 a projection of `reps` instead of a d ⋈ reps
+    // join — one whole join chain (2 stages) off the merge's critical
+    // path, which the stage profile shows is ~20 SEQUENTIAL mostly
+    // 1-task stages (wall ≈ Σ stage latency, not data volume). List
+    // order is plan-nondeterministic but E1 is consumed as an edge SET
+    // by connectedComponents — order-independent. Bounded: mids holds
+    // one delta batch's ids per distinct content.
+    // The cut materializes reps ONCE for its three consumers (e1, the
+    // candidate stream side, the candidate build side) — uncut, each
+    // re-ran the delta scan + md5 + rep aggregate.
+    val reps = Cut(d.groupBy(col("lang"), col("tk"))
+      .agg(min(col("doc_id")).as("rid"), min(col("t")).as("t"),
+        collect_list(col("doc_id")).as("mids"))
       .withColumn("ng", shingle_hashes(split(col("t"), "\\s+"), 3))
       .withColumn("sz", size(col("ng")).cast("long"))
-      .drop("t")
+      .drop("t"), "merge.reps")
     // E1: same-content delta members hook onto their rep (sz>0 only —
     // sub-3-token contents never pair, in the full plan or here)
-    val e1 = d.select(col("lang"), col("tk"), col("doc_id"))
-      .join(hinted(reps.select(col("lang"), col("tk"), col("rid"), col("sz"))),
-        Seq("lang", "tk"))
-      .filter(col("doc_id") =!= col("rid") && col("sz") > 0)
-      .select(col("doc_id").as("u"), col("rid").as("v"))
+    val e1 = reps.filter(col("sz") > 0)
+      .select(col("rid"), explode(col("mids")).as("u"))
+      .filter(col("u") =!= col("rid"))
+      .select(col("u"), col("rid").as("v"))
     val dx = reps.filter(col("sz") > 0)
       .select(col("lang"), col("rid"), col("sz"), explode(col("ng")).as("sh"))
     // E4 (delta×delta) and E3 (corpus×delta) FUSED into one join + one
@@ -1017,9 +1039,19 @@ object Dedup {
       .select(col("doc_id"), col("lang"), trim(col("text")).as("t"))
     val corpus = docs.filter(!isBatch)
     val delta = docs.filter(isBatch)
+    // ONE corpus rep index, two consumers (r16): the base pair join and
+    // the merge both derive the (lang, rep, sz, shingle-hash) inverted
+    // index from the same rep collapse — r15 computed the md5 + rep
+    // aggregate + shingle explode chain twice (once inside
+    // jaccardPairsOf, once in repIndexOf). The cut materializes it in
+    // the base CC's own collect job; the merge's candidate join then
+    // reads the blocks. Dropping tk from the full index IS repIndexOf's
+    // output (merge ≡ rebuild spec + oracle hash pin the equivalence).
+    val repIdx = Cut(repIndexFullOf(corpus), "inc.repIdx")
     val base = connectedComponents(
-      jaccardPairsOf(corpus).select(col("a_id"), col("b_id")))
-    mergeDelta(base, repIndexOf(corpus), delta)
+      jaccardPairsOfIdx(corpus, repIdx).select(col("a_id"), col("b_id")))
+    mergeDelta(base,
+      repIdx.select(col("lang"), col("rid"), col("sz"), col("sh")), delta)
   }
 
   /** Same oracle as `dedup_clusters_exact`: the merged result IS the
