@@ -39,6 +39,15 @@ object ScaleLane {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the scaled corpus is written as `copies` part files (~10 MB
+      // each); at the default 128 MB maxPartitionBytes a 10x corpus
+      // scans as <=10 splits and 32 cores can never engage — the lane
+      // would measure FILE COUNT, not compute scaling. Real corpora
+      // have files >> cores; splitting finer here restores that shape
+      // for both arms (same config at 32c and 8c, so ratios compare
+      // compute, not scan granularity).
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ScaleSmoke.buildCorpus(spark, base, scaled, copies)
