@@ -21,8 +21,9 @@ object StageProfile {
         s <- si.submissionTime; c <- si.completionTime
       } yield (c - s) / 1e3).getOrElse(-1.0)
       val run = si.taskMetrics.executorRunTime / 1e3
+      val swMb = si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6
       rows.add(f"    stage ${si.stageId}%4d  tasks=${si.numTasks}%4d  " +
-        f"wall=$wall%7.3fs  taskSum=$run%7.3fs  ${si.name.take(70)}")
+        f"wall=$wall%7.3fs  taskSum=$run%7.3fs  shufW=$swMb%8.3fMB  ${si.name.take(70)}")
     }
   }
 
